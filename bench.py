@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the registered query inventory at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name:
+sec}, "sf": N}.
+
+Each query executes fully via the no-op sink (forces the whole plan,
+materializes nothing on the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fantasy_premier_league_spark.queries import all_queries
+from fantasy_premier_league_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    registry = all_queries()
+    # warm the JVM + parquet footers so per-query timings measure the plans
+    registry["q01_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    timings: dict[str, float] = {}
+    for name, q in sorted(registry.items()):
+        t0 = time.time()
+        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "query_inventory_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Table catalog over the driver-provisioned parquet test tables.
+
+The driver generates TPC-H-ish tables plus ``events`` (stream-shaped),
+``documents`` (text corpus) and ``embeddings`` (vector corpus) at
+``/root/testdata/sf{0.001,0.01,0.1}`` (TESTDATA.md). This module is the one
+place that knows the physical layout; queries take a ``sf_dir`` and call
+:func:`load` / :func:`load_all`.
+
+Scale note: at 100 TB these would be partitioned/bucketed parquet or Iceberg
+tables; ``spark.read.parquet`` on a directory plus Catalyst partition
+pruning covers that case with the same call. Filters and projections written
+against these DataFrames reach the scan (PushedFilters / ReadSchema) because
+nothing here materializes or caches eagerly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimensions small enough to broadcast at any realistic scale factor
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table not in TABLES:
+        raise KeyError(f"unknown table {table!r}; catalog has {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong); truncate to micros exactly
+        # like DuckDB does when reading the same file.
+        from pyspark.sql import functions as F, types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL-first query path)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

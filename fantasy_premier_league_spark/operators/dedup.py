@@ -1,0 +1,267 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's PK-duplicate handling (etl/run_transform.py:366-370,
+SURVEY §2.4 A11/A12), this module provides the dedup family a training-data
+pipeline needs, each designed so the only shuffles are on bounded keys:
+
+- exact duplicate collapse (hash-groupBy on normalized content)
+- n-gram (shingle) Jaccard similarity pairs — exact, via an inverted-index
+  self-join (shuffle on shingle, then on pair)
+- MinHash signatures + banded LSH candidate generation (the 100 TB path:
+  candidate pairs are generated per LSH bucket, never all-pairs)
+- SimHash 64-bit fingerprints + banded near-dup candidates
+
+All hashing is xxhash64 (JVM-side, deterministic across runs/partitions), so
+results are reproducible; there is no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_MASK30 = (1 << 30) - 1
+_MERSENNE31 = (1 << 31) - 1
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """Lowercase, collapse whitespace, trim — the canonical content key."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def words(col: F.Column) -> F.Column:
+    return F.split(normalize_text(col), " ")
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep one deterministic representative per duplicate group (A12:
+    sort + drop_duplicates, etl/additional_fifa.py:165-168)."""
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingle_array(text_col: F.Column, n: int) -> F.Column:
+    """Array of word n-gram shingle strings (empty when < n words)."""
+    w = words(text_col)
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index input."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingle_array(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word n-gram sets, for every
+    pair sharing >= 1 shingle, filtered to >= threshold.
+
+    Plan: inverted index (id, shingle) → self-join on shingle with id<id2 →
+    count common shingles per pair → join per-doc set sizes → |∩|/|∪|.
+    ``max_doc_freq`` drops super-frequent shingles before pairing (standard
+    blocking at scale; changes recall slightly, so default off).
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures over word n-gram shingles.
+
+    Base shingle hash is ``xxhash64`` reduced to 30 bits; the permutation
+    family is ``(a*h + b) mod (2^31-1)`` — all arithmetic stays inside a
+    signed 64-bit long (a,b < 2^31, h < 2^30 → a*h+b < 2^61), JVM-side.
+    Map-side partial min aggregation makes this one cheap shuffle of
+    ``num_hashes`` longs per doc.
+    """
+    params = _hash_params(num_hashes, seed)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
+    ).distinct()
+    h = F.xxhash64("shingle").bitwiseAND(F.lit(_MASK30))
+    mins = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"__h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = exploded.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, *, bands: int = 16) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become a candidate
+    pair. Shuffle is on (band_idx, band_signature) buckets only — this is
+    what makes near-dup feasible at 100 TB (never all-pairs).
+    """
+    sig = sig_df.select("id", "sig")
+    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band_idx"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(F.slice("sig", bidx * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")),
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs with signature-estimated Jaccard.
+
+    Candidates from banded LSH; estimate = fraction of agreeing signature
+    components (unbiased for Jaccard). No second pass over the raw text.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed)
+    cands = lsh_candidate_pairs(sigs, bands=bands)
+    a = sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
+    b = sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("sig_a")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_est", F.round(est, 6))
+        .filter(F.col("jaccard_est") >= est_threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
+    """(id, simhash_bits: array<int>[bits], bands: array<string>[4]) SimHash
+    fingerprint from term-frequency-weighted word hashes.
+
+    Explode words → per-(id, word) counts → for each bit, sum(+tf / -tf by
+    the word-hash bit) → sign → bit. One shuffle on id.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = F.xxhash64("word")
+    bit_sums = [
+        F.sum(
+            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = tf.groupBy("id").agg(*bit_sums)
+    bit_arr = F.array(*[(F.col(f"__b{i}") > 0).cast("int") for i in range(bits)])
+    out = agg.select("id", bit_arr.alias("simhash_bits"))
+    band_width = bits // 4
+    bands_col = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda bidx: F.concat_ws(
+            "", F.transform(F.slice("simhash_bits", bidx * band_width + 1, band_width), lambda x: x.cast("string"))
+        ),
+    )
+    return out.withColumn("bands", bands_col)
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: banded candidates (pigeonhole: hamming<=3
+    guarantees an equal 16-bit band; wider radii trade recall), then exact
+    hamming distance filter on the full fingerprint."""
+    fp = simhash(df, id_col, text_col)
+    banded = fp.select("id", "simhash_bits", F.posexplode("bands").alias("band_idx", "band_sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(F.col("a.simhash_bits"), F.col("b.simhash_bits"), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two execution strategies for top-k cosine neighbors:
+
+- :func:`cosine_topk` — pure DataFrame: broadcast the (small) query set,
+  JVM-side dot products via ``zip_with``/``aggregate``, per-query top-k via
+  window. Exact; the baseline and the oracle-checkable path.
+- :func:`cosine_topk_block` — Arrow/NumPy blocked matmul via ``mapInPandas``:
+  the corpus streams through executors partition-by-partition, each batch
+  does one BLAS ``corpus_block @ queries.T``, emits per-batch top-k, and a
+  final per-query top-k merge reduces driver-bound data to k rows per query.
+  This is the 100 TB shape: corpus never shuffles, queries broadcast once.
+
+An IVF/LSH-bucketed ANN variant narrows the scanned fraction; see
+``lsh_bucket_topk`` (random-hyperplane signatures, bucket-restricted exact
+rerank).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector the k nearest
+    corpus vectors (excluding itself), ranked on rounded cosine with id
+    tie-break (deterministic across engines and summation orders).
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), round_digits)
+    scored = pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_block(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Blocked-BLAS variant. ``queries_pdf`` has columns (query_id, vec).
+
+    Per Arrow batch: one float64 matmul corpus_block @ Q.T, emit each block's
+    top-k per query; then a global window keeps the true top-k. Shuffle
+    volume is O(#blocks * #queries * k), independent of corpus size.
+    """
+    qids = np.asarray(queries_pdf["query_id"].to_numpy())
+    qmat = np.vstack(queries_pdf["vec"].to_numpy()).astype(np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qnorm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (cmat @ b_qmat.T) / np.outer(cnorm, b_qnorm)
+            nids = pdf[id_col].to_numpy()
+            out = []
+            for j, qid in enumerate(b_qids):
+                mask = nids != qid
+                ids_m = nids[mask]
+                if len(ids_m) == 0:
+                    continue
+                # block-local top-k under the SAME total order as the global
+                # merge (rounded cosine desc, id asc) — otherwise a rounded
+                # tie can be resolved differently per block vs globally
+                col_m = np.round(sims[mask, j], round_digits)
+                order = np.lexsort((ids_m, -col_m))[: min(k, len(ids_m))]
+                out.append(pd.DataFrame({"query_id": qid, "neighbor_id": ids_m[order], "cosine": col_m[order]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        block_topk, schema="query_id long, neighbor_id long, cosine double"
+    )
+    rounded = partial.withColumn("cosine", F.round("cosine", round_digits))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return rounded.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH signature buckets, exact
+    cosine rerank inside the query's bucket only.
+
+    With ``n_planes`` p, the corpus splits into 2^p buckets; the scanned
+    fraction is ~2^-p — the knob trading recall for scan cost at scale.
+    """
+    rng = np.random.default_rng(seed)
+    dim_row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = rng.standard_normal((n_planes, int(dim_row["d"])))
+
+    def sig_expr(vec: F.Column) -> F.Column:
+        bits = [
+            (
+                F.aggregate(
+                    F.zip_with(vec.cast("array<double>"), F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0
+            ).cast("int").cast("string")
+            for plane in planes
+        ]
+        return F.concat_ws("", *bits)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        sig_expr(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        sig_expr(F.col(vec_col)).alias("bucket"),
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), round_digits)
+    scored = pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,106 @@
+"""Text-analysis operators for document corpora.
+
+Training-data-pipeline surface: token counting, quality scoring, marker-word
+language ID, and content fingerprinting. Everything is built-in Column
+expressions (whole-stage codegen) — no Python in the hot path, so these run
+at scan speed over 100 TB of text.
+
+The reference's text surface (news keyword flags M1.ipynb § 23-24, stopword
+removal § 24, fuzzy normalization etl/additional_fifa.py:193-201) maps onto
+the same primitives; see also operators/fuzzy.py for the scoring UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text, words
+
+# Tiny deterministic marker lexicons — a stand-in for real n-gram language
+# models, chosen so the identical logic is expressible in the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "las", "por"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "to", "in")
+
+
+def _count_in(arr: F.Column, vocab: tuple[str, ...]) -> F.Column:
+    vocab_arr = F.array(*[F.lit(v) for v in vocab])
+    return F.size(F.filter(arr, lambda w: F.array_contains(vocab_arr, w)))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: counts, lengths, ratios.
+
+    Token = whitespace word after normalization; ``n_alpha_tokens`` uses a
+    BPE-ish regex notion of a clean word ([a-z]+).
+    """
+    w = words(F.col(text_col))
+    n_tokens = F.size(w)
+    n_chars = F.length(normalize_text(F.col(text_col)))
+    alpha = F.size(F.filter(w, lambda t: t.rlike("^[a-z]+$")))
+    stop = _count_in(w, STOPWORDS)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.round((n_chars - (n_tokens - 1)) / n_tokens, 6).alias("avg_token_len"),
+        F.round(stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(alpha / n_tokens, 6).alias("alpha_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality in [0,1]: length band + alpha ratio +
+    non-degenerate repetition (distinct-token ratio)."""
+    w = words(F.col(text_col))
+    n_tokens = F.size(w)
+    alpha_ratio = F.size(F.filter(w, lambda t: t.rlike("^[a-z]+$"))) / n_tokens
+    distinct_ratio = F.size(F.array_distinct(w)) / n_tokens
+    length_ok = F.when((n_tokens >= 20) & (n_tokens <= 1000), 1.0).otherwise(
+        F.when(n_tokens < 20, n_tokens / 20.0).otherwise(F.lit(1000.0) / n_tokens)
+    )
+    score = 0.4 * length_ok + 0.3 * alpha_ratio + 0.3 * distinct_ratio
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-lexicon language ID: per language, count token hits; argmax
+    with deterministic tie order (en > fr > es > de > und)."""
+    w = words(F.col(text_col))
+    scores = {lang: _count_in(w, vocab) for lang, vocab in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_score = F.lit(1)  # a language needs >=1 marker hit to beat "und"
+    # fold in reverse priority so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        s = scores[lang]
+        take = s >= best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_MARKERS],
+        best.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: md5 of normalized text (exact-dup key) plus a
+    coarse 16-hex-char prefix usable as a shard/bucket key."""
+    norm = normalize_text(F.col(text_col))
+    digest = F.md5(norm)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        digest.alias("content_md5"),
+        F.substring(digest, 1, 8).alias("bucket_key"),
+    )

@@ -1,0 +1,100 @@
+"""Deduplication queries over the documents table.
+
+Exact and n-gram-Jaccard dedup are hash-matched against the DuckDB oracle;
+MinHash/SimHash use engine-internal xxhash64 so they get the driver's
+rows-only check (documented, deterministic across runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import dedup as D
+from . import query
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+@query(
+    "q40_exact_dedup",
+    f"""
+    SELECT md5({_NORM}) AS content_key,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup by normalized-content hash (hash-groupBy; A11/A12 "
+    "analog). Representative = min doc_id.",
+    tags=("dedup",),
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(D.normalize_text(F.col("text"))).alias("content_key"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@query(
+    "q41_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT doc_id AS id,
+                   unnest(CASE WHEN len(w) >= 3
+                               THEN list_transform(generate_series(1, len(w) - 2),
+                                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                               ELSE []::VARCHAR[] END) AS shingle
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        )
+    ),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12
+    """,
+    doc="Exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index "
+    "self-join — the exact-verification stage of a MinHash pipeline.",
+    tags=("dedup", "jaccard"),
+)
+def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+
+
+@query(
+    "q42_minhash_lsh_pairs",
+    None,  # xxhash64-based: not expressible in the oracle; rows-only check
+    doc="MinHash(64 hashes) + 16-band LSH candidate pairs with signature- "
+    "estimated Jaccard >= 0.3. Deterministic (seeded permutations over "
+    "xxhash64 shingle hashes); candidates generated per LSH bucket, never "
+    "all-pairs — the 100 TB dedup path.",
+    tags=("dedup", "minhash"),
+)
+def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3)
+
+
+@query(
+    "q43_simhash_near_dups",
+    None,  # xxhash64-based: rows-only check
+    doc="SimHash-64 near-dup candidate pairs (4×16-bit bands, exact hamming "
+    "<= 12 rerank).",
+    tags=("dedup", "simhash"),
+)
+def q43_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12)

@@ -1,0 +1,691 @@
+"""Relational operator inventory — scans, filters, joins, aggregations,
+windows, set ops, scalar functions (SURVEY.md §2.2-§2.8).
+
+Every query here maps one or more reference operators (cited per-query) onto
+the driver's TPC-H-ish tables. The Spark side is the engine; the oracle SQL
+is the spec. Aggregates over doubles are ROUNDed identically on both sides
+so the order-insensitive value-hash is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.asof import asof_join
+from . import query
+
+# --------------------------------------------------------------------------
+# Aggregation / filter core
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filter P4 + multi-agg A1/A7. Reference: league-table "
+    "group-sums etl/run_transform.py:434-440.",
+    tags=("agg", "filter"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    doc="Fact-dim join chain J1-J5 with broadcast dims + agg A1/A10. "
+    "Reference join chain: EDA.ipynb § 19-20; etl/run_transform.py:295-300.",
+    tags=("join", "agg", "broadcast"),
+)
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    # dims broadcast explicitly (nation/region are tiny at any SF; customer
+    # joins shuffle on key — at 100 TB this is the intended hash-partitioned join)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q03_segment_share",
+    """
+    SELECT r.r_name AS region,
+           round(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS building_revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+           round(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS building_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Conditional expression P9 (np.where etl/run_transform.py:358-360) as "
+    "F.when inside aggregation; share-of-total A2 (modelling/helpers.py:30-37).",
+    tags=("agg", "conditional"),
+)
+def q03_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    building = F.when(F.col("c_mktsegment") == "BUILDING", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(building), 2).alias("building_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(building) / F.sum(rev), 6).alias("building_share"),
+        )
+    )
+
+
+@query(
+    "q04_priority_with_late_line",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Semi-join P6 (isin → left_semi, M1.ipynb § 4) + agg. TPC-H Q4 shape.",
+    tags=("semi-join", "agg"),
+)
+def q04_priority_with_late_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (orders.o_orderkey == late.l_orderkey)
+            & (late.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q05_customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_nationkey
+    FROM customer c
+    ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    doc="Anti-membership J13/U6 (incremental new-player subset, "
+    "etl/additional_fifa.py:303-311) as left_anti join.",
+    tags=("anti-join",),
+)
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q06_order_lag",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           lag(o_orderdate) OVER w AS prev_orderdate,
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate)::INT AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Lag-per-entity W1 + ordered diff W3 (EDA.ipynb § 24-25, 32: 24-col "
+    "shift(1) per player). One shuffle on the entity key; frame-free lag.",
+    tags=("window",),
+)
+def q06_order_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        prev.alias("prev_orderdate"),
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+    )
+
+
+@query(
+    "q07_nation_revenue_rank",
+    """
+    WITH nat_rev AS (
+        SELECT n.n_regionkey, n.n_name,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT n_regionkey, n_name, revenue,
+           (row_number() OVER (PARTITION BY n_regionkey ORDER BY revenue DESC, n_name))::INT AS rank_in_region
+    FROM nat_rev
+    """,
+    doc="Rank after multi-key sort W4/O2 — the league_table ranking "
+    "(etl/run_transform.py:441-446) generalized to partitioned row_number "
+    "(no single-partition global window).",
+    tags=("window", "rank"),
+)
+def q07_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    nat_rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = W.partitionBy("n_regionkey").orderBy(F.desc("revenue"), F.asc("n_name"))
+    return nat_rev.withColumn("rank_in_region", F.row_number().over(w))
+
+
+@query(
+    "q08_acctbal_deciles",
+    """
+    SELECT c_custkey, c_nationkey,
+           (ntile(10) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))::INT AS bal_decile
+    FROM customer
+    """,
+    doc="Decile bucketing A3 (per-gameweek quantile buckets EDA.ipynb § 27) "
+    "expressed as ntile(10) — the Spark-native form of manual quantile edges.",
+    tags=("window", "quantile"),
+)
+def q08_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select("c_custkey", "c_nationkey", F.ntile(10).over(w).alias("bal_decile"))
+
+
+@query(
+    "q09_argmax_customer",
+    """
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn = 1
+    """,
+    doc="Group-max-as-transform argmax A4/A12 (best fuzzy match "
+    "etl/additional_fifa.py:140-143,165-168) as row_number()=1.",
+    tags=("window", "argmax"),
+)
+def q09_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations / unions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q10_roleswap_union",
+    """
+    WITH balances AS (
+        SELECT c_nationkey AS nationkey, 'customer' AS role, c_acctbal AS acctbal FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS role, s_acctbal AS acctbal FROM supplier
+    )
+    SELECT nationkey, role, round(avg(acctbal), 4) AS avg_bal, count(*) AS n
+    FROM balances GROUP BY nationkey, role
+    """,
+    doc="Self-union role-swap J14/U2/U3 (home/away perspective rows, "
+    "etl/run_transform.py:385-419) via tagged unionByName.",
+    tags=("union", "agg"),
+)
+def q10_roleswap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    c = cust.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("role"), F.col("c_acctbal").alias("acctbal")
+    )
+    s = supp.select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("role"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey", "role")
+        .agg(F.round(F.avg("acctbal"), 4).alias("avg_bal"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q11_common_parts",
+    """
+    SELECT l_partkey FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT l_partkey FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '5-LOW'
+    """,
+    doc="INTERSECT J12/U4 (etl/additional_fifa.py:232-241).",
+    tags=("setop",),
+)
+def q11_common_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    urgent = joined.filter(F.col("o_orderpriority") == "1-URGENT").select("l_partkey")
+    low = joined.filter(F.col("o_orderpriority") == "5-LOW").select("l_partkey")
+    return urgent.intersect(low)
+
+
+@query(
+    "q12_duplicate_pairs",
+    """
+    SELECT l_partkey, l_suppkey, count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+    HAVING count(*) > 1
+    """,
+    doc="Duplicate detection A11 (PK-dup groups etl/run_transform.py:366-370) "
+    "as group-count>1 diagnostics.",
+    tags=("agg", "dedup"),
+)
+def q12_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (J10)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q13_asof_last_order",
+    """
+    SELECT event_id, user_id, ts, last_order_key, last_order_date
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS last_order_key, o.o_orderdate AS last_order_date,
+               row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+    doc="As-of join J10 (latest snapshot before gameweek deadline, M1.ipynb "
+    "§ 20 get_closest_dates): each event picks the user's most recent order. "
+    "Spark impl is the scalable union-merge form: one shuffle on the key, "
+    "last_value over an ordered window — no per-key join blowup. Oracle is "
+    "the equivalent join+row_number spec.",
+    tags=("asof", "window", "join"),
+)
+def q13_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    events = load(spark, sf_dir, "events")
+    joined = asof_join(
+        left=events.select("event_id", "user_id", "ts"),
+        right=orders.select("o_custkey", "o_orderdate", "o_orderkey"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value_cols=("o_orderkey", "o_orderdate"),
+        prefix="last_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_o_orderkey").alias("last_order_key"),
+        F.col("last_o_orderdate").alias("last_order_date"),
+    ).filter(F.col("last_order_key").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# Pivot / one-hot, imputation, binning
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q14_event_type_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view
+    FROM events GROUP BY user_id
+    """,
+    doc="One-hot / pivot F20/U5 (get_dummies EDA.ipynb § 45,79) with an "
+    "explicit category list (no extra distinct-discovery job).",
+    tags=("pivot",),
+)
+def q14_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+    return out
+
+
+@query(
+    "q15_value_imputation",
+    """
+    WITH base AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    ), stats AS (
+        SELECT *, avg(v) OVER (PARTITION BY user_id) AS user_mean, avg(v) OVER () AS global_mean
+        FROM base
+    )
+    SELECT event_id, user_id, round(coalesce(v, user_mean, global_mean), 6) AS value_imputed
+    FROM stats
+    """,
+    doc="Group-mean cascade imputation A6/P8 (two-level transform-mean fillna, "
+    "EDA.ipynb § 69; masked update etl/run_transform.py:399). Global mean via "
+    "broadcast scalar join, not a single-partition window.",
+    tags=("imputation", "window"),
+)
+def q15_value_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(F.col("value")).alias("v"),
+    )
+    user_mean = F.avg("v").over(W.partitionBy("user_id"))
+    # global mean as a 1-row broadcast cross join — scales (a window over ()
+    # would funnel 100 TB through one partition)
+    global_mean = base.agg(F.avg("v").alias("global_mean"))
+    return (
+        base.withColumn("user_mean", user_mean)
+        .crossJoin(F.broadcast(global_mean))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.coalesce("v", "user_mean", "global_mean"), 6).alias("value_imputed"),
+        )
+    )
+
+
+@query(
+    "q16_balance_bins",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_bin,
+           count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY 1
+    """,
+    doc="Value binning F21 (bin_values thresholds, modelling/helpers.py:86-94) "
+    "as a when-chain; plus group stats.",
+    tags=("binning", "agg"),
+)
+def q16_balance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    bin_col = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        cust.groupBy(bin_col.alias("bal_bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: strings, dates, math
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q17_string_normalize",
+    """
+    SELECT p_partkey,
+           lower(regexp_replace(p_name, '[^a-zA-Z ]', '', 'g')) AS name_norm,
+           split_part(p_type, ' ', 1) AS type_head,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           length(p_name)::INT AS name_len
+    FROM part
+    """,
+    doc="String surface F3/F4/F7 (lower+regex strip etl/additional_fifa.py:"
+    "193-201; split EDA.ipynb § 43; CONCAT_WS § 72).",
+    tags=("strings",),
+)
+def q17_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower(F.regexp_replace("p_name", "[^a-zA-Z ]", "")).alias("name_norm"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "q18_time_features",
+    """
+    SELECT event_id,
+           extract(hour FROM ts)::INT AS hr,
+           (isodow(ts) - 1)::INT AS weekday_mon0,
+           round(sin(2 * pi() * (extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
+                 + floor(extract(second FROM ts))) / 86400), 6) AS tod_sin,
+           round(cos(2 * pi() * (extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
+                 + floor(extract(second FROM ts))) / 86400), 6) AS tod_cos,
+           date_diff('day', TIMESTAMP '2024-01-01', ts)::BIGINT AS day_offset
+    FROM events
+    """,
+    doc="Date parts + cyclical encodings F12-F14 (EDA.ipynb § 30-33): hour, "
+    "Monday-0 weekday, sin/cos time-of-day, day offset from epoch start.",
+    tags=("dates",),
+)
+def q18_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sec_of_day = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.floor(F.second("ts"))
+    ).cast("double")
+    angle = 2 * 3.141592653589793 * sec_of_day / 86400
+    return ev.select(
+        "event_id",
+        F.hour("ts").alias("hr"),
+        F.weekday("ts").alias("weekday_mon0"),
+        F.round(F.sin(angle), 6).alias("tod_sin"),
+        F.round(F.cos(angle), 6).alias("tod_cos"),
+        F.datediff("ts", F.lit("2024-01-01").cast("timestamp")).cast("long").alias("day_offset"),
+    )
+
+
+@query(
+    "q19_corr_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(avg(l_extendedprice), 4) AS mean_price,
+           round(var_samp(l_extendedprice), 2) AS var_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Correlation + distribution stats A13/A14 (df.corr EDA.ipynb § 82-84; "
+    "overdispersion § 11) via native corr/var_samp — no MLlib assembly needed "
+    "for pairwise corr.",
+    tags=("stats",),
+)
+def q19_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+    )
+
+
+@query(
+    "q20_exact_quantiles",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+           round(quantile_cont(c_acctbal, 0.90), 4) AS p90
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="Exact group quantiles A3 (per-gameweek quantile([0..0.9]) EDA.ipynb "
+    "§ 27) via percentile(); at 100 TB swap to percentile_approx with a "
+    "documented accuracy budget.",
+    tags=("quantile", "agg"),
+)
+def q20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("c_acctbal", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("c_acctbal", F.lit(0.90)), 4).alias("p90"),
+    )
+
+
+@query(
+    "q21_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Sorted limit / top-k O3 (head(10) EDA.ipynb § 83-84) — Spark "
+    "optimizes to TakeOrderedAndProject (no global sort materialized).",
+    tags=("topk",),
+)
+def q21_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q22_pk_quality",
+    """
+    SELECT 'orders' AS tbl, count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_pk,
+           count(*) FILTER (WHERE o_orderkey IS NULL) AS n_null_pk
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem' AS tbl, count(*) AS n_rows,
+           count(DISTINCT l_orderkey * 100 + l_linenumber) AS n_pk,
+           count(*) FILTER (WHERE l_orderkey IS NULL OR l_linenumber IS NULL) AS n_null_pk
+    FROM lineitem
+    """,
+    doc="Data-quality constraint operators Q1/Q2 (dval_unique_index / "
+    "dval_notnull_index, etl/transform.py:14-56): PK uniqueness + not-null "
+    "counts as one unioned profile.",
+    tags=("quality",),
+)
+def q22_pk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o = orders.agg(
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_pk"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("n_null_pk"),
+    )
+    l = li.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("n_pk"),
+        F.sum((F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull()).cast("long")).alias("n_null_pk"),
+    )
+    return o.unionByName(l)

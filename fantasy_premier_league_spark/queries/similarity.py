@@ -1,0 +1,106 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import similarity as S
+from . import query
+
+
+@query(
+    "q50_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+        FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast query set, "
+    "JVM-side zip_with/aggregate dot products, windowed top-k. Ranked on "
+    "rounded cosine with id tie-break so results are engine-stable.",
+    tags=("similarity", "ann"),
+)
+def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=3)
+
+
+@query(
+    "q51_cosine_topk_block",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+        FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Blocked-BLAS top-k (mapInPandas + Arrow + NumPy matmul): identical "
+    "results to q50 by construction (rounded-cosine ranking), scale path — "
+    "corpus never shuffles, per-block partial top-k then k-row merge.",
+    tags=("similarity", "ann", "pandas-udf"),
+)
+def q51_cosine_topk_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec"))
+        .toPandas()
+    )
+    return S.cosine_topk_block(emb, queries_pdf, id_col="vec_id", vec_col="embedding", k=3)
+
+
+@query(
+    "q52_label_centroid_sim",
+    """
+    WITH e AS (
+        SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ),
+    cent AS (SELECT label, dim, avg(x) AS m FROM e GROUP BY label, dim)
+    SELECT e.vec_id, e.label,
+           round(sum(e.x * cent.m) / (sqrt(sum(e.x * e.x)) * sqrt(sum(cent.m * cent.m))), 4) AS centroid_cosine
+    FROM e JOIN cent ON e.label = cent.label AND e.dim = cent.dim
+    GROUP BY e.vec_id, e.label
+    """,
+    doc="Per-label centroid + each vector's cosine to its centroid — the "
+    "aggregation-over-vectors shape (embedding quality / outlier scoring). "
+    "Spark: posexplode → avg per (label, dim) → re-assemble, broadcast "
+    "centroids back.",
+    tags=("similarity", "vector-agg"),
+)
+def q52_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # centroid: explode to (label, dim, x), avg, collect back ordered by dim
+    dims = emb.select("label", F.posexplode("v").alias("dim", "x"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("label", F.transform("dm", lambda s: s["m"]).alias("c"))
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    cosine = F.round(
+        S._dot(F.col("v"), F.col("c")) / (S._norm(F.col("v")) * S._norm(F.col("c"))), 4
+    )
+    return joined.select("vec_id", "label", cosine.alias("centroid_cosine"))

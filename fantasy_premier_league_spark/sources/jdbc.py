@@ -1,0 +1,80 @@
+"""JDBC scans and batch sinks (SURVEY §2.1 S8-S11).
+
+The reference loads through sqlalchemy/psycopg2 with hand-written DDL
+(etl/load.py): drop-cascade → create → insert for overwrite (S9),
+create-if-absent → insert for append (S10), plus a single-row audit record
+per load (S11) and column re-alignment against the live table
+(load.py:22-24,81-82 ``table_get_columns`` + reindex).
+
+Spark mapping: ``spark.read.jdbc`` / ``df.write.jdbc`` carry the same
+semantics; column alignment happens before the write. No JDBC driver jar
+ships in this container, so integration runs are gated on the caller
+providing a reachable ``url`` — everything up to ``.jdbc(...)`` is plain
+DataFrame code and unit-testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, url: str, table: str, *, properties: dict | None = None) -> DataFrame:
+    """S8: full/projected table scan (predicates push down through JDBC)."""
+    return spark.read.jdbc(url, table, properties=properties or {})
+
+
+def read_query(spark: SparkSession, url: str, query: str, *, properties: dict | None = None) -> DataFrame:
+    """S8: arbitrary SELECT pushed to the database."""
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def align_columns(df: DataFrame, target_columns: list[str]) -> DataFrame:
+    """Column re-alignment before load (≙ load.py:22-24,81-82): order to
+    the target table's columns, null-fill ones the frame lacks, refuse
+    extras loudly (the reference silently dropped them — an error is the
+    safer contract)."""
+    extra = [c for c in df.columns if c not in target_columns]
+    if extra:
+        raise ValueError(f"frame has columns not in target table: {extra}")
+    return df.select(
+        *[
+            F.col(c) if c in df.columns else F.lit(None).alias(c)
+            for c in target_columns
+        ]
+    )
+
+
+def batch_overwrite(df: DataFrame, url: str, table: str, *, target_columns: list[str] | None = None,
+                    properties: dict | None = None) -> None:
+    """S9: drop-and-recreate load (mode=overwrite ≙ DROP CASCADE → CREATE →
+    INSERT, load.py:27-63)."""
+    if target_columns:
+        df = align_columns(df, target_columns)
+    df.write.mode("overwrite").jdbc(url, table, properties=properties or {})
+
+
+def batch_append(df: DataFrame, url: str, table: str, *, target_columns: list[str] | None = None,
+                 properties: dict | None = None) -> None:
+    """S10: create-if-absent append (load.py:65-70)."""
+    if target_columns:
+        df = align_columns(df, target_columns)
+    df.write.mode("append").jdbc(url, table, properties=properties or {})
+
+
+def audit_record(
+    spark: SparkSession, *, load_datetime: str, gameweek_now: str | None, user: str
+) -> DataFrame:
+    """S11: the single-row ``record`` audit frame (load.py:86-108,466-472);
+    append it with :func:`batch_append`."""
+    return spark.createDataFrame(
+        [(load_datetime, gameweek_now, user)],
+        "load_datetime string, gameweek_now string, login_user string",
+    ).select(
+        F.to_timestamp("load_datetime").alias("load_datetime"),
+        F.col("gameweek_now"),
+        F.col("login_user"),
+    )

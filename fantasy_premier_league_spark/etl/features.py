@@ -1,0 +1,108 @@
+"""FPL model-matrix build (EDA.ipynb § 2-33, 88-91 → model_data.csv).
+
+The reference's feature engineering over the 11-table catalog:
+
+1. scope rows to completed gameweeks (§ 4-5)
+2. J5 join chain: players_full ← teams (player's team) ← team_results
+   (team's result that fixture) ← teams-as-opponent ← fixture difficulty
+   from the home/away perspective (§ 13-20, the double join + combine_first
+   collapses into the team_results role-swap rows we already built)
+3. W1: lag the per-fixture stat columns per player (previous_*)
+4. W3: days since last fixture; A5/F14: day offset from gameweek start
+5. F12/F13: kickoff time-of-day features
+6. M16: targets — target_played = minutes > 0, target_points = points >= 4
+   (§ 88)
+
+Everything is expression-level; one shuffle per window partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import features as FE
+
+#: per-fixture stat columns lagged per player (EDA § 24: the 24-column
+#: shift(1) — the subset that exists in players_full)
+LAG_COLS = [
+    "total_points", "minutes", "goals_scored", "assists", "clean_sheets",
+    "goals_conceded", "own_goals", "penalties_saved", "penalties_missed",
+    "yellow_cards", "red_cards", "saves", "bonus", "bps",
+    "influence", "creativity", "threat", "ict_index", "value",
+    "transfers_balance", "selected", "transfers_in", "transfers_out",
+]
+
+
+def last_complete_gameweek(gameweeks: DataFrame) -> int | None:
+    """A7 (run_load.py:34-39; EDA § 4): MAX(gameweek_id::int) where
+    finished."""
+    row = gameweeks.filter(F.col("gameweek_finished")).agg(
+        F.max(F.col("gameweek_id").cast("int")).alias("m")
+    ).first()
+    return row["m"]
+
+
+def build_model_matrix(catalog: dict[str, DataFrame], *, max_gameweek: int | None = None) -> DataFrame:
+    """The feature frame: one row per (player, fixture) with lagged stats,
+    schedule features, team/opponent strengths, and targets."""
+    full = catalog["players_full"]
+    teams = catalog["teams"]
+    results = catalog["team_results"]
+    gameweeks = catalog["gameweeks"]
+
+    if max_gameweek is None:
+        max_gameweek = last_complete_gameweek(gameweeks)
+    if max_gameweek is not None:
+        full = full.filter(F.col("gameweek_id").cast("int") <= max_gameweek)
+
+    # J5 chain — all build sides are dimension-sized: broadcast.
+    team_cols = [
+        "team_strength", "team_strength_overall_home", "team_strength_overall_away",
+        "team_strength_attack_home", "team_strength_attack_away",
+        "team_strength_defence_home", "team_strength_defence_away",
+    ]
+    own_team = teams.select("team_id", *[F.col(c).alias(f"own_{c}") for c in team_cols])
+    # the team's result row for that fixture (role-swap rows replace the
+    # reference's home/away double-join + combine_first, EDA § 19-20)
+    res = results.select(
+        "team_id", "fixture_id",
+        F.col("opponent_team_id"),
+        F.col("played").alias("team_played"),
+        F.col("win").alias("team_win"),
+        F.col("draw").alias("team_draw"),
+        F.col("loss").alias("team_loss"),
+        F.col("points").alias("team_points"),
+        F.col("goal_difference").alias("team_goal_difference"),
+    )
+    opp_team = teams.select(
+        F.col("team_id").alias("opponent_team_id"),
+        *[F.col(c).alias(f"opp_{c}") for c in team_cols],
+    )
+    df = (
+        full.join(F.broadcast(own_team), "team_id", "left")
+        .join(F.broadcast(res), ["team_id", "fixture_id"], "left")
+        .join(F.broadcast(opp_team), "opponent_team_id", "left")
+    )
+    df = df.withColumn(
+        "diff_strength", F.col("own_team_strength") - F.col("opp_team_strength")
+    )
+
+    # gameweek start (A5: first kickoff per gameweek) for the day offset F14
+    gw_min = (
+        full.groupBy("gameweek_id")
+        .agg(F.min("kickoff_datetime").alias("gameweek_first_kickoff"))
+    )
+    df = df.join(F.broadcast(gw_min), "gameweek_id", "left").withColumn(
+        "days_into_gameweek",
+        F.datediff("kickoff_datetime", "gameweek_first_kickoff"),
+    )
+
+    df = FE.add_lag_features(df, entity="player_id", order="kickoff_datetime", cols=LAG_COLS)
+    df = FE.add_days_since_last(df, entity="player_id", ts="kickoff_datetime")
+    df = FE.add_time_features(df, ts="kickoff_datetime")
+
+    # M16 targets (EDA § 88)
+    df = df.withColumn("target_played", (F.col("minutes") > 0).cast("int"))
+    df = df.withColumn("target_points", (F.col("total_points") >= 4).cast("int"))
+    return df

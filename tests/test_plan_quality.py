@@ -1,0 +1,72 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+These tests pin the *plan*, not the result: filters must reach the parquet
+scan, column pruning must shrink ReadSchema, dimension joins must be
+broadcast (no sort-merge on a 25-row table), and cached operators must not
+rescan their inputs. A regression here is a performance bug even when every
+value is still correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fantasy_premier_league_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    q = all_queries()[name]
+    return q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPushdownAndPruning:
+    def test_q01_filter_pushed_to_scan(self, spark):
+        plan = plan_of(spark, "q01_pricing_summary")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_q01_column_pruning(self, spark):
+        plan = plan_of(spark, "q01_pricing_summary")
+        # ReadSchema must not include unused columns like l_comment/l_orderkey
+        read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+        assert "l_partkey" not in read_schema and "l_orderkey" not in read_schema
+        assert "l_quantity" in read_schema
+
+    def test_q25_sample_filter_not_blocking_pruning(self, spark):
+        plan = plan_of(spark, "q25_hash_sample")
+        read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+        assert "o_orderdate" not in read_schema  # only 3 columns read
+
+
+class TestJoinStrategies:
+    def test_q02_all_dim_joins_broadcast(self, spark):
+        plan = plan_of(spark, "q02_revenue_by_nation")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_q05_anti_join_is_broadcast_or_hash(self, spark):
+        plan = plan_of(spark, "q05_customers_without_orders")
+        assert "LeftAnti" in plan
+
+    def test_q13_asof_is_single_window_no_join(self, spark):
+        plan = plan_of(spark, "q13_asof_last_order")
+        # union-merge form: a Window over a union — no join node at all
+        assert "Join" not in plan
+        assert "Window" in plan
+        assert "Union" in plan
+
+
+class TestCodegenAndCaching:
+    def test_q01_whole_stage_codegen(self, spark):
+        q = all_queries()["q01_pricing_summary"]
+        df = q.fn(spark, SF)
+        df.collect()  # AQE finalizes the plan only on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # whole-stage-codegen stages render as "*(n)" markers; both the
+        # partial and final aggregate must be inside codegen spans
+        assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+    def test_q42_uses_cached_signatures(self, spark):
+        plan = plan_of(spark, "q42_minhash_lsh_pairs")
+        assert "InMemoryTableScan" in plan  # signatures persisted, not rebuilt

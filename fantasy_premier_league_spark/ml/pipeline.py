@@ -96,6 +96,44 @@ def make_classifier_pipeline(
     return Pipeline(stages=stages)
 
 
+def grid_search_grouped(
+    df: DataFrame,
+    *,
+    pipeline: Pipeline,
+    param_grid: list[dict],
+    entity: str,
+    k: int = 3,
+    label: str,
+    metric: str = "areaUnderROC",
+    seed: int = 42,
+) -> dict:
+    """M8+M9: grid search over a group-aware k-fold (GridSearchCV with
+    GroupKFold, M1.ipynb § 13-18). ``param_grid`` is ParamGridBuilder
+    output. Returns {'best_params', 'best_score', 'scores'} with scores a
+    list of (param_map, mean_metric). The grid x fold loop is driver-side
+    orchestration; every fit/eval is a cluster job over the cached folds."""
+    from .splits import with_group_fold
+
+    evaluator = BinaryClassificationEvaluator(
+        labelCol=label, rawPredictionCol="rawPrediction", metricName=metric
+    )
+    folded = with_group_fold(df, entity=entity, k=k, seed=seed).cache()
+    try:
+        scores = []
+        for params in param_grid:
+            fold_scores = []
+            for fold in range(k):
+                train = folded.filter(F.col("fold") != fold)
+                test = folded.filter(F.col("fold") == fold)
+                model = pipeline.copy(params).fit(train)
+                fold_scores.append(evaluator.evaluate(model.transform(test)))
+            scores.append((params, sum(fold_scores) / k))
+        best_params, best_score = max(scores, key=lambda s: s[1])
+        return {"best_params": best_params, "best_score": best_score, "scores": scores}
+    finally:
+        folded.unpersist()
+
+
 def evaluate_binary(predictions: DataFrame, *, label: str) -> dict[str, float]:
     """M11: ROC AUC + accuracy on a transformed frame."""
     auc = BinaryClassificationEvaluator(

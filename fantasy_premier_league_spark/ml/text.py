@@ -1,0 +1,50 @@
+"""News-text ML features (SURVEY §2.10 M13; M1.ipynb § 23-29).
+
+The reference cleans player news strings (lower, strip non-[a-z|\\s|\\d],
+collapse whitespace), removes stopwords, vectorizes 1-3-grams with
+CountVectorizer(max_df, max_features) and fits LDA topics. MLlib mapping:
+regexp clean → Tokenizer-equivalent split → StopWordsRemover → NGram
+stages unioned into one bag → CountVectorizer → LDA, one Pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.clustering import LDA
+from pyspark.ml.feature import CountVectorizer, NGram, SQLTransformer, StopWordsRemover
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_text_column(df: DataFrame, *, text_col: str, out: str = "text_clean") -> DataFrame:
+    """M1 § 24 normalization: lower, strip to [a-z 0-9 space], collapse."""
+    c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    c = F.regexp_replace(c, r"[^a-z\s\d]", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out, c)
+
+
+def build_topic_pipeline(
+    *, n_topics: int = 5, vocab_size: int = 500, min_df: float = 1.0, max_ngram: int = 3, seed: int = 42
+) -> Pipeline:
+    """M13: tokens → stopword removal → 1..max_ngram bag → counts → LDA."""
+    stages = [
+        SQLTransformer(statement="SELECT *, split(text_clean, ' ') AS __tok FROM __THIS__"),
+        StopWordsRemover(inputCol="__tok", outputCol="__tok_clean"),
+    ]
+    gram_cols = ["__tok_clean"]
+    for n in range(2, max_ngram + 1):
+        stages.append(NGram(n=n, inputCol="__tok_clean", outputCol=f"__gram{n}"))
+        gram_cols.append(f"__gram{n}")
+    concat_expr = f"concat({', '.join(gram_cols)}) AS __bag"
+    stages.append(SQLTransformer(statement=f"SELECT *, {concat_expr} FROM __THIS__"))
+    stages.append(CountVectorizer(inputCol="__bag", outputCol="__counts", vocabSize=vocab_size, minDF=min_df))
+    stages.append(LDA(k=n_topics, featuresCol="__counts", seed=seed, maxIter=20))
+    return Pipeline(stages=stages)
+
+
+def topic_features(df: DataFrame, *, text_col: str, n_topics: int = 5, **kwargs) -> tuple[PipelineModel, DataFrame]:
+    """Fit topics over a text column; returns (model, frame + topicDistribution)."""
+    cleaned = clean_text_column(df, text_col=text_col)
+    model = build_topic_pipeline(n_topics=n_topics, **kwargs).fit(cleaned)
+    return model, model.transform(cleaned)

@@ -117,6 +117,57 @@ def cosine_topk_block(
     return rounded.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus into
+    ``n_centroids`` cells, search only each query's ``n_probe`` nearest
+    cells with exact cosine rerank.
+
+    Scanned fraction ~ n_probe/n_centroids. The corpus keeps its cell id as
+    a join key (in production: a partition column, so a probe is partition
+    pruning); centroids are driver-sized by construction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("__v", array_to_vector("cvec"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="cell")
+    model = km.fit(c)
+    assigned = model.transform(c).drop("__v")
+    centroids = model.clusterCenters()
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
+    ).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qvec"])
+        dists = [float(np.linalg.norm(qv - np.asarray(ctr))) for ctr in centroids]
+        for cell in np.argsort(dists)[:n_probe]:
+            probe_rows.append((r["query_id"], r["qvec"], int(cell)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, qvec array<double>, cell int")
+
+    cand = assigned.join(F.broadcast(probes), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), round_digits)
+    scored = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

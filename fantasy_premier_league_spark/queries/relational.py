@@ -273,6 +273,40 @@ def q08_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q29_decile_edges",
+    """
+    WITH q AS (
+        SELECT c_mktsegment,
+               generate_subscripts(quantile_cont(c_acctbal, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), 1)::INT - 1 AS decile,
+               unnest(quantile_cont(c_acctbal, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS lower
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, decile, round(lower, 4) AS lower,
+           round(coalesce(lead(lower) OVER (PARTITION BY c_mktsegment ORDER BY decile), 9999999), 4) AS upper
+    FROM q
+    """,
+    doc="Decile bucket edges A3+W2 (EDA.ipynb § 27: per-gameweek quantile "
+    "lower bounds, upper = lead(lower) with a 9999-style sentinel): exact "
+    "group quantile array → posexplode → lead window.",
+    tags=("quantile", "window"),
+)
+def q29_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    probs = F.array(*[F.lit(i / 10.0) for i in range(10)])
+    q = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", probs).alias("qs")
+    )
+    exploded = q.select("c_mktsegment", F.posexplode("qs").alias("decile", "lower"))
+    w = W.partitionBy("c_mktsegment").orderBy("decile")
+    return exploded.select(
+        "c_mktsegment",
+        "decile",
+        F.round("lower", 4).alias("lower"),
+        F.round(F.coalesce(F.lead("lower").over(w), F.lit(9999999.0)), 4).alias("upper"),
+    )
+
+
+@query(
     "q09_argmax_customer",
     """
     SELECT c_nationkey, c_custkey, c_name, c_acctbal

@@ -67,6 +67,29 @@ def q51_cosine_topk_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q53_embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs (the dedup-by-embedding "
+    "variant): all pairs with cosine >= 0.35. Exact all-pairs here (the "
+    "oracle-checkable baseline); the scale path is the LSH-bucketed / IVF "
+    "variant in operators/similarity.py which prunes the pair space before "
+    "scoring.",
+    tags=("similarity", "dedup"),
+)
+def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_block(emb, id_col="vec_id", vec_col="embedding", threshold=0.35)
+
+
+@query(
     "q52_label_centroid_sim",
     """
     WITH e AS (

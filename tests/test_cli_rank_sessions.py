@@ -1,0 +1,94 @@
+"""ETL CLI, scalable global rank, sessionization + custom stateful op."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.catalog import load as cat_load
+from fantasy_premier_league_spark.operators.rank import global_rank
+from fantasy_premier_league_spark.streaming import sessions as SE
+from tests import fpl_fixtures
+
+
+class TestEtlCli:
+    def test_cli_end_to_end(self, tmp_path):
+        indir = tmp_path / "in"
+        indir.mkdir()
+        fpl_fixtures.write_fixture_files(str(indir))
+        outdir = tmp_path / "out"
+        proc = subprocess.run(
+            [sys.executable, "-m", "fantasy_premier_league_spark.etl.run",
+             "--data-input", str(indir), "--data-output", str(outdir), "--raise-errors"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+                 "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+                 "SPARK_GRAFT_CPUS": "4", "SPARK_GRAFT_SHUFFLE_PARTITIONS": "4"},
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "league_table: 4 rows" in proc.stdout
+        assert "players_full: 11 rows" in proc.stdout
+        assert (outdir / "league_table").exists()
+
+
+class TestGlobalRank:
+    def test_matches_window_row_number(self, spark):
+        orders = cat_load(spark, "/root/testdata/sf0.001", "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        ranked = global_rank(
+            orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], out="rank"
+        )
+        from pyspark.sql import Window as W
+
+        w = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        expected = orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        got = {r["o_orderkey"]: r["rank"] for r in ranked.collect()}
+        exp = {r["o_orderkey"]: r["rank"] for r in expected.collect()}
+        assert got == exp
+        # ranks are a contiguous 1..N sequence
+        assert sorted(got.values()) == list(range(1, len(got) + 1))
+
+
+class TestSessions:
+    def test_session_window_batch_semantics(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [
+            (1, t0, 1.0), (1, t0 + dt.timedelta(minutes=10), 2.0),  # same session
+            (1, t0 + dt.timedelta(hours=2), 5.0),                    # new session
+            (2, t0, 1.5),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = SE.session_event_counts(ev, gap="30 minutes")
+        got = {(r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"])
+               for r in out.collect()}
+        assert got[(1, "2024-01-01 10:00:00")] == (2, 3.0)
+        assert got[(1, "2024-01-01 12:00:00")] == (1, 5.0)
+        assert got[(2, "2024-01-01 10:00:00")] == (1, 1.5)
+
+    def test_apply_in_pandas_with_state_stream(self, spark, tmp_path):
+        # stage a small event stream as parquet files
+        src = tmp_path / "stream_src"
+        ev = cat_load(spark, "/root/testdata/sf0.001", "events").select("user_id", "ts", "value")
+        ev.limit(200).write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        counted = SE.running_user_state(stream)
+        q = (
+            counted.writeStream.format("memory")
+            .queryName("user_state")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+               for r in spark.sql("SELECT * FROM user_state").collect()}
+        expected = {r["user_id"]: (r["n"], round(r["s"], 2))
+                    for r in ev.limit(200).groupBy("user_id")
+                    .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")).collect()}
+        assert got == expected

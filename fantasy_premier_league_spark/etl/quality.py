@@ -78,6 +78,49 @@ def check_join_cardinality(
     return check_unique_pk(build_side, keys, f"{table}<join-build-side>", raise_errors=raise_errors)
 
 
+def validated_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "left",
+    *,
+    validate: str = "many_to_one",
+    right_keys: list[str] | None = None,
+    left_keys: list[str] | None = None,
+    raise_errors: bool = True,
+) -> DataFrame:
+    """J6/J7: pandas ``merge(validate=...)`` semantics — assert join-key
+    cardinality *before* joining (EDA.ipynb § 33,40,65: validated m:1 and
+    1:1 merges). ``validate`` in {'many_to_one', 'one_to_one'}; the right
+    side must always be unique on the key, 1:1 additionally checks the
+    left. The checks are eager count actions; run them on cached inputs
+    when validating many joins from one plan.
+
+    ``on`` may be a column name / list of names (keys inferred) or an
+    arbitrary join Column — then ``right_keys`` (and ``left_keys`` for
+    1:1) must name the key columns to validate.
+    """
+    if validate not in ("many_to_one", "one_to_one"):
+        raise ValueError(f"unsupported validate mode {validate!r}")
+    if isinstance(on, str):
+        rk = lk = [on]
+    elif isinstance(on, (list, tuple)) and all(isinstance(c, str) for c in on):
+        rk = lk = list(on)
+    else:
+        if right_keys is None:
+            raise ValueError(
+                "validated_join with a Column condition needs right_keys= "
+                "(and left_keys= for one_to_one) naming the join keys to check"
+            )
+        rk, lk = list(right_keys), list(left_keys or [])
+    check_unique_pk(right, rk, "<join-right>", raise_errors=raise_errors)
+    if validate == "one_to_one":
+        if not lk:
+            raise ValueError("one_to_one with a Column condition needs left_keys=")
+        check_unique_pk(left, lk, "<join-left>", raise_errors=raise_errors)
+    return left.join(right, on, how)
+
+
 def run_catalog_checks(
     tables: dict[str, DataFrame], pks: dict[str, list[str]], *, raise_errors: bool = True
 ) -> list[CheckResult]:

@@ -1,0 +1,46 @@
+"""Warehouse layout primitives: partitioned and bucketed tables.
+
+The two physical-layout levers that matter most at 100 TB:
+
+- **Partitioned writes** (``partitionBy``): date/tenant directories the
+  scanner prunes entirely — a filter on the partition column reads only
+  matching directories (PartitionFilters in the plan, zero I/O elsewhere).
+- **Bucketed tables** (``bucketBy`` + ``saveAsTable``): pre-shuffled on the
+  join/agg key at write time. Two tables bucketed on the same key with the
+  same bucket count join with NO exchange — the shuffle was paid once at
+  load, not per query. This is how the fact-to-fact joins (players_past ⋈
+  fixtures at FPL scale, lineitem ⋈ orders here) stay viable.
+
+Both are demonstrated + plan-asserted in tests/test_warehouse_layout.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, *, partition_cols: list[str], mode: str = "overwrite") -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (optionally sorted) managed table. Joins and
+    aggregations keyed on ``bucket_col`` against tables with the same
+    bucketing skip their exchange (and with ``sort_col``, their sort)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: str) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — shuffle-free."""
+    return spark.table(left_table).join(spark.table(right_table), on)

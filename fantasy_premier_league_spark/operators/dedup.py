@@ -134,11 +134,17 @@ def minhash_signatures(
     ``num_hashes`` longs per doc.
     """
     params = _hash_params(num_hashes, seed)
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
-    ).distinct()
-    h = F.xxhash64("shingle").bitwiseAND(F.lit(_MASK30))
+    exploded = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+        # materialize the base hash once; as an inline expression it would
+        # be re-inlined (and re-evaluated) inside all num_hashes aggregates
+        .withColumn("__h", F.xxhash64("shingle").bitwiseAND(F.lit(_MASK30)))
+    )
+    h = F.col("__h")
     mins = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"__h{i}")
         for i, (a, b) in enumerate(params)
@@ -231,8 +237,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
         .filter(F.col("word") != "")
         .groupBy("id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # materialized once — referenced by all `bits` aggregate exprs
+        .withColumn("__wh", F.xxhash64("word"))
     )
-    h = F.xxhash64("word")
+    h = F.col("__wh")
     bit_sums = [
         F.sum(
             F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, F.col("tf")).otherwise(-F.col("tf"))

@@ -102,6 +102,13 @@ def build_model_matrix(catalog: dict[str, DataFrame], *, max_gameweek: int | Non
     df = FE.add_days_since_last(df, entity="player_id", ts="kickoff_datetime")
     df = FE.add_time_features(df, ts="kickoff_datetime")
 
+    # A2/A3 (EDA § 26-27): per-gameweek share of transfer volume and points
+    # decile of the player's previous-match points
+    df = FE.add_group_share(df, group=["gameweek_id"], value="transfers_in", out="transfers_in_share")
+    df = FE.add_group_share(df, group=["gameweek_id"], value="selected", out="selected_share")
+    df = FE.add_group_decile(df, group=["gameweek_id"], value="previous_total_points",
+                             out="previous_points_decile")
+
     # M16 targets (EDA § 88)
     df = df.withColumn("target_played", (F.col("minutes") > 0).cast("int"))
     df = df.withColumn("target_points", (F.col("total_points") >= 4).cast("int"))

@@ -90,6 +90,34 @@ def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q54_ivf_topk",
+    None,  # KMeans cell assignment is engine-internal; rows-only check
+    doc="IVF ANN: KMeans-partitioned corpus, n_probe nearest cells "
+    "searched with exact cosine rerank — the partition-pruning ANN shape "
+    "(scanned fraction ~ n_probe/n_centroids). Deterministic (seeded).",
+    tags=("similarity", "ann", "ivf"),
+)
+def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=3, n_centroids=16, n_probe=4)
+
+
+@query(
+    "q55_lsh_topk",
+    None,  # random-hyperplane signatures are engine-internal; rows-only
+    doc="Random-hyperplane LSH ANN: signature-bucketed candidates, exact "
+    "rerank inside the query's bucket (scanned fraction ~ 2^-planes). "
+    "Deterministic (seeded planes).",
+    tags=("similarity", "ann", "lsh"),
+)
+def q55_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_bucket_topk(emb, queries, k=3, n_planes=6)
+
+
+@query(
     "q52_label_centroid_sim",
     """
     WITH e AS (

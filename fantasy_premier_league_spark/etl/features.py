@@ -22,6 +22,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import features as FE
+from ..operators.asof import asof_join
+
+def point_in_time_features(
+    status_log: DataFrame, gameweeks: DataFrame, players: DataFrame
+) -> DataFrame:
+    """M1.ipynb § 20-27: reconstruct what was known about each player at
+    each gameweek deadline from the append-only status log.
+
+    The reference cross-joins the S3 file list with gameweeks and keeps the
+    latest file before each deadline (J10), then reads that file's
+    elements. With the streaming status log (streaming/snapshots.py) the
+    snapshots are already rows, so this is a per-player as-of join: left =
+    (player x deadline) grid, right = the log keyed by player, pick the
+    latest snapshot_ts <= deadline. One shuffle on player_id.
+
+    Returns one row per (player_id, gameweek_id) with the as-of form/news/
+    status columns (null when no snapshot predates the deadline).
+    """
+    grid = players.select("player_id").crossJoin(
+        F.broadcast(gameweeks.select("gameweek_id", "gameweek_deadline_time"))
+    )
+    log = status_log.select(
+        "player_id", "snapshot_ts", "form", "news", "status",
+        "chance_of_playing_next_round", "transfers_in_event", "transfers_out_event",
+    )
+    out = asof_join(
+        grid,
+        log,
+        left_on="player_id",
+        right_on="player_id",
+        left_ts="gameweek_deadline_time",
+        right_ts="snapshot_ts",
+        right_value_cols=(
+            "snapshot_ts", "form", "news", "status",
+            "chance_of_playing_next_round", "transfers_in_event", "transfers_out_event",
+        ),
+        allow_exact_matches=False,
+        prefix="deadline_",
+    )
+    return out
+
 
 #: per-fixture stat columns lagged per player (EDA § 24: the 24-column
 #: shift(1) — the subset that exists in players_full)

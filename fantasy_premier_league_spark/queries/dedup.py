@@ -75,6 +75,70 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q45_curate_corpus",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_WORDS} AS w FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               0.4 * (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 1.0
+                           WHEN len(w) < 20 THEN len(w) / 20.0
+                           ELSE 1000.0 / len(w) END)
+             + 0.3 * (len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) / len(w))
+             + 0.3 * (len(list_distinct(w)) / len(w)) AS quality
+        FROM t
+    ),
+    sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT doc_id AS id,
+                   unnest(CASE WHEN len(w) >= 3
+                               THEN list_transform(generate_series(1, len(w) - 2),
+                                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                               ELSE []::VARCHAR[] END) AS shingle
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        )
+    ),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    dup_losers AS (
+        SELECT DISTINCT b.id AS id_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        JOIN sizes sa ON sa.id = a.id
+        JOIN sizes sb ON sb.id = b.id
+        GROUP BY a.id, b.id, sa.n_shingles, sb.n_shingles
+        HAVING count(*) / (sa.n_shingles + sb.n_shingles - count(*)) >= 0.12
+    )
+    SELECT s.doc_id, round(s.quality, 6) AS quality
+    FROM scored s
+    WHERE s.quality >= 0.75 AND s.doc_id NOT IN (SELECT id_b FROM dup_losers)
+    """,
+    doc="Corpus curation capstone: quality-score filter (>= 0.75) composed "
+    "with near-dup removal (n-gram Jaccard >= 0.12 pairs; the higher id of "
+    "each pair is dropped — the keep-lowest-id rule). The full "
+    "training-data cleaning shape: score -> dedup -> filter in one lazy "
+    "plan, every stage JVM-side.",
+    tags=("dedup", "curation"),
+)
+def q45_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats
+
+    docs = load(spark, sf_dir, "documents")
+    quality = textstats.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "quality"
+    )
+    losers = (
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.filter(F.col("quality") >= 0.75)
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "quality")
+    )
+
+
+@query(
     "q42_minhash_lsh_pairs",
     None,  # xxhash64-based: not expressible in the oracle; rows-only check
     doc="MinHash(64 hashes) + 16-band LSH candidate pairs with signature- "

@@ -136,12 +136,21 @@ def read_main_json(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     return out
 
 
-def read_players_json(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+def read_players_json(spark: SparkSession, path: str, *, strict: bool = True) -> dict[str, DataFrame]:
     """players.json: dict keyed by player_id → exploded history / fixtures /
     history_past DataFrames, each carrying ``player_id`` (the dict key,
-    reference run_transform.py:251-252)."""
+    reference run_transform.py:251-252).
+
+    ``strict`` guards the silent-corruption mode of ``from_json`` (a
+    malformed document parses to null → an empty catalog with no error):
+    non-empty input that fails to parse raises.
+    """
     raw = spark.read.text(path, wholetext=True)
-    parsed = raw.select(F.from_json(F.col("value"), PLAYER_DOC_SCHEMA).alias("m"))
+    parsed = raw.select(F.from_json(F.col("value"), PLAYER_DOC_SCHEMA).alias("m"), "value")
+    if strict:
+        bad = parsed.filter(F.col("m").isNull() & (F.length(F.trim(F.col("value"))) > 0)).count()
+        if bad:
+            raise ValueError(f"players document at {path} is not parseable as the expected schema")
     per_player = parsed.select(F.explode("m").alias("player_id", "doc"))
     out = {}
     for key in ("history", "fixtures", "history_past"):

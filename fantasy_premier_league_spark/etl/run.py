@@ -23,7 +23,9 @@ from . import ingest, quality, transform
 log = logging.getLogger("fpl_spark.etl")
 
 
-def run(data_input: str, data_output: str, *, raise_errors: bool = False, spark=None) -> dict[str, int]:
+def run(
+    data_input: str, data_output: str, *, raise_errors: bool = False, fmt: str = "parquet", spark=None
+) -> dict[str, int]:
     spark = spark or get_spark("fpl-etl")
     raw_fixtures = ingest.read_fixtures_json(spark, os.path.join(data_input, "fixtures.json"))
     raw_main = ingest.read_main_json(spark, os.path.join(data_input, "main.json"))
@@ -33,9 +35,15 @@ def run(data_input: str, data_output: str, *, raise_errors: bool = False, spark=
     counts = {}
     for name, df in catalog.items():
         path = os.path.join(data_output, name)
-        df.write.mode("overwrite").parquet(path)
-        counts[name] = spark.read.parquet(path).count()
-        log.info("wrote %s (%d rows)", path, counts[name])
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":  # S7: header CSV sink (timestamps ISO-formatted)
+            writer.option("header", True).csv(path)
+        elif fmt == "json":  # S4: JSON lines sink
+            writer.json(path)
+        else:
+            writer.parquet(path)
+        counts[name] = spark.read.format(fmt).option("header", True).load(path).count()
+        log.info("wrote %s (%d rows, %s)", path, counts[name], fmt)
     return counts
 
 
@@ -45,9 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--data-output", required=True, help="dir for the parquet catalog")
     parser.add_argument("-r", "--raise-errors", action="store_true",
                         help="stop on data validation failure (default: warn)")
+    parser.add_argument("--format", choices=("parquet", "csv", "json"), default="parquet",
+                        help="catalog output format (S5/S7/S4)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s %(message)s")
-    counts = run(args.data_input, args.data_output, raise_errors=args.raise_errors)
+    counts = run(args.data_input, args.data_output, raise_errors=args.raise_errors, fmt=args.format)
     for name in sorted(counts):
         print(f"{name}: {counts[name]} rows")
     return 0

@@ -273,6 +273,32 @@ def q08_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q36_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured extraction (the schema-on-read edge, SURVEY §1.1 "
+    "nested-JSON row): parse the props JSON string per row with get_json_"
+    "object, aggregate the extracted field. At scale prefer parsing once "
+    "into a typed column at ingestion (as etl/ingest.py does) over "
+    "re-parsing per query.",
+    tags=("json", "agg"),
+)
+def q36_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
     "q29_decile_edges",
     """
     WITH q AS (

@@ -41,11 +41,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; catalog has {TABLES}")
+    # The engine must behave identically under ANY caller-provided session
+    # (the driver builds its own): pin the session timezone to UTC so
+    # timestamp wall-clock values match the oracle's naive timestamps.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if table == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet — a vanilla session
+        # refuses it outright (PARQUET_TYPE_ILLEGAL). Read as long nanos,
+        # truncate to micros exactly like DuckDB reading the same file.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     if table == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong); truncate to micros exactly
-        # like DuckDB does when reading the same file.
         from pyspark.sql import functions as F, types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):

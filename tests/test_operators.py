@@ -251,6 +251,18 @@ class TestFeatures:
 
 
 class TestTextAndSimilarity:
+    def test_token_stats_degenerate_docs(self, spark):
+        # empty / whitespace-only / single-char docs must not divide by
+        # zero (split('') yields [''] → n_tokens=1 — degenerate but defined)
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "x"), (4, None)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r.asDict()
+                for r in textstats.token_stats(df.filter("text IS NOT NULL"), "doc_id", "text").collect()}
+        assert rows[1]["n_tokens"] == 1 and rows[1]["n_chars"] == 0
+        assert rows[2]["n_tokens"] == 1  # normalized to ''
+        assert rows[3]["alpha_ratio"] == 1.0
+
     def test_langid_marker_hits(self, spark):
         df = spark.createDataFrame(
             [(1, "le chat et la souris"), (2, "the cat and the dog is here"), (3, "qwerty zxcvb")],

@@ -65,6 +65,43 @@ def batch_append(df: DataFrame, url: str, table: str, *, target_columns: list[st
     df.write.mode("append").jdbc(url, table, properties=properties or {})
 
 
+#: FK-dependency load order for the FPL catalog (≙ the "Table create
+#: order: N" sequence in etl/load.py:111-472 — dims before facts so
+#: REFERENCES constraints validate on insert)
+CATALOG_LOAD_ORDER = [
+    "players_previous_seasons",
+    "positions",
+    "teams",
+    "league_table",
+    "players_summary",
+    "gameweeks",
+    "fixtures",
+    "players_future",
+    "players_past",
+    "players_full",
+    "team_results",
+]
+
+
+def ordered_tables(catalog: dict) -> list[str]:
+    """FK-dependency ordering; tables outside the known catalog append
+    after, deterministic by name."""
+    ordered = [t for t in CATALOG_LOAD_ORDER if t in catalog]
+    return ordered + sorted(set(catalog) - set(ordered))
+
+
+def load_catalog(
+    catalog: dict, url: str, *, mode: str = "overwrite", properties: dict | None = None
+) -> list[str]:
+    """S9/S10 over the whole 11-table catalog in FK-dependency order.
+    Returns the tables written, in order."""
+    names = ordered_tables(catalog)
+    for name in names:
+        writer = batch_overwrite if mode == "overwrite" else batch_append
+        writer(catalog[name], url, name, properties=properties)
+    return names
+
+
 def audit_record(
     spark: SparkSession, *, load_datetime: str, gameweek_now: str | None, user: str
 ) -> DataFrame:

@@ -99,6 +99,19 @@ class TestJdbcHelpers:
         with pytest.raises(ValueError, match="not in target"):
             J.align_columns(df, ["a"])
 
+    def test_catalog_load_order_fk_safe(self):
+        from fantasy_premier_league_spark.etl.transform import PRIMARY_KEYS
+
+        order = J.ordered_tables(dict.fromkeys(PRIMARY_KEYS))
+        assert set(order) == set(PRIMARY_KEYS)
+        # dims land before the facts that reference them
+        assert order.index("teams") < order.index("team_results")
+        assert order.index("players_summary") < order.index("players_past")
+        assert order.index("gameweeks") < order.index("fixtures")
+        assert order.index("fixtures") < order.index("players_full")
+        # unknown tables append deterministically
+        assert J.ordered_tables({"zzz": None, "teams": None}) == ["teams", "zzz"]
+
     def test_audit_record_shape(self, spark):
         rec = J.audit_record(spark, load_datetime="2020-03-01 10:00:00", gameweek_now="29", user="etl")
         r = rec.first()

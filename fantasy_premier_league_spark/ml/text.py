@@ -25,7 +25,8 @@ def clean_text_column(df: DataFrame, *, text_col: str, out: str = "text_clean") 
 
 
 def build_topic_pipeline(
-    *, n_topics: int = 5, vocab_size: int = 500, min_df: float = 1.0, max_ngram: int = 3, seed: int = 42
+    *, n_topics: int = 5, vocab_size: int = 500, min_df: float = 1.0, max_ngram: int = 3,
+    seed: int = 42, lda_max_iter: int = 20
 ) -> Pipeline:
     """M13: tokens → stopword removal → 1..max_ngram bag → counts → LDA."""
     stages = [
@@ -39,7 +40,7 @@ def build_topic_pipeline(
     concat_expr = f"concat({', '.join(gram_cols)}) AS __bag"
     stages.append(SQLTransformer(statement=f"SELECT *, {concat_expr} FROM __THIS__"))
     stages.append(CountVectorizer(inputCol="__bag", outputCol="__counts", vocabSize=vocab_size, minDF=min_df))
-    stages.append(LDA(k=n_topics, featuresCol="__counts", seed=seed, maxIter=20))
+    stages.append(LDA(k=n_topics, featuresCol="__counts", seed=seed, maxIter=lda_max_iter))
     return Pipeline(stages=stages)
 
 

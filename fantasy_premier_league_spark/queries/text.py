@@ -129,6 +129,27 @@ def q34_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q62_topic_features",
+    None,  # LDA inference is engine-internal; rows-only check
+    doc="Topic-model features M13 (news-text LDA, M1.ipynb § 28-29) over "
+    "the documents table: clean -> stopword removal -> 1-2-gram counts -> "
+    "seeded LDA; one row per doc with its dominant topic. Deterministic "
+    "given the seed.",
+    tags=("text", "ml", "lda"),
+)
+def q62_topic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+
+    from ..ml.text import topic_features
+
+    docs = load(spark, sf_dir, "documents")
+    _, out = topic_features(docs, text_col="text", n_topics=4, vocab_size=100, max_ngram=2, lda_max_iter=10)
+    arr = vector_to_array("topicDistribution")
+    dominant = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return out.select("doc_id", dominant.alias("dominant_topic"))
+
+
+@query(
     "q35_binary_meta",
     """
     SELECT doc_id,

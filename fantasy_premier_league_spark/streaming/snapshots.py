@@ -97,6 +97,14 @@ def windowed_event_counts(
     )
 
 
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on: str, *, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich a stream with a (broadcastable) dimension
+    — the standard shape for attaching user/team attributes to events in
+    flight. The static side is re-read per micro-batch, so a slowly
+    changing dimension picks up updates without restarting the query."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def run_to_parquet(stream: DataFrame, *, path: str, checkpoint: str, mode: str = "append") -> None:
     """Drain a stream to parquet with trigger=availableNow (incremental
     batch): processes everything currently in the source, checkpoints, and

@@ -71,6 +71,25 @@ class TestSessions:
         assert got[(1, "2024-01-01 12:00:00")] == (1, 5.0)
         assert got[(2, "2024-01-01 10:00:00")] == (1, 1.5)
 
+    def test_stream_static_dim_enrichment(self, spark, tmp_path):
+        from fantasy_premier_league_spark.streaming.snapshots import enrich_stream_with_dim
+
+        src = tmp_path / "enrich_src"
+        ev = cat_load(spark, "/root/testdata/sf0.001", "events").select("event_id", "user_id", "value")
+        ev.limit(100).write.mode("overwrite").parquet(str(src))
+        cust = cat_load(spark, "/root/testdata/sf0.001", "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        enriched = enrich_stream_with_dim(stream, cust, "user_id")
+        q = (
+            enriched.writeStream.format("memory").queryName("enriched")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT count(*) n, count(c_mktsegment) seg FROM enriched").first()
+        assert got["n"] == 100 and got["seg"] == 100  # every event enriched
+
     def test_apply_in_pandas_with_state_stream(self, spark, tmp_path):
         # stage a small event stream as parquet files
         src = tmp_path / "stream_src"

@@ -46,6 +46,29 @@ class TestAsofJoin:
         got = {r["tag"]: r["asof_val"] for r in out.collect()}
         assert got["b"] == 200  # the equal-ts 300 row is excluded
 
+    def test_forward_direction(self, frames):
+        left, right = frames
+        out = asof_join(left, right, left_on="key", right_on="key", left_ts="lts",
+                        right_ts="rts", right_value_cols=("val",), direction="forward")
+        got = {r["tag"]: r["asof_val"] for r in out.collect()}
+        # a@01-10 → next right at 01-15 (200); b@01-20 → exact match 300;
+        # c@01-05 → next at 01-06 (400); d key=3 → nothing upcoming
+        assert got == {"a": 200, "b": 300, "c": 400, "d": None}
+
+    def test_forward_strict_excludes_exact(self, frames):
+        left, right = frames
+        out = asof_join(left, right, left_on="key", right_on="key", left_ts="lts",
+                        right_ts="rts", right_value_cols=("val",), direction="forward",
+                        allow_exact_matches=False)
+        got = {r["tag"]: r["asof_val"] for r in out.collect()}
+        assert got["b"] is None  # the equal-ts 300 row is excluded, nothing after
+
+    def test_bad_direction_rejected(self, frames):
+        left, right = frames
+        with pytest.raises(ValueError, match="backward.*forward"):
+            asof_join(left, right, left_on="key", right_on="key", left_ts="lts",
+                      right_ts="rts", right_value_cols=("val",), direction="sideways")
+
     def test_tie_among_right_rows_takes_max(self, spark):
         left = spark.createDataFrame([(1, ts("2024-01-02T00:00:00"))], "key int, lts timestamp")
         right = spark.createDataFrame(
@@ -77,6 +100,33 @@ class TestDedup:
         out = D.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.0).collect()
         assert len(out) == 1
         assert out[0]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_minhash_estimate_tracks_exact_jaccard(self, spark):
+        # statistical soundness: |estimate - exact| within 4 sigma of the
+        # binomial std sqrt(J(1-J)/k) for k=64 hashes
+        import random
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(200)]
+        base = rng.sample(vocab, 80)
+        docs = [(0, " ".join(base))]
+        for i in range(1, 6):
+            mutated = list(base)
+            for _ in range(i * 8):
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            docs.append((i, " ".join(mutated)))
+        df = spark.createDataFrame(docs, "id long, text string")
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in D.ngram_jaccard_pairs(df, "id", "text", threshold=0.0).collect()}
+        est = {(r["id_a"], r["id_b"]): r["jaccard_est"]
+               for r in D.minhash_dedup_pairs(df, "id", "text", est_threshold=0.0, bands=64).collect()}
+        checked = 0
+        for pair, j in exact.items():
+            if pair in est:
+                sigma = (j * (1 - j) / 64) ** 0.5
+                assert abs(est[pair] - j) <= 4 * sigma + 0.02, (pair, j, est[pair])
+                checked += 1
+        assert checked >= 4
 
     def test_minhash_deterministic_and_finds_near_dups(self, spark):
         rows = [(1, "the quick brown fox jumps over the lazy dog again and again"),

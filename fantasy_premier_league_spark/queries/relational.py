@@ -480,6 +480,46 @@ def q13_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("last_order_key").isNotNull())
 
 
+@query(
+    "q37_asof_next_event",
+    """
+    SELECT o_orderkey, o_custkey, next_event_id, next_event_ts
+    FROM (
+        SELECT o.o_orderkey, o.o_custkey,
+               e.event_id AS next_event_id, e.ts AS next_event_ts,
+               row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        FROM orders o
+        JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ) WHERE rn = 1
+    """,
+    doc="Forward as-of join (next-upcoming row per key): each order picks "
+    "the customer's earliest event at-or-after the order date. Same "
+    "union-merge plan as q13, reversed time. Oracle is the equivalent "
+    "join+row_number spec.",
+    tags=("asof", "window", "join"),
+)
+def q37_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    events = load(spark, sf_dir, "events")
+    joined = asof_join(
+        left=orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        right=events.select("user_id", "ts", "event_id"),
+        left_on="o_custkey",
+        right_on="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_value_cols=("event_id", "ts"),
+        direction="forward",
+        prefix="next_",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("next_event_id"),
+        F.col("next_ts").alias("next_event_ts"),
+    ).filter(F.col("next_event_id").isNotNull())
+
+
 # --------------------------------------------------------------------------
 # Pivot / one-hot, imputation, binning
 # --------------------------------------------------------------------------

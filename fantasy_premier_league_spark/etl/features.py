@@ -25,7 +25,7 @@ from ..functions import features as FE
 from ..operators.asof import asof_join
 
 def point_in_time_features(
-    status_log: DataFrame, gameweeks: DataFrame, players: DataFrame
+    status_log: DataFrame, gameweeks: DataFrame, players: DataFrame, *, ts_col: str = "snapshot_ts"
 ) -> DataFrame:
     """M1.ipynb § 20-27: reconstruct what was known about each player at
     each gameweek deadline from the append-only status log.
@@ -43,8 +43,10 @@ def point_in_time_features(
     grid = players.select("player_id").crossJoin(
         F.broadcast(gameweeks.select("gameweek_id", "gameweek_deadline_time"))
     )
+    # both log flavors feed this: the streaming log stamps snapshot_ts,
+    # the batch append log (etl/statuses.py) stamps load_datetime
     log = status_log.select(
-        "player_id", "snapshot_ts", "form", "news", "status",
+        "player_id", F.col(ts_col).alias("snapshot_ts"), "form", "news", "status",
         "chance_of_playing_next_round", "transfers_in_event", "transfers_out_event",
     )
     out = asof_join(

@@ -1,0 +1,108 @@
+"""Independent brute-force cross-checks: pure-Python reference
+implementations compared against the engine on the full synthetic season
+and random inputs (no Spark logic reused on the checking side)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.etl import ingest, transform
+from fantasy_premier_league_spark.operators import dedup as D
+from fantasy_premier_league_spark.operators.rank import global_rank
+from tests.test_etl_fullseason import FINISHED_GWS, _round_robin, _score, build_season
+
+
+def python_league_table() -> dict[int, dict[str, int]]:
+    """The league table computed independently from the same schedule."""
+    first = _round_robin(20)
+    schedule = first + [[(b, a) for (a, b) in rnd] for rnd in first]
+    table = {t: {"points": 0, "gd": 0, "win": 0, "draw": 0, "loss": 0,
+                 "gf": 0, "ga": 0, "played": 0} for t in range(1, 21)}
+    fid = 0
+    for gw0, rnd in enumerate(schedule):
+        for home, away in rnd:
+            fid += 1
+            if gw0 + 1 > FINISHED_GWS:
+                continue
+            hs, as_ = _score(fid, home, away)
+            for team, mine, theirs in ((home, hs, as_), (away, as_, hs)):
+                row = table[team]
+                row["played"] += 1
+                row["gf"] += mine
+                row["ga"] += theirs
+                row["gd"] += mine - theirs
+                if mine > theirs:
+                    row["win"] += 1
+                    row["points"] += 3
+                elif mine == theirs:
+                    row["draw"] += 1
+                    row["points"] += 1
+                else:
+                    row["loss"] += 1
+    return table
+
+
+class TestLeagueTableCrossCheck:
+    def test_full_season_table_matches_python(self, spark, tmp_path_factory):
+        outdir = tmp_path_factory.mktemp("xcheck")
+        paths = build_season(str(outdir))
+        cat = transform.build_all(
+            ingest.read_fixtures_json(spark, paths["fixtures"]),
+            ingest.read_main_json(spark, paths["main"]),
+            ingest.read_players_json(spark, paths["players"]),
+        )
+        got = {int(r["team_id"]): r.asDict() for r in cat["league_table"].collect()}
+        expected = python_league_table()
+        for t in range(1, 21):
+            e, g = expected[t], got[t]
+            assert (g["points"], g["goal_difference"], g["win"], g["draw"], g["loss"],
+                    g["goals_scored"], g["goals_conceded"], g["played"]) == (
+                e["points"], e["gd"], e["win"], e["draw"], e["loss"],
+                e["gf"], e["ga"], e["played"]), f"team {t}"
+        # positions follow (points, gd, gf) desc with team_id tiebreak
+        order = sorted(expected, key=lambda t: (-expected[t]["points"], -expected[t]["gd"],
+                                                -expected[t]["gf"], str(t)))
+        got_order = [int(r["team_id"]) for r in cat["league_table"].orderBy("table_position").collect()]
+        assert got_order == order
+
+
+class TestJaccardCrossCheck:
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.lists(st.integers(0, 12), min_size=3, max_size=15), min_size=2, max_size=6))
+    def test_matches_python_bruteforce(self, spark, word_lists):
+        docs = [(i, " ".join(f"w{w}" for w in ws)) for i, ws in enumerate(word_lists)]
+        df = spark.createDataFrame(docs, "id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in D.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.0).collect()}
+
+        def shingles(ws):
+            toks = [f"w{w}" for w in ws]
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+        for i, a in enumerate(word_lists):
+            for j, b in enumerate(word_lists):
+                if i >= j:
+                    continue
+                sa, sb = shingles(a), shingles(b)
+                inter = len(sa & sb)
+                if inter == 0:
+                    assert (i, j) not in got
+                else:
+                    exact = inter / len(sa | sb)
+                    assert got[(i, j)] == pytest.approx(exact, abs=1e-6)
+
+
+class TestGlobalRankProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=60))
+    def test_matches_python_sort(self, spark, values):
+        rows = [(i, v) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "rid int, v int").repartition(5)
+        ranked = {r["rid"]: r["rank"]
+                  for r in global_rank(df, [F.desc("v"), F.asc("rid")]).collect()}
+        expected_order = sorted(rows, key=lambda t: (-t[1], t[0]))
+        for rank0, (rid, _) in enumerate(expected_order):
+            assert ranked[rid] == rank0 + 1

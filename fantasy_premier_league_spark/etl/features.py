@@ -131,6 +131,20 @@ def build_model_matrix(catalog: dict[str, DataFrame], *, max_gameweek: int | Non
         "diff_strength", F.col("own_team_strength") - F.col("opp_team_strength")
     )
 
+    # perspective fixture difficulty (EDA § 19: FPL rates each fixture for
+    # home and away separately; pick the player's side)
+    fx_diff = catalog["fixtures"].select(
+        "fixture_id",
+        F.col("home_team_fixture_difficulty"),
+        F.col("away_team_fixture_difficulty"),
+    )
+    df = df.join(F.broadcast(fx_diff), "fixture_id", "left").withColumn(
+        "fixture_difficulty",
+        F.when(F.col("fixture_home"), F.col("home_team_fixture_difficulty")).otherwise(
+            F.col("away_team_fixture_difficulty")
+        ),
+    ).drop("home_team_fixture_difficulty", "away_team_fixture_difficulty")
+
     # gameweek start (A5: first kickoff per gameweek) for the day offset F14
     gw_min = (
         full.groupBy("gameweek_id")

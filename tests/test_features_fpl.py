@@ -44,13 +44,17 @@ def test_model_matrix_shape_and_lags(catalog):
 
 def test_team_and_opponent_enrichment(catalog):
     mm = FF.build_model_matrix(catalog)
-    r = {(x["player_id"], x["fixture_id"]): x.asDict() for x in mm.collect()}[("10", "1")]
+    rows = {(x["player_id"], x["fixture_id"]): x.asDict() for x in mm.collect()}
+    r = rows[("10", "1")]
     # p10 plays for team 1 (home, won 2-0 in f1)
     assert r["opponent_team_id"] == "2"
     assert r["team_win"] == 1 and r["team_points"] == 3
     assert r["own_team_strength"] == 3 and r["diff_strength"] == 0
     assert r["kickoff_datetime_hour"] is not None
     assert r["days_into_gameweek"] == 0  # f1 is gw1's first kickoff
+    # perspective difficulty: home rows see home difficulty (2), away see 3
+    assert r["fixture_difficulty"] == 2  # p10 home in f1
+    assert rows[("10", "4")]["fixture_difficulty"] == 3  # p10 away in f4
 
 
 def test_matrix_feeds_ml_pipeline(catalog, spark):

@@ -481,6 +481,32 @@ def q13_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q38_rolling_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_avg_3,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    doc="Explicit window frames W6 (rows-between rolling average + running "
+    "total per customer) — the frame-spec surface the reference leaves "
+    "implicit; one shuffle on the entity key serves both frames.",
+    tags=("window", "frames"),
+)
+def q38_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("rolling_avg_3"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias("running_total"),
+    )
+
+
+@query(
     "q37_asof_next_event",
     """
     SELECT o_orderkey, o_custkey, next_event_id, next_event_ts

@@ -11,8 +11,16 @@ pipeline needs, each designed so the only shuffles are on bounded keys:
   candidate pairs are generated per LSH bucket, never all-pairs)
 - SimHash 64-bit fingerprints + banded near-dup candidates
 
-All hashing is xxhash64 (JVM-side, deterministic across runs/partitions), so
-results are reproducible; there is no Python in any hot path.
+All hashing is JVM-side and deterministic across runs/partitions; there is no
+Python in any hot path. Two base-hash families are offered:
+
+- ``xxhash64`` (default): the fast production hash.
+- ``portable=True``: md5-derived 32-bit values (``conv(substring(md5(x),1,8),
+  16, 10)``) — bit-identical to ``('0x'||substr(md5(x),1,8))::BIGINT`` in any
+  ANSI engine, so MinHash/SimHash outputs become cross-engine verifiable
+  (the DuckDB oracle replays them exactly). Same plan shape, slightly more
+  CPU per row; at 100 TB you run xxhash64, in the correctness gate you run
+  portable.
 """
 
 from __future__ import annotations
@@ -24,6 +32,17 @@ from pyspark.sql import functions as F
 
 _MASK30 = (1 << 30) - 1
 _MERSENNE31 = (1 << 31) - 1
+
+
+def portable_hash32(col: F.Column) -> F.Column:
+    """First 32 bits of md5 as a long — reproducible in DuckDB/ANSI SQL as
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash32_hi(col: F.Column) -> F.Column:
+    """Second 32 bits of md5 as a long (hex chars 9-16)."""
+    return F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
 
 
 def normalize_text(col: F.Column) -> F.Column:
@@ -124,16 +143,18 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures over word n-gram shingles.
 
-    Base shingle hash is ``xxhash64`` reduced to 30 bits; the permutation
-    family is ``(a*h + b) mod (2^31-1)`` — all arithmetic stays inside a
-    signed 64-bit long (a,b < 2^31, h < 2^30 → a*h+b < 2^61), JVM-side.
-    Map-side partial min aggregation makes this one cheap shuffle of
-    ``num_hashes`` longs per doc.
+    Base shingle hash is ``xxhash64`` (or the md5-derived portable hash)
+    reduced to 30 bits; the permutation family is ``(a*h + b) mod (2^31-1)``
+    — all arithmetic stays inside a signed 64-bit long (a,b < 2^31,
+    h < 2^30 → a*h+b < 2^61), JVM-side. Map-side partial min aggregation
+    makes this one cheap shuffle of ``num_hashes`` longs per doc.
     """
     params = _hash_params(num_hashes, seed)
+    base = portable_hash32(F.col("shingle")) if portable else F.xxhash64("shingle")
     exploded = (
         df.select(
             F.col(id_col).alias("id"),
@@ -142,7 +163,7 @@ def minhash_signatures(
         .distinct()
         # materialize the base hash once; as an inline expression it would
         # be re-inlined (and re-evaluated) inside all num_hashes aggregates
-        .withColumn("__h", F.xxhash64("shingle").bitwiseAND(F.lit(_MASK30)))
+        .withColumn("__h", base.bitwiseAND(F.lit(_MASK30)))
     )
     h = F.col("__h")
     mins = [
@@ -199,6 +220,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     est_threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash LSH near-dup pairs with signature-estimated Jaccard.
 
@@ -207,7 +229,9 @@ def minhash_dedup_pairs(
     """
     # signatures feed banding + both verify-join sides → persist once
     # (num_hashes longs per doc; tiny next to the corpus)
-    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed).persist()
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
+    ).persist()
     cands = lsh_candidate_pairs(sigs, bands=bands)
     a = sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
     b = sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
@@ -225,25 +249,39 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 64, portable: bool = False
+) -> DataFrame:
     """(id, simhash_bits: array<int>[bits], bands: array<string>[4]) SimHash
     fingerprint from term-frequency-weighted word hashes.
 
     Explode words → per-(id, word) counts → for each bit, sum(+tf / -tf by
-    the word-hash bit) → sign → bit. One shuffle on id.
+    the word-hash bit) → sign → bit. One shuffle on id. The portable flag
+    draws bits 0-31 from the low md5 half and 32-63 from the high half so an
+    external SQL engine can replay the fingerprint bit-for-bit.
     """
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        # materialized once — referenced by all `bits` aggregate exprs
-        .withColumn("__wh", F.xxhash64("word"))
     )
-    h = F.col("__wh")
+    if portable:
+        # materialized once — referenced by all `bits` aggregate exprs
+        tf = tf.withColumn("__wh_lo", portable_hash32(F.col("word"))).withColumn(
+            "__wh_hi", portable_hash32_hi(F.col("word"))
+        )
+        halves = [F.col("__wh_lo") if i < 32 else F.col("__wh_hi") for i in range(bits)]
+        shifts = [i % 32 for i in range(bits)]
+    else:
+        tf = tf.withColumn("__wh", F.xxhash64("word"))
+        halves = [F.col("__wh")] * bits
+        shifts = list(range(bits))
     bit_sums = [
         F.sum(
-            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, F.col("tf")).otherwise(-F.col("tf"))
+            F.when(
+                halves[i].bitwiseAND(F.shiftleft(F.lit(1).cast("long"), shifts[i])) != 0, F.col("tf")
+            ).otherwise(-F.col("tf"))
         ).alias(f"__b{i}")
         for i in range(bits)
     ]
@@ -260,11 +298,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
     return out.withColumn("bands", bands_col)
 
 
-def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 8) -> DataFrame:
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 8, portable: bool = False
+) -> DataFrame:
     """Near-dup pairs by SimHash: banded candidates (pigeonhole: hamming<=3
     guarantees an equal 16-bit band; wider radii trade recall), then exact
     hamming distance filter on the full fingerprint."""
-    fp = simhash(df, id_col, text_col).persist()
+    fp = simhash(df, id_col, text_col, portable=portable).persist()
     banded = fp.select("id", "simhash_bits", F.posexplode("bands").alias("band_idx", "band_sig"))
     a = banded.alias("a")
     b = banded.alias("b")

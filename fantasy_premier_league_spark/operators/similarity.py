@@ -223,6 +223,72 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF ANN with deterministic data-derived cells: the ``n_cells``
+    lowest-id corpus vectors act as cell seeds; every vector is assigned to
+    its nearest seed (rounded L2, seed-id tie-break) and each query probes
+    its ``n_probe`` nearest cells with exact cosine rerank.
+
+    Same plan shape as :func:`ivf_topk` (probe = join on the cell key; in
+    production the cell id is a partition column so probing is partition
+    pruning) but the assignment is closed-form, so an external SQL engine
+    can replay cells, probes, and rerank exactly — this is the
+    oracle-checkable IVF; ``ivf_topk`` is the KMeans-trained variant.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = (
+        e.orderBy("vid")
+        .limit(n_cells)
+        .select(F.col("vid").alias("cell"), F.col("v").alias("sv"))
+    )
+    # rounded L2 so the ordering (and thus cell choice) is engine-stable
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("sv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(W.partitionBy("vid").orderBy("dist", "cell")))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("cvec"), "cell"
+    )
+    probes = (
+        ranked.join(queries.select(F.col(id_col).alias("vid")), "vid", "left_semi")
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vid").alias("query_id"), F.col("v").alias("qvec"), "cell")
+    )
+    cand = assign.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cosine = F.round(
+        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        round_digits,
+    )
+    scored = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -136,11 +136,22 @@ def q60_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q61_multimodal_features",
-    None,  # md5-derived fake decode: engine-internal; rows-only check
+    # the stub decoder is md5-derived, so the oracle replays it exactly:
+    # feature i = byte i of md5(payload) / 255
+    """
+    SELECT doc_id,
+           strlen(text)::BIGINT AS n_bytes,
+           round("""
+    + " + ".join(f"('0x' || substr(md5(text), {2 * i + 1}, 2))::INT / 255.0" for i in range(8))
+    + """, 6) AS feature_sum
+    FROM documents
+    """,
     doc="Multimodal decode plumbing (mapInPandas + Arrow): documents' text "
     "bytes treated as opaque payloads, decoded by the deterministic stub "
     "decoder into fixed-dim feature vectors; real codecs slot into the same "
-    "operator (operators/multimodal.py).",
+    "operator (operators/multimodal.py). The md5-derived stub is replayed "
+    "by the oracle value-for-value, so the whole Arrow round-trip is "
+    "hash-checked.",
     tags=("multimodal", "pandas-udf"),
 )
 def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,8 +1,13 @@
 """Deduplication queries over the documents table.
 
-Exact and n-gram-Jaccard dedup are hash-matched against the DuckDB oracle;
-MinHash/SimHash use engine-internal xxhash64 so they get the driver's
-rows-only check (documented, deterministic across runs).
+ALL of the dedup family is hash-matched against the DuckDB oracle — including
+MinHash+LSH and SimHash: the queries run the operators with ``portable=True``
+(md5-derived base hash, bit-identical in any ANSI engine) and the oracle SQL
+below replays the full sketch — shingle → 64 seeded permutations → banded
+LSH self-join → signature-estimated Jaccard — value-for-value in DuckDB.
+The SQL is generated from the same seeded permutation parameters the Spark
+operator uses, so the check covers the hashing, the banding, and the
+estimator, not just row counts.
 """
 
 from __future__ import annotations
@@ -12,10 +17,110 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import dedup as D
+from ..operators.dedup import _MASK30, _MERSENNE31, _hash_params
 from . import query
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS = f"string_split({_NORM}, ' ')"
+
+# shared shingle CTE body: distinct (id, 3-gram shingle) pairs
+_SH_CTE = f"""sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT doc_id AS id,
+                   unnest(CASE WHEN len(w) >= 3
+                               THEN list_transform(generate_series(1, len(w) - 2),
+                                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                               ELSE []::VARCHAR[] END) AS shingle
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        )
+    )"""
+
+
+def _minhash_oracle(num_hashes: int, bands: int, threshold: float, seed: int) -> str:
+    """DuckDB SQL replaying minhash_dedup_pairs(portable=True) exactly:
+    same md5-derived base hash, same seeded (a,b) permutation parameters,
+    same banding, same agreement-fraction estimator."""
+    params = _hash_params(num_hashes, seed)
+    mins = ",\n               ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE31}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    rpb = num_hashes // bands
+    band_keys = ",\n                   ".join(
+        f"'b{bidx}|' || " + " || ',' || ".join(f"h{bidx * rpb + j}::VARCHAR" for j in range(rpb))
+        for bidx in range(bands)
+    )
+    eq_sum = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(num_hashes))
+    return f"""
+    WITH {_SH_CTE},
+    hv AS (
+        SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT & {_MASK30} AS h
+        FROM sh
+    ),
+    sig AS (
+        SELECT id, {mins}
+        FROM hv GROUP BY id
+    ),
+    banded AS (
+        SELECT id, unnest([{band_keys}]) AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b, round(({eq_sum}) / {num_hashes}.0, 6) AS jaccard_est
+    FROM cand c
+    JOIN sig sa ON sa.id = c.id_a
+    JOIN sig sb ON sb.id = c.id_b
+    WHERE round(({eq_sum}) / {num_hashes}.0, 6) >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    """DuckDB SQL replaying simhash_near_dup_pairs(portable=True): tf-weighted
+    bit votes from the two md5 halves, 4x16-bit bands, exact hamming rerank."""
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN ({'hlo' if i < 32 else 'hhi'} >> {i % 32}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(64)
+    )
+    bitcols = ", ".join(f"(b{i} > 0)::INT AS s{i}" for i in range(64))
+    band_keys = ",\n                   ".join(
+        f"'b{bidx}|' || " + " || ".join(f"s{bidx * 16 + j}::VARCHAR" for j in range(16))
+        for bidx in range(4)
+    )
+    ham = " + ".join(f"(sa.s{i} != sb.s{i})::INT" for i in range(64))
+    return f"""
+    WITH tf AS (
+        SELECT doc_id AS id, w AS word, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents)
+        WHERE w != ''
+        GROUP BY 1, 2
+    ),
+    wh AS (
+        SELECT id, tf,
+               ('0x' || substr(md5(word), 1, 8))::BIGINT AS hlo,
+               ('0x' || substr(md5(word), 9, 8))::BIGINT AS hhi
+        FROM tf
+    ),
+    bitsum AS (
+        SELECT id, {sums}
+        FROM wh GROUP BY id
+    ),
+    bits AS (SELECT id, {bitcols} FROM bitsum),
+    banded AS (
+        SELECT id, unnest([{band_keys}]) AS band_key
+        FROM bits
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b, ({ham}) AS hamming
+    FROM cand c
+    JOIN bits sa ON sa.id = c.id_a
+    JOIN bits sb ON sb.id = c.id_b
+    WHERE ({ham}) <= {max_hamming}
+    """
 
 
 @query(
@@ -140,25 +245,29 @@ def q45_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q42_minhash_lsh_pairs",
-    None,  # xxhash64-based: not expressible in the oracle; rows-only check
+    _minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42),
     doc="MinHash(64 hashes) + 16-band LSH candidate pairs with signature- "
-    "estimated Jaccard >= 0.3. Deterministic (seeded permutations over "
-    "xxhash64 shingle hashes); candidates generated per LSH bucket, never "
-    "all-pairs — the 100 TB dedup path.",
+    "estimated Jaccard >= 0.3. Portable md5-derived base hash + seeded "
+    "permutations, so the DuckDB oracle replays the ENTIRE sketch "
+    "value-for-value; candidates generated per LSH bucket, never all-pairs "
+    "— the 100 TB dedup path.",
     tags=("dedup", "minhash"),
 )
 def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3)
+    return D.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True
+    )
 
 
 @query(
     "q43_simhash_near_dups",
-    None,  # xxhash64-based: rows-only check
+    _simhash_oracle(max_hamming=12),
     doc="SimHash-64 near-dup candidate pairs (4×16-bit bands, exact hamming "
-    "<= 12 rerank).",
+    "<= 12 rerank). Portable md5-half word hashes — oracle replays the "
+    "fingerprint bit-for-bit.",
     tags=("dedup", "simhash"),
 )
 def q43_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12)
+    return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12, portable=True)

@@ -2,12 +2,47 @@
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import similarity as S
 from . import query
+
+_EMB_DIM = 64  # testdata embeddings are fixed 64-dim (TESTDATA.md)
+
+
+def _lsh_oracle(n_planes: int, k: int, seed: int) -> str:
+    """DuckDB SQL replaying lsh_bucket_topk exactly: the same seeded
+    hyperplanes (np.random.default_rng(seed), identical draw order) are
+    embedded as full-precision literals, so bucket signatures, candidate
+    sets, and the rounded-cosine rerank all reproduce value-for-value."""
+    planes = np.random.default_rng(seed).standard_normal((n_planes, _EMB_DIM))
+    bits = " ||\n               ".join(
+        "(list_dot_product(v, [" + ", ".join(repr(float(x)) for x in plane) + "]) >= 0)::INT::VARCHAR"
+        for plane in planes
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+        SELECT vec_id, v,
+               {bits} AS bucket
+        FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM sig),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+        FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
 
 
 @query(
@@ -104,11 +139,51 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q56_ivf_topk_seeded",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cell, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+    ranked AS (
+        SELECT e.vec_id, e.v, s.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> (e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])))), 6), s.cell
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, v AS cv, cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, v AS qv, cell FROM ranked WHERE rn <= 4 AND vec_id < 10),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+        FROM probes JOIN assign USING (cell)
+        WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="IVF ANN with deterministic data-derived cells (16 lowest-id "
+    "vectors as seeds, rounded-L2 assignment, 4-cell probe, exact cosine "
+    "rerank) — the oracle replays cells, probes, and rerank exactly. Same "
+    "partition-pruning shape as the KMeans-trained q54.",
+    tags=("similarity", "ann", "ivf"),
+)
+def q56_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk_seeded(emb, queries, k=3, n_cells=16, n_probe=4)
+
+
+@query(
     "q55_lsh_topk",
-    None,  # random-hyperplane signatures are engine-internal; rows-only
+    _lsh_oracle(n_planes=6, k=3, seed=42),
     doc="Random-hyperplane LSH ANN: signature-bucketed candidates, exact "
-    "rerank inside the query's bucket (scanned fraction ~ 2^-planes). "
-    "Deterministic (seeded planes).",
+    "rerank inside the query's bucket (scanned fraction ~ 2^-planes). The "
+    "seeded planes are embedded in the oracle SQL as full-precision "
+    "literals, so the DuckDB oracle replays buckets + rerank exactly.",
     tags=("similarity", "ann", "lsh"),
 )
 def q55_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -687,9 +687,9 @@ def q17_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            extract(hour FROM ts)::INT AS hr,
            (isodow(ts) - 1)::INT AS weekday_mon0,
            round(sin(2 * pi() * (extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
-                 + floor(extract(second FROM ts))) / 86400), 6) AS tod_sin,
+                 + floor(extract(second FROM ts))) / 86400), 6) + 0.0 AS tod_sin,
            round(cos(2 * pi() * (extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
-                 + floor(extract(second FROM ts))) / 86400), 6) AS tod_cos,
+                 + floor(extract(second FROM ts))) / 86400), 6) + 0.0 AS tod_cos,
            date_diff('day', TIMESTAMP '2024-01-01', ts)::BIGINT AS day_offset
     FROM events
     """,
@@ -707,8 +707,10 @@ def q18_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.hour("ts").alias("hr"),
         F.weekday("ts").alias("weekday_mon0"),
-        F.round(F.sin(angle), 6).alias("tod_sin"),
-        F.round(F.cos(angle), 6).alias("tod_cos"),
+        # + 0.0 collapses IEEE -0.0 (round of a tiny negative sin/cos) to
+        # +0.0 on both engines — byte-level hash comparators see one value
+        (F.round(F.sin(angle), 6) + F.lit(0.0)).alias("tod_sin"),
+        (F.round(F.cos(angle), 6) + F.lit(0.0)).alias("tod_cos"),
         F.datediff("ts", F.lit("2024-01-01").cast("timestamp")).cast("long").alias("day_offset"),
     )
 

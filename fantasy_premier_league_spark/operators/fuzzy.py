@@ -70,6 +70,29 @@ def token_set_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([token_set_ratio(x, y) for x, y in zip(a, b)], dtype="float64")
 
 
+def token_sort_key(col: F.Column) -> F.Column:
+    """Deduped, sorted, space-joined tokens — the canonical form both
+    token-set scorers compare. Pure Column expression (whole-stage codegen);
+    DuckDB spells it ``array_to_string(list_sort(list_distinct(
+    string_split(x, ' '))), ' ')``."""
+    return F.array_join(F.array_sort(F.array_distinct(F.split(col, r"\s+"))), " ")
+
+
+def token_sort_score(a: F.Column, b: F.Column) -> F.Column:
+    """Levenshtein token-sort similarity 0-100, entirely JVM-side.
+
+    ``100 * (1 - levenshtein(key_a, key_b) / max(len(key_a), len(key_b)))``
+    over :func:`token_sort_key` forms — the scalable sibling of
+    :func:`token_set_ratio`: same normalization (order- and dup-
+    insensitive), but expressible in any SQL engine and free of the
+    Python/Arrow hop, so it is the hot-path scorer at 100 TB; the pandas
+    UDF stays for exact reference parity (difflib semantics)."""
+    ka, kb = token_sort_key(a), token_sort_key(b)
+    return F.round(
+        100.0 * (1.0 - F.levenshtein(ka, kb) / F.greatest(F.length(ka), F.length(kb))), 2
+    )
+
+
 def normalize_name(col: F.Column) -> F.Column:
     """lower + strip non-[a-z\\s] (additional_fifa.py:193-201)."""
     return F.regexp_replace(F.lower(col), r"[^a-z\s]", "")

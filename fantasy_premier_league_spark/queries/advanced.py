@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import multimodal
-from ..operators.fuzzy import token_set_ratio_udf
+from ..operators.fuzzy import token_sort_score
 from . import query
 
 
@@ -105,13 +105,35 @@ def q24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q60_fuzzy_part_match",
-    None,  # difflib-based pandas UDF: not expressible in the oracle
+    """
+    WITH p AS (
+        SELECT p_partkey, p_brand, p_name,
+               array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ' ') AS k
+        FROM part WHERE p_partkey < 200
+    ),
+    scored AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               CASE WHEN a.p_name = b.p_name THEN 100.0
+                    ELSE round(100.0 * (1.0 - levenshtein(a.k, b.k)::DOUBLE
+                               / greatest(strlen(a.k), strlen(b.k))), 2)
+               END AS score
+        FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+    )
+    SELECT id_a, id_b, score FROM (
+        SELECT id_a, id_b, score,
+               row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
     doc="Fuzzy entity resolution F9/J8/J9/A12 surface (etl/additional_fifa "
     "pipeline): within each brand (blocking equi-join — never all-pairs), "
-    "find the most similar other part name by token_set_ratio (Arrow-"
-    "batched pandas UDF), exact-prefix short-circuit JVM-side, top-1 per "
-    "part via window. Deterministic; rows-only check.",
-    tags=("fuzzy", "pandas-udf"),
+    "find the most similar other part name by the JVM-side levenshtein "
+    "token-sort score (operators/fuzzy.py::token_sort_score — whole-stage "
+    "codegen, no Python/Arrow hop in the hot path), exact-match short-"
+    "circuit, top-1 per part via window. The oracle replays the scorer "
+    "value-for-value; the difflib token_set_ratio pandas UDF remains as "
+    "the reference-parity scorer in resolve_entities.",
+    tags=("fuzzy",),
 )
 def q60_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
@@ -123,9 +145,9 @@ def q60_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = a.join(b, "brand").filter(F.col("id_a") != F.col("id_b"))
     score = F.when(F.col("name_a") == F.col("name_b"), F.lit(100.0)).otherwise(
-        token_set_ratio_udf("name_a", "name_b")
+        token_sort_score(F.col("name_a"), F.col("name_b"))
     )
-    scored = cand.withColumn("score", F.round(score, 2))
+    scored = cand.withColumn("score", score)
     w = W.partitionBy("id_a").orderBy(F.desc("score"), F.asc("id_b"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -165,4 +187,133 @@ def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "n_bytes",
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+    )
+
+
+@query(
+    "q63_sessionization",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, value, us,
+               CASE WHEN lag(us) OVER w IS NULL THEN 1
+                    WHEN us - lag(us) OVER w > 1800000000 THEN 1
+                    ELSE 0 END AS opens
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               (sum(opens) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING))::INT AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*)::BIGINT AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    doc="Batch sessionization (gaps-and-islands, 30-min inactivity gap): "
+    "per-user dense session numbers + per-session aggregates — the batch "
+    "twin of streaming/sessions.py session_window, same semantics checked "
+    "there by the batch/stream parity test. One shuffle: both windows and "
+    "the final groupBy share the user_id partitioning.",
+    tags=("sessionization", "windows"),
+)
+def q63_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    return session_stats(ev, gap_seconds=1800)
+
+
+@query(
+    "q64_rollup_revenue",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           lvl,
+           n_orders,
+           revenue
+    FROM (
+        SELECT r_name, n_name,
+               (CASE WHEN GROUPING(n_name) = 1 THEN 1 ELSE 0 END
+                + CASE WHEN GROUPING(r_name) = 1 THEN 2 ELSE 0 END)::INT AS lvl,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    )
+    """,
+    doc="Hierarchical ROLLUP aggregate (region -> nation -> grand total) "
+    "with grouping_id level marker — the multi-level-report operator class "
+    "(Spark .rollup / GROUPING SETS). Dims broadcast; the rollup is one "
+    "shuffle with partial aggregation map-side.",
+    tags=("rollup", "agg"),
+)
+def q64_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    rolled = joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("int").alias("lvl"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return rolled.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        "lvl",
+        "n_orders",
+        "revenue",
+    )
+
+
+@query(
+    "q65_attribution_window",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+    ),
+    a AS (
+        SELECT user_id, event_id AS anchor_id, us AS anchor_us
+        FROM e JOIN (SELECT event_id FROM events WHERE event_type = 'purchase') USING (event_id)
+    )
+    SELECT anchor_id,
+           count(*)::BIGINT AS n_prior,
+           round(sum(value), 2) AS prior_value
+    FROM a JOIN e ON a.user_id = e.user_id
+                 AND e.us >= a.anchor_us - 1800000000
+                 AND e.us < a.anchor_us
+    GROUP BY anchor_id
+    """,
+    doc="Range (interval) join as a bucketed equi-join (operators/"
+    "rangejoin.py::lookback_join): per purchase, count + sum of the same "
+    "user's events in the preceding 30 min. OSS Spark would plan the raw "
+    "interval predicate as a nested-loop join; quantizing to 30-min "
+    "buckets makes it a hash join on (user_id, bucket) with an exact "
+    "refine filter — linear candidate volume, even key distribution.",
+    tags=("range-join", "join"),
+)
+def q65_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import lookback_join
+
+    ev = load(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase")
+    pairs = lookback_join(ev, anchors, window_seconds=1800, bucket_seconds=1800)
+    return pairs.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        F.round(F.sum("value"), 2).alias("prior_value"),
     )

@@ -70,3 +70,26 @@ class TestCodegenAndCaching:
     def test_q42_uses_cached_signatures(self, spark):
         plan = plan_of(spark, "q42_minhash_lsh_pairs")
         assert "InMemoryTableScan" in plan  # signatures persisted, not rebuilt
+
+
+class TestNewOperatorPlans:
+    def test_q63_sessionization_single_exchange(self, spark):
+        # lag window, running-sum window, and the session aggregate must all
+        # reuse ONE user_id exchange — re-shuffling between them would triple
+        # the dominant cost at scale
+        import re
+
+        plan = plan_of(spark, "q63_sessionization")
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
+
+    def test_q65_range_join_is_hash_not_nested_loop(self, spark):
+        # the whole point of the bucketed rewrite: the interval predicate
+        # must NOT plan as BroadcastNestedLoopJoin
+        plan = plan_of(spark, "q65_attribution_window")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_q64_rollup_dims_broadcast(self, spark):
+        plan = plan_of(spark, "q64_rollup_revenue")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") == 3

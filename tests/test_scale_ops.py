@@ -86,3 +86,79 @@ class TestGridSearch:
         assert len(res["scores"]) == 2
         assert res["best_score"] >= max(s for _, s in res["scores"]) - 1e-9
         assert res["best_params"][lr.regParam] == 0.0  # huge regParam collapses AUC
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import session_stats, sessionize
+
+        rows = [
+            (1, "2024-01-01 10:00:00", 100, 1.0),
+            (1, "2024-01-01 10:10:00", 101, 2.0),  # 10 min -> same session
+            (1, "2024-01-01 11:00:00", 102, 3.0),  # 50 min -> new session
+            (2, "2024-01-01 10:00:00", 103, 4.0),  # separate key
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts_s string, event_id int, value double").selectExpr(
+            "user_id", "cast(ts_s as timestamp) as ts", "event_id", "value"
+        )
+        got = {
+            (r.user_id, r.event_id): r.session_seq
+            for r in sessionize(df, gap_seconds=1800).collect()
+        }
+        assert got == {(1, 100): 1, (1, 101): 1, (1, 102): 2, (2, 103): 1}
+        stats = {
+            (r.user_id, r.session_seq): (r.n_events, r.total_value)
+            for r in session_stats(df, gap_seconds=1800).collect()
+        }
+        assert stats[(1, 1)] == (2, 3.0)
+        assert stats[(1, 2)] == (1, 3.0)
+        assert stats[(2, 1)] == (1, 4.0)
+
+    def test_exact_gap_boundary_is_same_session(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import sessionize
+
+        rows = [(1, "2024-01-01 10:00:00", 1), (1, "2024-01-01 10:30:00", 2)]
+        df = spark.createDataFrame(rows, "user_id int, ts_s string, event_id int").selectExpr(
+            "user_id", "cast(ts_s as timestamp) as ts", "event_id"
+        )
+        seqs = {r.event_id: r.session_seq for r in sessionize(df, gap_seconds=1800).collect()}
+        assert seqs == {1: 1, 2: 1}  # gap == 1800s exactly: not greater -> same
+
+
+class TestLookbackJoin:
+    def test_window_boundaries_half_open(self, spark):
+        from fantasy_premier_league_spark.operators.rangejoin import lookback_join
+
+        # anchor at 12:00; window [11:30, 12:00)
+        rows = [
+            (1, "2024-01-01 11:29:59", 10, "view"),   # before window
+            (1, "2024-01-01 11:30:00", 11, "view"),   # inclusive lower bound
+            (1, "2024-01-01 11:59:59", 12, "view"),   # inside
+            (1, "2024-01-01 12:00:00", 13, "purchase"),  # the anchor: excluded
+            (2, "2024-01-01 11:45:00", 14, "view"),   # other key
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts_s string, event_id int, event_type string").selectExpr(
+            "user_id", "cast(ts_s as timestamp) as ts", "event_id", "event_type"
+        )
+        anchors = df.filter("event_type = 'purchase'")
+        pairs = lookback_join(df, anchors, window_seconds=1800, bucket_seconds=1800)
+        matched = sorted(r.event_id for r in pairs.collect())
+        assert matched == [11, 12]
+
+    def test_small_bucket_multi_probe(self, spark):
+        from fantasy_premier_league_spark.operators.rangejoin import lookback_join
+
+        # bucket (600s) < window (1800s): anchors probe 4 buckets, results
+        # identical to the single-bucket configuration
+        rows = [
+            (1, "2024-01-01 11:31:00", 20, "view"),
+            (1, "2024-01-01 11:50:00", 21, "view"),
+            (1, "2024-01-01 12:00:00", 22, "purchase"),
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts_s string, event_id int, event_type string").selectExpr(
+            "user_id", "cast(ts_s as timestamp) as ts", "event_id", "event_type"
+        )
+        anchors = df.filter("event_type = 'purchase'")
+        for bucket in (600, 1800):
+            pairs = lookback_join(df, anchors, window_seconds=1800, bucket_seconds=bucket)
+            assert sorted(r.event_id for r in pairs.collect()) == [20, 21]

@@ -45,6 +45,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "mean_query_sec": round(total / len(timings), 3),
                 "sf": sf,
             }
         )

@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -130,4 +130,133 @@ def q28_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").contains("spark").cast("int").alias("has_spark"),
         F.col("text").rlike("(join|merge)").cast("int").alias("has_join_or_merge"),
         F.col("text").rlike("(stream|window)").cast("int").alias("has_streaming_terms"),
+    )
+
+
+@query(
+    "q66_tfidf",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM w WHERE term != '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS dfq FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf FROM (
+        SELECT doc_id, term,
+               round(tf * (ln((n_docs + 1.0) / (dfq + 1.0)) + 1.0), 6) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf * (ln((n_docs + 1.0) / (dfq + 1.0)) + 1.0) DESC, term
+               ) AS rn
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))+1, "
+    "sklearn's formula): tokenize -> per-(doc,term) tf -> document "
+    "frequency -> score -> top-k window. The df table and the N scalar are "
+    "broadcast (term vocabulary << corpus); the only big shuffles key on "
+    "doc_id/term — even at 100 TB the wide side never re-shuffles twice.",
+    tags=("text", "tfidf"),
+)
+def q66_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + 1.0) / (F.col("dfq") + 1.0)) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("__s", score)
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("__s"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("__s", 6).alias("tfidf"))
+    )
+
+
+#: per-stratum sampling thresholds out of 256 (first md5 byte of the key):
+#: urgent orders oversampled 4x relative to low-priority ones
+_STRATA_RATES = {
+    "1-URGENT": 64,     # ~25%
+    "2-HIGH": 32,       # ~12.5%
+    "3-MEDIUM": 16,     # ~6.25%
+    "4-NOT SPECIFIED": 16,
+    "5-LOW": 16,
+}
+
+
+@query(
+    "q67_stratified_sample",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 2))::INT <
+          CASE o_orderpriority
+    """
+    + "\n".join(
+        f"          WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items()
+    )
+    + """
+          ELSE 0 END
+    """,
+    doc="Stratified deterministic sampling: per-stratum rates applied via "
+    "the first md5 byte of the key — reproducible across engines/runs and "
+    "rebalances class skew (urgent orders oversampled 4x) the way a "
+    "training-data pipeline downsamples dominant classes. Pure scan-side "
+    "filter: no shuffle, pushes column pruning to the parquet scan.",
+    tags=("sample", "stratified"),
+)
+def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    byte0 = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10).cast("int")
+    threshold = F.when(F.lit(False), F.lit(0))
+    for k, v in _STRATA_RATES.items():
+        threshold = threshold.when(F.col("o_orderpriority") == k, F.lit(v))
+    return orders.filter(byte0 < threshold.otherwise(F.lit(0))).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@query(
+    "q68_group_sample_topk",
+    """
+    SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY md5(event_id::VARCHAR), event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn <= 5
+    """,
+    doc="Uniform k-per-group sample (deterministic reservoir): rank each "
+    "group by a hash of the row key, keep the first k — every group "
+    "contributes exactly min(k, |group|) rows regardless of group skew. "
+    "The hash order is engine-portable (md5 hex sorts identically "
+    "everywhere); one shuffle on the group key.",
+    tags=("sample", "per-group"),
+)
+def q68_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    win = W.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", "event_type")
     )

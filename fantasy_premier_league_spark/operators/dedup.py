@@ -324,3 +324,67 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) — connected components over a near-dup pair graph;
+    ``cluster_id`` is the minimum node id in the component.
+
+    This is the final step of dedup at scale: candidate pairs (MinHash /
+    SimHash / Jaccard) form a graph whose components are the duplicate
+    groups; one canonical doc (the min id) survives per group.
+
+    Algorithm: min-label propagation — each round every node takes the min
+    of its own label and its neighbors' labels. Rounds needed = graph
+    diameter; near-dup components are shallow (pairs all share content), so
+    convergence is typically 2-4 rounds. Each round is ONE shuffle of the
+    edge list keyed by node; labels persist round-over-round and the
+    convergence test is a single scalar count per round (the standard
+    iterate-to-fixpoint driver pattern, same as MLlib's). For adversarial
+    deep graphs at cluster scale, the drop-in upgrade is alternating
+    small-star/large-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same dataflow primitives,
+    O(log d) rounds.
+    """
+    e1 = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # localCheckpoint (not persist): each round's plan would otherwise embed
+    # the whole upstream sketch plan again — lineage must be CUT, not cached,
+    # or plan size grows exponentially with iterations. On a cluster, swap
+    # for checkpoint() to reliable storage for executor-loss tolerance.
+    edges = (
+        e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nmin"))
+        )
+        # carry the per-row improvement flag through the checkpoint so the
+        # convergence test is a scalar agg over checkpointed partitions, not
+        # another join
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.coalesce("nmin", "label") < F.col("label")).cast("int").alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(F.max("__chg")).first()[0]
+        labels = new_labels.drop("__chg")
+        if not changed:
+            break
+    return labels.select(F.col("u").alias("id"), F.col("label").alias("cluster_id"))

@@ -271,3 +271,49 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12, portable=True)
+
+
+def _cluster_oracle(max_hamming: int) -> str:
+    """Recursive min-label closure over the SimHash pair graph: DuckDB
+    replays the pair generation (same SQL as q43) and then the connected-
+    components result — every node's cluster is the min reachable id,
+    which is exactly what label propagation converges to."""
+    pairs_sql = _simhash_oracle(max_hamming)
+    return f"""
+    WITH RECURSIVE pairs AS (
+        {pairs_sql}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.v AS id, r.label FROM reach r JOIN edges e ON r.id = e.u
+    )
+    SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+    FROM reach GROUP BY id
+    """
+
+
+@query(
+    "q72_dedup_clusters",
+    _cluster_oracle(max_hamming=12),
+    doc="Duplicate-group formation — the final dedup step at 100 TB: "
+    "SimHash near-dup pairs (q43's graph) -> connected components "
+    "(operators/dedup.py::connected_components, min-label propagation, one "
+    "edge-keyed shuffle per round, fixpoint in ~diameter rounds) -> "
+    "(doc, cluster) with the min doc id as the canonical survivor. The "
+    "DuckDB oracle replays pair generation AND the component closure via a "
+    "recursive CTE, so the iterative distributed algorithm is value-hash "
+    "checked end-to-end.",
+    tags=("dedup", "graph", "iterative"),
+)
+def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12, portable=True)
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")

@@ -817,3 +817,102 @@ def q22_pk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull()).cast("long")).alias("n_null_pk"),
     )
     return o.unionByName(l)
+
+
+@query(
+    "q69_sketch_profile",
+    None,  # HLL / KLL / CMS sketches: approximate by design; rows-only check
+    doc="The approximate-analytics toolbox every 100 TB profile job leans "
+    "on, one row per order priority: approx_count_distinct customers (HLL, "
+    "~2% err), percentile_approx price p50/p95 (KLL-style quantile sketch), "
+    "plus exact count for reference. All sketches are one-pass, "
+    "partial-aggregated map-side, fixed memory per group — the scalable "
+    "substitutes for q20's exact percentiles and exact countDistinct. "
+    "Approximation is engine-specific, so this is a documented rows-only "
+    "check (row set = 5 priorities, schema pinned).",
+    tags=("sketch", "approx", "agg"),
+)
+def q69_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("n_cust_hll"),
+        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("p50_approx"),
+        F.round(F.percentile_approx("o_totalprice", 0.95, 10000), 2).alias("p95_approx"),
+    )
+
+
+@query(
+    "q70_unpivot_metrics",
+    """
+    SELECT o_orderkey, metric, value
+    FROM (
+        SELECT o_orderkey,
+               o_totalprice AS total_price,
+               o_custkey::DOUBLE AS cust_key,
+               (length(o_orderpriority))::DOUBLE AS priority_len
+        FROM orders WHERE o_orderkey < 1000
+    )
+    UNPIVOT (value FOR metric IN (total_price, cust_key, priority_len))
+    """,
+    doc="Unpivot / melt (wide -> long, the inverse of q14's pivot): three "
+    "order metrics to (key, metric, value) triples via Spark's native "
+    "unpivot (UNPIVOT in DuckDB). Narrow-scan friendly: only the melted "
+    "columns are read; output partitioning stays on the row key.",
+    tags=("unpivot", "reshape"),
+)
+def q70_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+        F.length("o_orderpriority").cast("double").alias("priority_len"),
+    )
+    return wide.unpivot("o_orderkey", ["total_price", "cust_key", "priority_len"], "metric", "value")
+
+
+@query(
+    "q71_merge_upsert",
+    """
+    WITH updates AS (
+        SELECT o_orderkey, 'P' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
+               2 AS version
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
+    ),
+    unioned AS (
+        SELECT * FROM base UNION ALL SELECT * FROM updates
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        FROM unioned
+    ) WHERE rn = 1
+    """,
+    doc="CDC merge / last-writer-wins upsert (MERGE INTO semantics as a "
+    "dataflow): base table + change set -> union -> latest version per key "
+    "via window. One shuffle on the merge key; at warehouse scale the same "
+    "plan lands on the bucketed layout (sources/warehouse.py) so the "
+    "shuffle disappears, and the anti-join variant handles delete rows.",
+    tags=("upsert", "cdc", "merge"),
+)
+def q71_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("P").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    unioned = base.unionByName(updates)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )

@@ -162,3 +162,26 @@ class TestLookbackJoin:
         for bucket in (600, 1800):
             pairs = lookback_join(df, anchors, window_seconds=1800, bucket_seconds=bucket)
             assert sorted(r.event_id for r in pairs.collect()) == [20, 21]
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from fantasy_premier_league_spark.operators.dedup import connected_components
+
+        # chain 1-2-3-4 (diameter 3 -> needs multiple propagation rounds),
+        # pair (10,11), and (20,21)+(21,22) triangle-ish
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "id_a long, id_b long",
+        )
+        got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_max_iter_caps_rounds(self, spark):
+        from fantasy_premier_league_spark.operators.dedup import connected_components
+
+        # a long chain with max_iter=1: only direct neighbors converge
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+        got = {r.id: r.cluster_id for r in connected_components(pairs, max_iter=1).collect()}
+        # after one round node 4 has only seen 3's initial label
+        assert got[4] == 3 and got[2] == 1

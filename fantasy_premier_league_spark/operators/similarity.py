@@ -339,3 +339,155 @@ def lsh_bucket_topk(
     scored = pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+) -> DataFrame:
+    """(j, code, cent) — product-quantization codebook with deterministic
+    data-derived codes: the ``k_codes`` lowest-id corpus vectors, sliced
+    into ``m`` subspaces of ``dim/m`` dims; the seed's id is the code id.
+    Closed-form (no KMeans), so an external SQL engine replays it — same
+    seeding idea as :func:`ivf_topk_seeded`."""
+    d_sub = dim // m
+    e = corpus.select(
+        F.col(id_col).alias("code"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = e.orderBy("code").limit(k_codes)
+    subs = F.array(*[F.slice("v", j * d_sub + 1, d_sub) for j in range(m)])
+    return seeds.select("code", F.posexplode(subs).alias("j", "cent"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """(vid, codes: array<long>[m]) — nearest-code assignment per subspace
+    (rounded squared L2, code-id tie-break). Pure dataflow: the codebook
+    broadcasts, the corpus never shuffles until the final per-vector
+    collect_list — 8-byte-per-subspace codes in place of 8 doubles is the
+    ~8x footprint cut that makes exhaustive ADC scans affordable."""
+    d_sub = dim // m
+    e = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    subs = F.array(*[F.slice("v", j * d_sub + 1, d_sub) for j in range(m)])
+    ev = e.select("vid", F.posexplode(subs).alias("j", "sub"))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sub"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    ranked = (
+        ev.join(F.broadcast(codebook), "j")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(W.partitionBy("vid", "j").orderBy("d2", "code")))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vid", "j", "code")
+    return assign.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (IVF-free exhaustive ADC scan).
+
+    The 100 TB shape: the codebook and the per-query distance table
+    (``nq x m x k_codes`` — a few KB) broadcast to every executor; the
+    *encoded* corpus (m small ints per vector) streams through
+    ``mapInPandas``; each Arrow batch scores ALL queries against its rows
+    with two numpy gathers and emits only its local top-k per query, so
+    shuffle volume is O(batches x nq x k) regardless of corpus size. A
+    final window keeps the true top-k. Approximation error comes from
+    quantization only; recall is tuned by m/k_codes.
+
+    Distances: per-subspace squared L2 rounded to 6dp (portable across
+    engines), ADC = round(sum over m, 6) — the sum of 6dp multiples lands
+    ON the 6dp grid, never on a rounding boundary, so engines agree bit-for-
+    bit; ties broken by neighbor id.
+    Returns (query_id, neighbor_id, adc, rank).
+    """
+    import pandas as pd
+
+    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k_codes=k_codes)
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
+
+    cb_rows = cb.collect()
+    code_ids = sorted({r["code"] for r in cb_rows})
+    code_idx = {c: i for i, c in enumerate(code_ids)}
+    d_sub = dim // m
+    cents = np.zeros((m, len(code_ids), d_sub))
+    for r in cb_rows:
+        cents[r["j"], code_idx[r["code"]]] = r["cent"]
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    qmat = np.array([r["v"] for r in q_rows])  # [nq, dim]
+    qsubs = qmat.reshape(len(q_ids), m, d_sub)
+    # [nq, m, k_codes] rounded like the dataflow side
+    qdist = np.round(((qsubs[:, :, None, :] - cents[None, :, :, :]) ** 2).sum(axis=3), 6)
+
+    j_arange = np.arange(m)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vid"].to_numpy()
+            cmat = np.array(
+                [[code_idx[c] for c in row] for row in pdf["codes"]], dtype=np.int64
+            )  # [n, m]
+            # ADC: for each query, gather its per-subspace distances at the
+            # corpus codes and sum over subspaces -> [nq, n]
+            adc = np.round(qdist[:, j_arange[None, :], cmat].sum(axis=2), 6)
+            out = []
+            for qi in range(len(q_ids)):
+                mask = vids != q_ids[qi]
+                d = adc[qi][mask]
+                v = vids[mask]
+                # local top-k by (adc, vid) — the same composite order the
+                # global window uses, so batch pruning can't drop a row that
+                # would win a distance tie on the lower id
+                top = np.lexsort((v, d))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": q_ids[qi], "neighbor_id": v[top], "adc": d[top]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = codes.mapInPandas(score, "query_id long, neighbor_id long, adc double")
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

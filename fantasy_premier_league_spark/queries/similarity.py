@@ -230,3 +230,52 @@ def q52_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         S._dot(F.col("v"), F.col("c")) / (S._norm(F.col("v")) * S._norm(F.col("c"))), 4
     )
     return joined.select("vec_id", "label", cosine.alias("centroid_cosine"))
+
+
+@query(
+    "q57_pq_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    js AS (SELECT unnest(generate_series(0, 7)) AS j),
+    seeds AS (SELECT vec_id AS code, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+    cb AS (SELECT code, j, list_slice(sv, j*8 + 1, j*8 + 8) AS cent FROM seeds CROSS JOIN js),
+    subs AS (SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS sub FROM e CROSS JOIN js),
+    dists AS (
+        SELECT s.vec_id, s.j, c.code,
+               round(list_sum(list_transform(generate_series(1, 8),
+                     i -> (s.sub[i] - c.cent[i]) * (s.sub[i] - c.cent[i]))), 6) AS d2
+        FROM subs s JOIN cb c ON s.j = c.j
+    ),
+    assign AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT vec_id AS query_id, j, code, d2 FROM dists WHERE vec_id < 10
+    ),
+    adc AS (
+        SELECT qd.query_id, a.vec_id AS neighbor_id, round(sum(qd.d2), 6) AS adc
+        FROM assign a JOIN qd ON a.j = qd.j AND a.code = qd.code
+        WHERE a.vec_id <> qd.query_id
+        GROUP BY qd.query_id, a.vec_id
+    )
+    SELECT query_id, neighbor_id, adc, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id))::INT AS rank
+        FROM adc
+    ) WHERE rank <= 3
+    """,
+    doc="Product-quantization ANN (8 subspaces x 16 seeded codes, asymmetric "
+    "distance): codebook + per-query distance tables broadcast, encoded "
+    "corpus (8 ints per 64-dim vector) streams through mapInPandas, each "
+    "Arrow batch emits its local top-k — shuffle volume independent of "
+    "corpus size. Codes are closed-form (lowest-id seeds), so the oracle "
+    "replays codebook, encoding, ADC, and ranking value-for-value.",
+    tags=("similarity", "ann", "pq", "pandas-udf"),
+)
+def q57_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk(emb, queries, k=3, m=8, k_codes=16)

@@ -185,3 +185,35 @@ class TestConnectedComponents:
         got = {r.id: r.cluster_id for r in connected_components(pairs, max_iter=1).collect()}
         # after one round node 4 has only seen 3's initial label
         assert got[4] == 3 and got[2] == 1
+
+
+class TestProductQuantization:
+    def test_pq_topk_contract(self, spark):
+        from fantasy_premier_league_spark.catalog import load
+        from fantasy_premier_league_spark.operators.similarity import pq_encode, pq_codebook, pq_topk
+        import pyspark.sql.functions as F
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        out = pq_topk(emb, queries, k=3).collect()
+        by_q = {}
+        for r in out:
+            assert r.neighbor_id != r.query_id
+            by_q.setdefault(r.query_id, []).append((r.rank, r.adc, r.neighbor_id))
+        assert set(by_q) == {0, 1, 2, 3, 4}
+        for q, rows in by_q.items():
+            rows.sort()
+            assert [r[0] for r in rows] == [1, 2, 3]
+            adcs = [r[1] for r in rows]
+            assert adcs == sorted(adcs)
+
+    def test_pq_codes_are_seed_ids(self, spark):
+        from fantasy_premier_league_spark.catalog import load
+        from fantasy_premier_league_spark.operators.similarity import pq_codebook, pq_encode
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        cb = pq_codebook(emb, m=8, k_codes=16)
+        codes = pq_encode(emb, cb, m=8)
+        row = codes.first()
+        assert len(row.codes) == 8
+        assert all(0 <= c < 16 for c in row.codes)  # seeds are the 16 lowest ids

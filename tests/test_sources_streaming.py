@@ -174,3 +174,52 @@ class TestStreaming:
             .select(F.col("w.start").alias("window_start"), "event_type", "n")
         )
         assert sorted(map(tuple, stream_expr.collect())) == sorted(map(tuple, batch_equiv.collect()))
+
+
+class TestStreamStreamJoin:
+    def test_attribution_stream_matches_batch(self, spark, tmp_path):
+        """Stream-stream interval join (availableNow drain) == batch lookback_join."""
+        from fantasy_premier_league_spark.catalog import load as cat_load
+        from fantasy_premier_league_spark.operators.rangejoin import lookback_join
+        from fantasy_premier_league_spark.streaming.joins import attribution_join_stream
+
+        ev = cat_load(spark, "/root/testdata/sf0.001", "events")
+        src = str(tmp_path / "events_src")
+        ev.write.parquet(src)
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        anchors = stream.filter(F.col("event_type") == "purchase")
+        joined = attribution_join_stream(stream, anchors, window_seconds=1800)
+        # append-mode streaming agg needs the watermarked event-time column in
+        # the grouping so groups can close; anchor_ts is 1:1 with anchor_id
+        agg = joined.groupBy("anchor_id", "anchor_ts").agg(
+            F.count(F.lit(1)).alias("n_prior")
+        )
+
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        (
+            agg.writeStream.outputMode("append")  # append: watermark closes groups
+            .trigger(availableNow=True)
+            .format("memory")
+            .queryName("attribution_test")
+            .start()
+            .awaitTermination(120)
+        )
+        got = {
+            (r.anchor_id, r.n_prior)
+            for r in spark.sql("SELECT * FROM attribution_test").collect()
+        }
+
+        batch_anchors = ev.filter(F.col("event_type") == "purchase")
+        batch = (
+            lookback_join(ev, batch_anchors, window_seconds=1800, bucket_seconds=1800)
+            .groupBy("anchor_id")
+            .agg(F.count(F.lit(1)).alias("n_prior"))
+        )
+        want = {(r.anchor_id, r.n_prior) for r in batch.collect()}
+        # availableNow + watermark: groups past the final watermark emit; with
+        # a bounded drain the tail groups may be held back, so assert the
+        # emitted set is a subset and covers most anchors
+        assert got <= want
+        assert len(got) >= int(0.5 * len(want))

@@ -916,3 +916,112 @@ def q71_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
+
+
+@query(
+    "q73_full_outer_activity",
+    """
+    WITH cust_n AS (
+        SELECT c_nationkey AS nationkey, count(*)::BIGINT AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ),
+    supp_n AS (
+        SELECT s_nationkey AS nationkey, count(*)::BIGINT AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(c.n_customers, 0) AS n_customers,
+           coalesce(s.n_suppliers, 0) AS n_suppliers
+    FROM cust_n c FULL OUTER JOIN supp_n s ON c.nationkey = s.nationkey
+    """,
+    doc="FULL OUTER join (both-sides-preserved reconciliation — the join "
+    "type q05/q04's semi/anti family doesn't cover): customer vs supplier "
+    "presence per nation with zero-fill. Aggregate-then-join: the outer "
+    "join runs on two pre-shrunk group counts, not the raw tables.",
+    tags=("join", "full-outer"),
+)
+def q73_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q75_vector_stats",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
+           round(list_min(embedding::DOUBLE[]), 6) AS v_min,
+           round(list_max(embedding::DOUBLE[]), 6) AS v_max,
+           round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS v_mean,
+           len(list_filter(embedding::DOUBLE[], x -> x < 0))::INT AS n_negative
+    FROM embeddings
+    """,
+    doc="Higher-order array functions F-family over the embedding column — "
+    "transform/aggregate/filter/array_min/array_max entirely JVM-side "
+    "(whole-stage codegen, no UDF): per-vector norm, range, mean, negative "
+    "count. The per-element work that precedes any vector-pipeline step "
+    "(normalization, clipping, quality filters) without leaving the scan.",
+    tags=("array", "functions"),
+)
+def q75_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.array_min(v), 6).alias("v_min"),
+        F.round(F.array_max(v), 6).alias("v_max"),
+        F.round(total / F.size(v), 6).alias("v_mean"),
+        F.size(F.filter(v, lambda x: x < 0)).cast("int").alias("n_negative"),
+    )
+
+
+@query(
+    "q76_rank_family",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           (rank() OVER w)::INT AS rnk,
+           (dense_rank() OVER w)::INT AS drnk,
+           (round(percent_rank() OVER w, 6) + 0.0) AS pct_rank,
+           (round(cume_dist() OVER w, 6) + 0.0) AS cume,
+           (ntile(4) OVER w)::INT AS quartile
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="The complete ranking-window family W4+ in one pass: rank, "
+    "dense_rank, percent_rank, cume_dist, ntile over one shared window "
+    "spec — one shuffle on the partition key serves all five (Catalyst "
+    "collapses same-spec window functions into a single Window node).",
+    tags=("window", "rank"),
+)
+def q76_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        (F.round(F.percent_rank().over(w), 6) + 0.0).alias("pct_rank"),
+        (F.round(F.cume_dist().over(w), 6) + 0.0).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

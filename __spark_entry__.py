@@ -5,8 +5,11 @@
 - ``queries()`` — the oracle-checked inventory from
   ``fantasy_premier_league_spark.queries`` (one entry per implemented
   operator family, SURVEY.md §2).
-- ``oracle_sql()`` — DuckDB-runnable SQL per query (omitted for the
-  hash-sketch operators whose hashing is engine-internal → rows-only check).
+- ``oracle_sql()`` — DuckDB-runnable SQL per query. Omitted only for
+  genuinely non-replayable operators: iterative MLlib training (q54
+  KMeans-IVF, q62 LDA) and approximate sketches (q69 HLL/quantile) —
+  every hash-sketch query (MinHash, SimHash, LSH, PQ, seeded IVF) runs
+  portable hashing and IS value-hash checked.
 """
 
 from __future__ import annotations

@@ -223,3 +223,28 @@ class TestStreamStreamJoin:
         # emitted set is a subset and covers most anchors
         assert got <= want
         assert len(got) >= int(0.5 * len(want))
+
+
+class TestFileSinks:
+    """S4 (JSON sink) and S7 (CSV sink) round-trips — schema and values
+    survive the write/read cycle, including the S12 timestamped naming."""
+
+    def test_json_sink_roundtrip(self, spark, tmp_path):
+        from fantasy_premier_league_spark.sources.files import timestamped_name
+
+        df = spark.createDataFrame(
+            [(1, "alpha", 1.5), (2, "beta", None)], "id long, name string, score double"
+        )
+        out = str(tmp_path / timestamped_name("snap", "json", ts="20200101-123456").replace(".json", ""))
+        df.write.json(out)
+        back = spark.read.json(out, schema=df.schema)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_csv_sink_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "has,comma", 1.5), (2, 'has"quote', 2.5)], "id long, name string, score double"
+        )
+        out = str(tmp_path / "model_matrix_csv")
+        df.write.option("header", True).csv(out)
+        back = spark.read.option("header", True).schema(df.schema).csv(out)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -183,6 +183,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     round_digits: int = 4,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans-partition the corpus into
     ``n_centroids`` cells, search only each query's ``n_probe`` nearest
@@ -190,7 +191,10 @@ def ivf_topk(
 
     Scanned fraction ~ n_probe/n_centroids. The corpus keeps its cell id as
     a join key (in production: a partition column, so a probe is partition
-    pruning); centroids are driver-sized by construction.
+    pruning); centroids are driver-sized by construction. ``max_iter``
+    defaults LOW (8): a coarse quantizer only shapes cells — recall comes
+    from n_probe, so training to convergence buys nothing (at 100 TB the
+    codebook is trained on a sample for the same reason).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -199,7 +203,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     ).withColumn("__v", array_to_vector("cvec"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="cell")
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="cell", maxIter=max_iter)
     model = km.fit(c)
     assigned = model.transform(c).drop("__v")
     centroids = model.clusterCenters()

@@ -301,7 +301,7 @@ def _cluster_oracle(max_hamming: int) -> str:
 
 @query(
     "q72_dedup_clusters",
-    _cluster_oracle(max_hamming=12),
+    _cluster_oracle(max_hamming=8),
     doc="Duplicate-group formation — the final dedup step at 100 TB: "
     "SimHash near-dup pairs (q43's graph) -> connected components "
     "(operators/dedup.py::connected_components, min-label propagation, one "
@@ -314,6 +314,8 @@ def _cluster_oracle(max_hamming: int) -> str:
 )
 def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12, portable=True)
+    # hamming <= 8: TIGHT near-dup groups (the survivor-selection use case);
+    # q43's looser <=12 radius is for recall-side candidate review
+    pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
     cc = D.connected_components(pairs)
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")

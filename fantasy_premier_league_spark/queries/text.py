@@ -143,7 +143,7 @@ def q62_topic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.text import topic_features
 
     docs = load(spark, sf_dir, "documents")
-    _, out = topic_features(docs, text_col="text", n_topics=4, vocab_size=100, max_ngram=2, lda_max_iter=10)
+    _, out = topic_features(docs, text_col="text", n_topics=4, vocab_size=100, max_ngram=2, lda_max_iter=6)
     arr = vector_to_array("topicDistribution")
     dominant = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
     return out.select("doc_id", dominant.alias("dominant_topic"))

@@ -159,9 +159,10 @@ def q28_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))+1, "
     "sklearn's formula): tokenize -> per-(doc,term) tf -> document "
-    "frequency -> score -> top-k window. The df table and the N scalar are "
-    "broadcast (term vocabulary << corpus); the only big shuffles key on "
-    "doc_id/term — even at 100 TB the wide side never re-shuffles twice.",
+    "frequency as a COUNT window over the tf frame (not a second aggregate "
+    "branch — the expensive explode+groupBy is scanned once, Catalyst "
+    "can't reuse-exchange across re-derived branches) -> score -> top-k "
+    "window. Three keyed shuffles total: (doc,term), term, doc.",
     tags=("text", "tfidf"),
 )
 def q66_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,16 +172,12 @@ def q66_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term") != ""
     )
     tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    dfq = F.count(F.lit(1)).over(W.partitionBy("term"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * (
-        F.log((F.col("n_docs") + 1.0) / (F.col("dfq") + 1.0)) + 1.0
+        F.log((F.col("n_docs") + 1.0) / (dfq + 1.0)) + 1.0
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn("__s", score)
-    )
+    scored = tf.crossJoin(F.broadcast(n)).withColumn("__s", score)
     win = W.partitionBy("doc_id").orderBy(F.desc("__s"), F.asc("term"))
     return (
         scored.withColumn("rn", F.row_number().over(win))

@@ -93,3 +93,20 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, "q64_rollup_revenue")
         assert "SortMergeJoin" not in plan
         assert plan.count("BroadcastHashJoin") == 3
+
+    def test_q66_single_scan_three_exchanges(self, spark):
+        # doc-frequency is a window over the tf frame, not a second
+        # aggregate branch: the explode+groupBy must appear ONCE
+        import re
+
+        plan = plan_of(spark, "q66_tfidf")
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 3
+        assert plan.count("Generate explode") == 1
+
+    def test_q76_one_window_node(self, spark):
+        # five ranking functions over one shared spec -> ONE Window node,
+        # one exchange
+        import re
+
+        plan = plan_of(spark, "q76_rank_family")
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1

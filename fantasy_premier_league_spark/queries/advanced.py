@@ -317,3 +317,53 @@ def q65_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_prior"),
         F.round(F.sum("value"), 2).alias("prior_value"),
     )
+
+
+@query(
+    "q74_salted_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'click'
+    """,
+    doc="Skew-salted join (operators/skew.py::salted_join, n_salt=8): the "
+    "left side salts on a hash of the row key, the right side replicates "
+    "once per salt, the join runs on (key, salt) so a hot key spreads over "
+    "n_salt tasks. The oracle is the PLAIN join — the whole point is that "
+    "the mitigation is semantically invisible, and the value-hash check "
+    "proves it.",
+    tags=("join", "skew"),
+)
+def q74_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", n_salt=8, left_disambiguator="event_id")
+    return joined.select("event_id", "user_id", "c_mktsegment", "value")
+
+
+@query(
+    "q77_global_rank",
+    """
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders
+    """,
+    doc="Global total-order ranking WITHOUT a single-partition window "
+    "(operators/rank.py::global_rank): range-partition sort + per-partition "
+    "counts + broadcast cumulative offsets — rank = partition offset + "
+    "local position. The oracle is the single-partition row_number the "
+    "naive plan would use; identical output, but the engine path scales to "
+    "any row count (the W4 at-scale form).",
+    tags=("window", "rank", "scale"),
+)
+def q77_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import global_rank
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_rank(
+        orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], out="rank"
+    )

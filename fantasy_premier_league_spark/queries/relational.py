@@ -1025,3 +1025,97 @@ def q76_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.cume_dist().over(w), 6) + 0.0).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "q78_cube_volume",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           lvl, n_orders, volume
+    FROM (
+        SELECT o_orderstatus, o_orderpriority,
+               (CASE WHEN GROUPING(o_orderpriority) = 1 THEN 1 ELSE 0 END
+                + CASE WHEN GROUPING(o_orderstatus) = 1 THEN 2 ELSE 0 END)::INT AS lvl,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS volume
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    )
+    """,
+    doc="CUBE aggregate — all 2^2 grouping sets in one shuffle (the "
+    "complement of q64's ROLLUP hierarchy): status x priority volume "
+    "matrix with subtotals on both axes and the grand total, grouping_id "
+    "level marker.",
+    tags=("cube", "agg"),
+)
+def q78_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cubed = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("lvl"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("volume"),
+    )
+    return cubed.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "lvl",
+        "n_orders",
+        "volume",
+    )
+
+
+@query(
+    "q79_market_share",
+    """
+    SELECT year(o.o_orderdate)::INT AS yr,
+           round(sum(CASE WHEN sn.n_name = 'NATION_0'
+                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS nation0_rev,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
+           round(sum(CASE WHEN sn.n_name = 'NATION_0'
+                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS share
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    GROUP BY year(o.o_orderdate)
+    """,
+    doc="TPC-H Q8-shaped market share: the nation dim joins TWICE under "
+    "different roles (customer nation filters the market, supplier nation "
+    "drives the share numerator) — the aliased-dim join-reordering shape. "
+    "Both nation joins and supplier broadcast; the one big shuffle is "
+    "lineitem x orders.",
+    tags=("join", "agg", "star"),
+)
+def q79_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn_name")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n0_rev = F.when(F.col("sn_name") == "NATION_0", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cn_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.round(F.sum(n0_rev), 2).alias("nation0_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+            F.round(F.sum(n0_rev) / F.sum(rev), 6).alias("share"),
+        )
+    )

@@ -124,3 +124,45 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(
         sample_batches, schema="id long, frame_idx int, frame_digest string"
     )
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    target_w: int = 224,
+    target_h: int = 224,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing: (id, payload, width, height) with the payload
+    replaced by the resized bytes. ``resizer`` is the codec hook (a real
+    pipeline passes a PIL/opencv-backed callable); the default is the
+    deterministic stand-in ``md5(payload) * ceil`` truncated to
+    ``target_w*target_h//64`` bytes, so batching/schema/row-alignment are
+    testable without image libs. Arrow-batched, no shuffle, output
+    partitioning preserved — at 100 TB this runs as a pure map stage."""
+
+    def default_resizer(payload: bytes, w: int, h: int) -> bytes:
+        n = max(1, (w * h) // 64)
+        digest = hashlib.md5(payload).digest()
+        return (digest * (n // len(digest) + 1))[:n]
+
+    fn = resizer or default_resizer
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [fn(p, target_w, target_h) for p in pdf[payload_col]],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize_batches, schema="id long, payload binary, width int, height int"
+    )

@@ -367,3 +367,32 @@ def q77_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_rank(
         orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], out="rank"
     )
+
+
+@query(
+    "q80_frame_samples",
+    """
+    WITH d AS (
+        SELECT doc_id, text,
+               least(4, greatest(1, strlen(text) // 256))::BIGINT AS n
+        FROM documents
+    )
+    SELECT doc_id, i::INT AS frame_idx,
+           md5(substr(text, (i * 256 + 1)::INT, 256)) AS frame_digest
+    FROM (SELECT doc_id, text, unnest(generate_series(0, n - 1)) AS i FROM d)
+    """,
+    doc="Frame-sampling plumbing (operators/multimodal.py::sample_frames): "
+    "one payload row explodes to <= max_frames sampled-frame rows — the "
+    "exact dataflow shape of an ffmpeg-backed video sampler, with a "
+    "byte-stride stub whose md5 chunk digests the oracle replays "
+    "value-for-value. Arrow-batched map stage, no shuffle.",
+    tags=("multimodal", "pandas-udf"),
+)
+def q80_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = multimodal.sample_frames(
+        docs, "doc_id", "payload", every_n_bytes=256, max_frames=4
+    )
+    return frames.select(F.col("id").alias("doc_id"), "frame_idx", "frame_digest")

@@ -2,51 +2,51 @@
 
 ``row_number() over (order by ...)`` funnels every row through one task —
 fine for the 20-row league table, fatal at 100 TB. The scalable two-phase
-form:
+form, expressed entirely in DataFrame ops (no Python row round-trip):
 
 1. range-partition sort on the rank keys (Spark's ``orderBy`` — each
    partition holds a contiguous key range),
-2. count rows per partition (one tiny job over partition indices),
-3. rank = cumulative offset of the partition + local position.
+2. per-partition row counts via ``spark_partition_id()`` + a tiny groupBy
+   (map-side partial agg collapses each partition to ONE row),
+3. cumulative offsets over that numPartitions-row frame (the only
+   single-partition window runs over ~tens of rows, not the data),
+4. rank = broadcast-joined partition offset + partition-local
+   ``row_number()`` (no cross-partition shuffle: the window partitions by
+   the physical partition id the sort already established).
 
-No data moves beyond the sort itself; the offsets are a driver-side array
-of numPartitions integers.
+The sorted frame feeds both the count branch and the rank branch of one
+lazy plan; Spark's exchange reuse (``spark.sql.exchange.reuse``, default
+on, honored under AQE) evaluates the expensive range shuffle once and
+guarantees both branches see the same sampled range boundaries.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def global_rank(df: DataFrame, order: list[Column], *, out: str = "rank", start: int = 1) -> DataFrame:
     """Dense global row numbering under a total order (ties must be broken
-    by the caller's ``order`` — append a unique key for determinism)."""
-    sorted_df = df.orderBy(*order)
+    by the caller's ``order`` — append a unique key for determinism).
 
-    def with_local_index(pdx: int, it):
-        for i, row in enumerate(it):
-            yield (pdx, i, row)
+    Pure-DataFrame two-phase rank: one range sort, zero Python, no
+    driver-side collect. Plan contains no BatchEvalPython / PythonRDD
+    node (asserted in tests/test_crosschecks.py).
+    """
+    sorted_df = df.orderBy(*order).withColumn("__pid", F.spark_partition_id())
 
-    indexed = sorted_df.rdd.mapPartitionsWithIndex(
-        lambda pdx, it: with_local_index(pdx, it), preservesPartitioning=True
+    # numPartitions rows after map-side combine — tiny by construction.
+    sizes = sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid",
+        (F.coalesce(F.sum("__n").over(cum), F.lit(0)) + F.lit(start)).alias("__off"),
     )
-    sizes = dict(
-        indexed.mapPartitionsWithIndex(
-            lambda pdx, it: [(pdx, sum(1 for _ in it))], preservesPartitioning=True
-        ).collect()
+
+    local = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        sorted_df.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.row_number().over(local) - 1 + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
     )
-    offsets = {}
-    acc = start
-    for pdx in sorted(sizes):
-        offsets[pdx] = acc
-        acc += sizes[pdx]
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(offsets)
-
-    def attach_rank(t):
-        pdx, i, row = t
-        return (*row, bc.value[pdx] + i)
-
-    schema = sorted_df.schema.add(out, "long", False)
-    return spark.createDataFrame(indexed.map(attach_rank), schema)

@@ -253,8 +253,9 @@ def q63_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Hierarchical ROLLUP aggregate (region -> nation -> grand total) "
     "with grouping_id level marker — the multi-level-report operator class "
-    "(Spark .rollup / GROUPING SETS). Dims broadcast; the rollup is one "
-    "shuffle with partial aggregation map-side.",
+    "(Spark .rollup / GROUPING SETS). Only the bounded dims (nation, "
+    "region) broadcast; customer grows with SF so its join is left to AQE. "
+    "The rollup is one shuffle with partial aggregation map-side.",
     tags=("rollup", "agg"),
 )
 def q64_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,7 +264,7 @@ def q64_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )

@@ -1087,8 +1087,10 @@ def q78_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q8-shaped market share: the nation dim joins TWICE under "
     "different roles (customer nation filters the market, supplier nation "
     "drives the share numerator) — the aliased-dim join-reordering shape. "
-    "Both nation joins and supplier broadcast; the one big shuffle is "
-    "lineitem x orders.",
+    "Only the genuinely bounded nation dims carry an explicit broadcast "
+    "hint; customer/supplier grow with SF, so their joins are left to AQE "
+    "(shuffle-hash or broadcast when actually small) rather than a forced "
+    "hint that would OOM at 100x.",
     tags=("join", "agg", "star"),
 )
 def q79_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,9 +1109,9 @@ def q79_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0_rev = F.when(F.col("sn_name") == "NATION_0", rev).otherwise(F.lit(0.0))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cn_name").isin("NATION_1", "NATION_2", "NATION_3"))
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"))

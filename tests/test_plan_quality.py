@@ -91,8 +91,29 @@ class TestNewOperatorPlans:
 
     def test_q64_rollup_dims_broadcast(self, spark):
         plan = plan_of(spark, "q64_rollup_revenue")
+        # nation+region carry explicit hints; customer may still be
+        # broadcast here because AQE/stats sees a tiny table at this SF —
+        # that is graceful, the forced-hint check below is the scale gate
         assert "SortMergeJoin" not in plan
-        assert plan.count("BroadcastHashJoin") == 3
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_q64_no_forced_broadcast_of_customer(self, spark):
+        # an explicit broadcast() hint overrides AQE and is a guaranteed
+        # OOM once customer outgrows the executors; only the genuinely
+        # bounded dims (nation, region) may carry a hint
+        q = all_queries()["q64_rollup_revenue"]
+        opt = q.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        hints = [l for l in opt.splitlines() if "strategy=broadcast" in l]
+        assert len(hints) == 2
+        assert all("n_nationkey" in h or "r_regionkey" in h for h in hints)
+
+    def test_q79_no_forced_broadcast_of_customer_supplier(self, spark):
+        q = all_queries()["q79_market_share"]
+        opt = q.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        hints = [l for l in opt.splitlines() if "strategy=broadcast" in l]
+        # only the two nation role-aliases are hinted
+        assert len(hints) == 2
+        assert all("cn_key" in h or "sn_key" in h for h in hints)
 
     def test_q66_single_scan_three_exchanges(self, spark):
         # doc-frequency is a window over the tf frame, not a second
@@ -102,6 +123,18 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, "q66_tfidf")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 3
         assert plan.count("Generate explode") == 1
+
+    def test_q77_global_rank_pure_dataframe(self, spark):
+        # two-phase rank must stay JVM-side: no Python row round-trip, and
+        # the expensive range sort must be evaluated once (exchange reuse
+        # joins the count branch and the rank branch at execution time)
+        q = all_queries()["q77_global_rank"]
+        df = q.fn(spark, SF)
+        df.collect()  # reuse is resolved during execution under AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "Python" not in plan
+        assert "ReusedExchange" in plan
 
     def test_q76_one_window_node(self, spark):
         # five ranking functions over one shared spec -> ONE Window node,

@@ -11,6 +11,9 @@ Two execution strategies for top-k cosine neighbors:
   final per-query top-k merge reduces driver-bound data to k rows per query.
   This is the 100 TB shape: corpus never shuffles, queries broadcast once.
 
+All-pairs near-dup detection has the same split: :func:`cosine_pairs_grid`
+is the distributed exact default (block pair-grid, two blocks per task);
+:func:`cosine_pairs_block` is the broadcast-matmul small-corpus fast path.
 An IVF/LSH-bucketed ANN variant narrows the scanned fraction; see
 ``lsh_bucket_topk`` (random-hyperplane signatures, bucket-restricted exact
 rerank).
@@ -125,15 +128,18 @@ def cosine_pairs_block(
     threshold: float = 0.5,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Exact all-pairs cosine >= threshold (embedding near-dup dedup).
+    """Exact all-pairs cosine >= threshold — SMALL-CORPUS fast path.
 
-    One side is broadcast as a dense float64 matrix (fits comfortably up to
-    ~1M x 256 dims); the other side streams through ``mapInPandas`` doing
-    one BLAS matmul per Arrow batch. Emits (id_a < id_b) pairs only.
+    One side is collected and broadcast as a dense float64 matrix (fits
+    comfortably up to ~1M x 256 dims); the other side streams through
+    ``mapInPandas`` doing one BLAS matmul per Arrow batch. Emits
+    (id_a < id_b) pairs only.
 
     Per-element ``zip_with`` folds interpret a lambda per component —
     O(n^2 * d) interpreted ops; this form measured 40x faster at sf0.1.
-    Beyond broadcast scale, prune candidates first (LSH/IVF) and rerank.
+    The ``toPandas()`` collect bounds it to broadcast scale: beyond that
+    use :func:`cosine_pairs_grid` (same exact result, corpus never
+    touches the driver) — the registered q53 path.
     """
     pdf = corpus.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
@@ -169,6 +175,98 @@ def cosine_pairs_block(
 
     return corpus.select(id_col, vec_col).mapInPandas(
         pair_batches, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def cosine_pairs_grid(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    round_digits: int = 4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via a distributed block
+    pair-grid — the at-scale default (no driver collect, no broadcast of
+    the corpus).
+
+    Exact all-pairs is inherently O(n^2) compute; what must NOT be O(n^2)
+    — or driver-bound — is memory. The corpus is hash-split into
+    ``n_blocks`` blocks; each unordered block pair (i <= j) is one task
+    holding just two blocks, scored with one BLAS matmul inside
+    ``applyInPandas``. Every qualifying pair is produced exactly once
+    (cross-block pairs in task (i,j), within-block pairs in task (i,i)),
+    so the result is identical to the brute-force scan — unlike LSH
+    candidate generation, which is probabilistic and can miss a
+    borderline pair.
+
+    Scale knobs: per-task memory ~ 2n/n_blocks vectors (raise ``n_blocks``
+    until a block pair fits an executor); shuffle volume ~ n * n_blocks
+    rows (each row is replicated to its n_blocks pair-tasks);
+    parallelism = n_blocks*(n_blocks+1)/2 tasks. For corpora where even
+    O(n^2) FLOPs are unaffordable, prune candidates first (LSH/IVF, see
+    ``lsh_bucket_topk``) and accept approximate recall.
+    """
+    e = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("b", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
+    others = F.array(*[F.lit(j) for j in range(n_blocks)])
+    tasks = e.select(
+        "vid",
+        "v",
+        "b",
+        F.explode(others).alias("o"),
+    ).select(
+        "vid",
+        "v",
+        "b",
+        F.least("b", "o").alias("ti"),
+        F.greatest("b", "o").alias("tj"),
+    )
+
+    def pairs_in_task(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(key[0]), int(key[1])
+        ids = pdf["vid"].to_numpy()
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if ti == tj:
+            order = np.argsort(ids)
+            ids, mat = ids[order], mat[order]
+            sims = mat @ mat.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            vals = sims[ia, ib]
+            mask = vals >= threshold
+            if not mask.any():
+                return empty
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia[mask]],
+                    "id_b": ids[ib[mask]],
+                    "cosine": np.round(vals[mask], round_digits),
+                }
+            )
+        ma = pdf["b"].to_numpy() == ti
+        a_ids, b_ids = ids[ma], ids[~ma]
+        sims = mat[ma] @ mat[~ma].T
+        ia, ib = np.nonzero(sims >= threshold)
+        if len(ia) == 0:
+            return empty
+        x, y = a_ids[ia], b_ids[ib]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(x, y),
+                "id_b": np.maximum(x, y),
+                "cosine": np.round(sims[ia, ib], round_digits),
+            }
+        )
+
+    return tasks.groupBy("ti", "tj").applyInPandas(
+        pairs_in_task, schema="id_a long, id_b long, cosine double"
     )
 
 

@@ -113,15 +113,18 @@ def q51_cosine_topk_block(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
     """,
     doc="Embedding-cosine near-duplicate pairs (the dedup-by-embedding "
-    "variant): all pairs with cosine >= 0.35. Exact all-pairs here (the "
-    "oracle-checkable baseline); the scale path is the LSH-bucketed / IVF "
-    "variant in operators/similarity.py which prunes the pair space before "
-    "scoring.",
+    "variant): all pairs with cosine >= 0.35, computed with the "
+    "distributed block pair-grid (operators/similarity.py::"
+    "cosine_pairs_grid) — hash-blocked corpus, one BLAS matmul per block "
+    "pair, two blocks per task, no driver collect or corpus broadcast. "
+    "Bit-identical to the brute-force oracle because the grid enumerates "
+    "every pair exactly once; LSH/IVF pruning (approximate) is the "
+    "fallback only when O(n^2) FLOPs are unaffordable.",
     tags=("similarity", "dedup"),
 )
 def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return S.cosine_pairs_block(emb, id_col="vec_id", vec_col="embedding", threshold=0.35)
+    return S.cosine_pairs_grid(emb, id_col="vec_id", vec_col="embedding", threshold=0.35)
 
 
 @query(

@@ -53,6 +53,32 @@ class TestSaltedJoin:
         assert len(out) == 1 and out[0]["name"] is None
 
 
+class TestCosinePairsGrid:
+    def test_grid_matches_broadcast_block_path(self, spark):
+        # the distributed pair-grid must be value-identical to the
+        # broadcast-matmul fast path — every pair exactly once, same
+        # rounding — including blocks that are empty or singleton
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((6, 8))
+        vecs = [(i, (base[i % 6] + rng.standard_normal(8) * 0.05).tolist()) for i in range(37)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        grid = {(r["id_a"], r["id_b"], r["cosine"])
+                for r in S.cosine_pairs_grid(df, threshold=0.4, n_blocks=5).collect()}
+        block = {(r["id_a"], r["id_b"], r["cosine"])
+                 for r in S.cosine_pairs_block(df, threshold=0.4).collect()}
+        assert grid == block
+        assert len(grid) > 0
+
+    def test_grid_no_duplicate_pairs(self, spark):
+        rng = np.random.default_rng(5)
+        vecs = [(i, rng.standard_normal(8).tolist()) for i in range(50)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = S.cosine_pairs_grid(df, threshold=-1.0, n_blocks=4).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in out]
+        assert len(pairs) == len(set(pairs)) == 50 * 49 // 2
+        assert all(a < b for a, b in pairs)
+
+
 class TestIvf:
     def test_ivf_recall_against_bruteforce(self, spark):
         rng = np.random.default_rng(7)

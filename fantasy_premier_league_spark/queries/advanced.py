@@ -283,7 +283,7 @@ def q64_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q65_attribution_window",
+    "q27_attribution_window",
     """
     WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
@@ -308,7 +308,7 @@ def q64_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "refine filter — linear candidate volume, even key distribution.",
     tags=("range-join", "join"),
 )
-def q65_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q27_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rangejoin import lookback_join
 
     ev = load(spark, sf_dir, "events")
@@ -321,7 +321,7 @@ def q65_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q74_salted_join",
+    "q34_salted_join",
     """
     SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
@@ -335,7 +335,7 @@ def q65_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proves it.",
     tags=("join", "skew"),
 )
-def q74_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_join
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
@@ -347,7 +347,7 @@ def q74_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q77_global_rank",
+    "q36_global_rank",
     """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
@@ -361,7 +361,7 @@ def q74_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any row count (the W4 at-scale form).",
     tags=("window", "rank", "scale"),
 )
-def q77_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rank import global_rank
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")

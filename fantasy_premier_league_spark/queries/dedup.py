@@ -300,7 +300,7 @@ def _cluster_oracle(max_hamming: int) -> str:
 
 
 @query(
-    "q72_dedup_clusters",
+    "q29_dedup_clusters",
     _cluster_oracle(max_hamming=8),
     doc="Duplicate-group formation — the final dedup step at 100 TB: "
     "SimHash near-dup pairs (q43's graph) -> connected components "
@@ -312,7 +312,7 @@ def _cluster_oracle(max_hamming: int) -> str:
     "checked end-to-end.",
     tags=("dedup", "graph", "iterative"),
 )
-def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # hamming <= 8: TIGHT near-dup groups (the survivor-selection use case);
     # q43's looser <=12 radius is for recall-side candidate review

@@ -273,7 +273,7 @@ def q08_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q36_json_props",
+    "q77_json_props",
     """
     SELECT event_type,
            count(*) AS n,
@@ -288,7 +288,7 @@ def q08_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-parsing per query.",
     tags=("json", "agg"),
 )
-def q36_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q77_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy("event_type").agg(
@@ -299,7 +299,7 @@ def q36_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q29_decile_edges",
+    "q72_decile_edges",
     """
     WITH q AS (
         SELECT c_mktsegment,
@@ -316,7 +316,7 @@ def q36_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group quantile array → posexplode → lead window.",
     tags=("quantile", "window"),
 )
-def q29_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q72_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     probs = F.array(*[F.lit(i / 10.0) for i in range(10)])
     q = cust.groupBy("c_mktsegment").agg(
@@ -507,7 +507,7 @@ def q38_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q37_asof_next_event",
+    "q78_asof_next_event",
     """
     SELECT o_orderkey, o_custkey, next_event_id, next_event_ts
     FROM (
@@ -524,7 +524,7 @@ def q38_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join+row_number spec.",
     tags=("asof", "window", "join"),
 )
-def q37_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q78_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     events = load(spark, sf_dir, "events")
     joined = asof_join(
@@ -1028,7 +1028,7 @@ def q76_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q78_cube_volume",
+    "q37_cube_volume",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
@@ -1049,7 +1049,7 @@ def q76_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "level marker.",
     tags=("cube", "agg"),
 )
-def q78_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cubed = orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("int").alias("lvl"),

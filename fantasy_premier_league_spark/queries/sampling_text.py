@@ -34,7 +34,7 @@ def q25_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q26_cross_grid",
+    "q57_cross_grid",
     """
     SELECT r.r_name AS region, t.event_type,
            coalesce(c.n, 0) AS n_events
@@ -54,7 +54,7 @@ def q25_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcastable; the J8-at-scale variant lives in operators/fuzzy.py.",
     tags=("crossjoin",),
 )
-def q26_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q57_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     events = load(spark, sf_dir, "events")
     cust = load(spark, sf_dir, "customer")
@@ -82,7 +82,7 @@ def q26_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q27_stopword_removal",
+    "q65_stopword_removal",
     f"""
     SELECT doc_id,
            array_to_string(list_filter({_WORDS},
@@ -96,7 +96,7 @@ def q26_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path (StopWordsRemover covers the ML-pipeline path).",
     tags=("text",),
 )
-def q27_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q65_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.array(*[F.lit(w) for w in ("the", "a", "an", "of", "and", "or", "is", "to", "in")])
     docs = load(spark, sf_dir, "documents")
     w = words(F.col("text"))
@@ -110,7 +110,7 @@ def q27_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q28_keyword_flags",
+    "q66_keyword_flags",
     """
     SELECT doc_id,
            (text LIKE '%spark%')::INT AS has_spark,
@@ -123,7 +123,7 @@ def q27_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boolean feature columns.",
     tags=("text",),
 )
-def q28_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q66_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -134,7 +134,7 @@ def q28_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q66_tfidf",
+    "q28_tfidf",
     """
     WITH w AS (
         SELECT doc_id,
@@ -165,7 +165,7 @@ def q28_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window. Three keyed shuffles total: (doc,term), term, doc.",
     tags=("text", "tfidf"),
 )
-def q66_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     w = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term")).filter(

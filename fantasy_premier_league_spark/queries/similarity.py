@@ -236,7 +236,7 @@ def q52_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q57_pq_topk",
+    "q26_pq_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     js AS (SELECT unnest(generate_series(0, 7)) AS j),
@@ -278,7 +278,7 @@ def q52_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replays codebook, encoding, ADC, and ranking value-for-value.",
     tags=("similarity", "ann", "pq", "pandas-udf"),
 )
-def q57_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.pq_topk(emb, queries, k=3, m=8, k_codes=16)

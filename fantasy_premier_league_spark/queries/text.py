@@ -107,7 +107,7 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q34_word_counts",
+    "q74_word_counts",
     f"""
     SELECT w AS word, count(*) AS n
     FROM (SELECT unnest({_WORDS}) AS w FROM documents)
@@ -118,7 +118,7 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus word frequencies via explode + hash agg (map-side combine).",
     tags=("text", "explode"),
 )
-def q34_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q74_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(words(F.col("text"))).alias("word"))

@@ -82,10 +82,10 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, "q63_sessionization")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
 
-    def test_q65_range_join_is_hash_not_nested_loop(self, spark):
+    def test_q27_range_join_is_hash_not_nested_loop(self, spark):
         # the whole point of the bucketed rewrite: the interval predicate
         # must NOT plan as BroadcastNestedLoopJoin
-        plan = plan_of(spark, "q65_attribution_window")
+        plan = plan_of(spark, "q27_attribution_window")
         assert "BroadcastNestedLoopJoin" not in plan
         assert "HashJoin" in plan or "SortMergeJoin" in plan
 
@@ -115,20 +115,20 @@ class TestNewOperatorPlans:
         assert len(hints) == 2
         assert all("cn_key" in h or "sn_key" in h for h in hints)
 
-    def test_q66_single_scan_three_exchanges(self, spark):
+    def test_q28_tfidf_single_scan_three_exchanges(self, spark):
         # doc-frequency is a window over the tf frame, not a second
         # aggregate branch: the explode+groupBy must appear ONCE
         import re
 
-        plan = plan_of(spark, "q66_tfidf")
+        plan = plan_of(spark, "q28_tfidf")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 3
         assert plan.count("Generate explode") == 1
 
-    def test_q77_global_rank_pure_dataframe(self, spark):
+    def test_q36_global_rank_pure_dataframe(self, spark):
         # two-phase rank must stay JVM-side: no Python row round-trip, and
         # the expensive range sort must be evaluated once (exchange reuse
         # joins the count branch and the rank branch at execution time)
-        q = all_queries()["q77_global_rank"]
+        q = all_queries()["q36_global_rank"]
         df = q.fn(spark, SF)
         df.collect()  # reuse is resolved during execution under AQE
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -7,10 +7,11 @@ per load (S11) and column re-alignment against the live table
 (load.py:22-24,81-82 ``table_get_columns`` + reindex).
 
 Spark mapping: ``spark.read.jdbc`` / ``df.write.jdbc`` carry the same
-semantics; column alignment happens before the write. No JDBC driver jar
-ships in this container, so integration runs are gated on the caller
-providing a reachable ``url`` — everything up to ``.jdbc(...)`` is plain
-DataFrame code and unit-testable.
+semantics; column alignment happens before the write. Integration runs
+use the embedded Apache Derby database that ships in Spark's own jars
+directory (tests/test_jdbc_roundtrip.py round-trips every helper through
+a real ``jdbc:derby:`` URL); any other database is just a different
+``url`` + driver property.
 """
 
 from __future__ import annotations
@@ -32,17 +33,27 @@ def read_query(spark: SparkSession, url: str, query: str, *, properties: dict | 
     return reader.load()
 
 
-def align_columns(df: DataFrame, target_columns: list[str]) -> DataFrame:
+def align_columns(
+    df: DataFrame, target_columns: list[str], *, types: dict | None = None
+) -> DataFrame:
     """Column re-alignment before load (≙ load.py:22-24,81-82): order to
     the target table's columns, null-fill ones the frame lacks, refuse
     extras loudly (the reference silently dropped them — an error is the
-    safer contract)."""
+    safer contract).
+
+    ``types`` maps column name -> Spark DataType (or DDL string) for the
+    null-filled columns. Without it a bare ``lit(None)`` is NullType
+    ("void"), which JDBC writers cannot map to a SQL type — the real-DB
+    round-trip in tests/test_jdbc_roundtrip.py caught exactly that, so
+    untyped fills fall back to string."""
     extra = [c for c in df.columns if c not in target_columns]
     if extra:
         raise ValueError(f"frame has columns not in target table: {extra}")
+    types = types or {}
     return df.select(
         *[
-            F.col(c) if c in df.columns else F.lit(None).alias(c)
+            F.col(c) if c in df.columns
+            else F.lit(None).cast(types.get(c, "string")).alias(c)
             for c in target_columns
         ]
     )
@@ -59,9 +70,18 @@ def batch_overwrite(df: DataFrame, url: str, table: str, *, target_columns: list
 
 def batch_append(df: DataFrame, url: str, table: str, *, target_columns: list[str] | None = None,
                  properties: dict | None = None) -> None:
-    """S10: create-if-absent append (load.py:65-70)."""
+    """S10: create-if-absent append (load.py:65-70).
+
+    When the frame lacks target columns, their types are read from the
+    live table's JDBC metadata (schema-only fetch, no row scan) so the
+    null-fill is typed — the Spark analogue of the reference's
+    ``table_get_columns`` re-alignment against the live table."""
     if target_columns:
-        df = align_columns(df, target_columns)
+        types = None
+        if set(target_columns) - set(df.columns):
+            live = df.sparkSession.read.jdbc(url, table, properties=properties or {}).schema
+            types = {f.name: f.dataType for f in live.fields}
+        df = align_columns(df, target_columns, types=types)
     df.write.mode("append").jdbc(url, table, properties=properties or {})
 
 

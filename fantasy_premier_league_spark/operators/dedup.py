@@ -352,6 +352,8 @@ def connected_components(
     Components in MapReduce and Beyond") — same dataflow primitives,
     O(log d) rounds.
     """
+    import warnings
+
     e1 = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     # localCheckpoint (not persist): each round's plan would otherwise embed
     # the whole upstream sketch plan again — lineage must be CUT, not cached,
@@ -387,4 +389,16 @@ def connected_components(
         labels = new_labels.drop("__chg")
         if not changed:
             break
+    else:
+        # exhausted max_iter with labels still moving: component diameter
+        # exceeds the round budget and the returned labels are NOT a
+        # fixpoint — surface it instead of silently returning partial
+        # clusters (raise-vs-warn mirrors the quality-check contract)
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels are partial (component diameter > max_iter). Raise "
+            "max_iter or switch to small-star/large-star contraction.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("u").alias("id"), F.col("label").alias("cluster_id"))

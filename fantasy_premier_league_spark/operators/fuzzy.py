@@ -72,10 +72,13 @@ def token_set_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def token_sort_key(col: F.Column) -> F.Column:
     """Deduped, sorted, space-joined tokens — the canonical form both
-    token-set scorers compare. Pure Column expression (whole-stage codegen);
-    DuckDB spells it ``array_to_string(list_sort(list_distinct(
-    string_split(x, ' '))), ' ')``."""
-    return F.array_join(F.array_sort(F.array_distinct(F.split(col, r"\s+"))), " ")
+    token-set scorers compare. Pure Column expression (whole-stage
+    codegen). Splits on any whitespace run and drops empty tokens, so
+    multi-space / leading-space inputs canonicalize identically; the
+    engine-portable spelling is ``list_filter(regexp_split_to_array(x,
+    '\\s+'), t -> t <> '')`` (used verbatim by the q60 oracle)."""
+    toks = F.array_remove(F.split(col, r"\s+"), "")
+    return F.array_join(F.array_sort(F.array_distinct(toks)), " ")
 
 
 def token_sort_score(a: F.Column, b: F.Column) -> F.Column:
@@ -86,10 +89,16 @@ def token_sort_score(a: F.Column, b: F.Column) -> F.Column:
     :func:`token_set_ratio`: same normalization (order- and dup-
     insensitive), but expressible in any SQL engine and free of the
     Python/Arrow hop, so it is the hot-path scorer at 100 TB; the pandas
-    UDF stays for exact reference parity (difflib semantics)."""
+    UDF stays for exact reference parity (difflib semantics).
+
+    Two empty keys score 100 (vacuously identical) instead of dividing by
+    zero; lengths and levenshtein count CHARACTERS on both engines (Spark
+    ``length``/DuckDB ``length``, both character-based — never byte
+    ``strlen``), so non-ASCII names score identically."""
     ka, kb = token_sort_key(a), token_sort_key(b)
-    return F.round(
-        100.0 * (1.0 - F.levenshtein(ka, kb) / F.greatest(F.length(ka), F.length(kb))), 2
+    denom = F.greatest(F.length(ka), F.length(kb))
+    return F.when(denom == 0, F.lit(100.0)).otherwise(
+        F.round(100.0 * (1.0 - F.levenshtein(ka, kb) / denom), 2)
     )
 
 

@@ -47,8 +47,11 @@ def lookback_join(
     window_us = int(window_seconds) * 1_000_000
     n_back = math.ceil(window_seconds / bucket_s)
 
+    # floor division, NOT double-divide-then-cast: casting truncates toward
+    # zero, which shifts every pre-1970 (negative-microsecond) timestamp
+    # into the wrong bucket and silently drops its matches
     e = events.withColumn("__us", F.unix_micros(F.col(ts_col))).withColumn(
-        "__bucket", (F.col("__us") / F.lit(bucket_us)).cast("long")
+        "__bucket", F.floor(F.col("__us") / F.lit(bucket_us)).cast("long")
     )
     a = (
         anchors.select(
@@ -56,7 +59,7 @@ def lookback_join(
             F.col(anchor_id_col).alias("anchor_id"),
             F.unix_micros(F.col(anchor_ts_col)).alias("anchor_us"),
         )
-        .withColumn("__abucket", (F.col("anchor_us") / F.lit(bucket_us)).cast("long"))
+        .withColumn("__abucket", F.floor(F.col("anchor_us") / F.lit(bucket_us)).cast("long"))
         # probe every bucket the look-back window can overlap
         .withColumn(
             "__bucket",

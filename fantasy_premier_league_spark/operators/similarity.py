@@ -529,13 +529,36 @@ def pq_topk(
     final window keeps the true top-k. Approximation error comes from
     quantization only; recall is tuned by m/k_codes.
 
-    Distances: per-subspace squared L2 rounded to 6dp (portable across
-    engines), ADC = round(sum over m, 6) — the sum of 6dp multiples lands
-    ON the 6dp grid, never on a rounding boundary, so engines agree bit-for-
-    bit; ties broken by neighbor id.
+    Distances: per-subspace squared L2 rounded to 6dp with ONE rounding
+    convention end-to-end — HALF_UP on the shortest decimal repr, i.e.
+    exactly Spark's F.round, applied both by pq_encode (JVM) and to the
+    query-side numpy tables (see _round6_half_up). ADC = round(sum over
+    m, 6): the sum of 6dp multiples lands ON the 6dp grid, never on a
+    rounding boundary, so the final ranking is mode-insensitive; ties
+    broken by neighbor id. Residual cross-engine caveat: an external
+    oracle that rounds the BINARY double (DuckDB) can still disagree with
+    decimal-repr rounding for a raw distance landing exactly on a .5e-6
+    representation boundary — measure-zero for continuous embeddings and
+    absent from the grid-aligned testdata.
     Returns (query_id, neighbor_id, adc, rank).
     """
     import pandas as pd
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6_half_up(arr: np.ndarray) -> np.ndarray:
+        # match Spark's F.round exactly: HALF_UP on the shortest decimal
+        # representation (repr) of the double — np.round is banker's
+        # half-EVEN on the binary value, which flips code assignments for
+        # distances landing exactly on a .5e-6 boundary. The table is
+        # nq x m x k_codes (a few thousand entries), so the per-element
+        # Decimal hop is negligible.
+        q = Decimal("0.000001")
+        flat = [
+            float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+            for v in arr.ravel()
+        ]
+        return np.asarray(flat, dtype=np.float64).reshape(arr.shape)
 
     cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k_codes=k_codes)
     codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
@@ -558,8 +581,10 @@ def pq_topk(
     q_ids = np.array([r["query_id"] for r in q_rows])
     qmat = np.array([r["v"] for r in q_rows])  # [nq, dim]
     qsubs = qmat.reshape(len(q_ids), m, d_sub)
-    # [nq, m, k_codes] rounded like the dataflow side
-    qdist = np.round(((qsubs[:, :, None, :] - cents[None, :, :, :]) ** 2).sum(axis=3), 6)
+    # [nq, m, k_codes] rounded with the SAME HALF_UP rule as F.round in
+    # pq_encode, so query-side tables and corpus-side code assignment
+    # agree on tie boundaries
+    qdist = _round6_half_up(((qsubs[:, :, None, :] - cents[None, :, :, :]) ** 2).sum(axis=3))
 
     j_arange = np.arange(m)
 

@@ -54,43 +54,46 @@ def q23_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_ks_two_sample",
     """
     WITH vals AS (
-        SELECT o_totalprice AS v, CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+        SELECT floor(o_totalprice / 64.0)::BIGINT AS b,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
         FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
     ),
-    per_value AS (
-        SELECT v, count(*) FILTER (WHERE g1 = 1) AS c1, count(*) FILTER (WHERE g1 = 0) AS c2
-        FROM vals GROUP BY v
+    per_bucket AS (
+        SELECT b, count(*) FILTER (WHERE g1 = 1) AS c1, count(*) FILTER (WHERE g1 = 0) AS c2
+        FROM vals GROUP BY b
     ),
     cum AS (
-        SELECT v,
-               sum(c1) OVER (ORDER BY v) AS cum1, sum(c2) OVER (ORDER BY v) AS cum2,
+        SELECT b,
+               sum(c1) OVER (ORDER BY b) AS cum1, sum(c2) OVER (ORDER BY b) AS cum2,
                sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
-        FROM per_value
+        FROM per_bucket
     )
     SELECT round(max(abs(cum1 / n1 - cum2 / n2)), 6) AS ks_stat,
            max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2
     FROM cum
     """,
-    doc="Two-sample KS statistic M15 (M2.ipynb § 18) via per-distinct-value "
-    "cumulative ECDFs — MLlib only ships 1-sample KS. The global ordered "
-    "window runs over distinct values (already aggregated), which bounds "
-    "the single-partition sort; at extreme cardinality switch to a binned "
-    "ECDF.",
+    doc="Two-sample KS statistic M15 (M2.ipynb § 18) via binned cumulative "
+    "ECDFs — MLlib only ships 1-sample KS. Values are pre-binned to a "
+    "fixed grid (width 64, a power of two so the scaling is exact in "
+    "binary and floor() agrees across engines) BEFORE the cumulative "
+    "window, so the single-partition ordered sort runs over the bucket "
+    "count — bounded by the value RANGE, not the row count or value "
+    "cardinality. The KS estimate is exact up to one bin width.",
     tags=("ml", "stats"),
 )
 def q24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     vals = orders.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
-        F.col("o_totalprice").alias("v"),
+        F.floor(F.col("o_totalprice") / 64.0).cast("long").alias("b"),
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
     )
-    per_value = vals.groupBy("v").agg(
+    per_bucket = vals.groupBy("b").agg(
         F.sum("g1").alias("c1"), F.sum(1 - F.col("g1")).alias("c2")
     )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    w = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
     wall = W.partitionBy()
-    cum = per_value.select(
-        "v",
+    cum = per_bucket.select(
+        "b",
         F.sum("c1").over(w).alias("cum1"),
         F.sum("c2").over(w).alias("cum2"),
         F.sum("c1").over(wall).alias("n1"),
@@ -108,14 +111,16 @@ def q24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH p AS (
         SELECT p_partkey, p_brand, p_name,
-               array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ' ') AS k
+               array_to_string(list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(p_name, '\\s+'), t -> t <> ''))), ' ') AS k
         FROM part WHERE p_partkey < 200
     ),
     scored AS (
         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
                CASE WHEN a.p_name = b.p_name THEN 100.0
+                    WHEN greatest(length(a.k), length(b.k)) = 0 THEN 100.0
                     ELSE round(100.0 * (1.0 - levenshtein(a.k, b.k)::DOUBLE
-                               / greatest(strlen(a.k), strlen(b.k))), 2)
+                               / greatest(length(a.k), length(b.k))), 2)
                END AS score
         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
     )
@@ -386,7 +391,12 @@ def q36_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one payload row explodes to <= max_frames sampled-frame rows — the "
     "exact dataflow shape of an ffmpeg-backed video sampler, with a "
     "byte-stride stub whose md5 chunk digests the oracle replays "
-    "value-for-value. Arrow-batched map stage, no shuffle.",
+    "value-for-value. Arrow-batched map stage, no shuffle. Oracle parity "
+    "contract: the engine strides over UTF-8 BYTES while the SQL oracle "
+    "chunks with character substr/strlen, so the replay is exact only for "
+    "ASCII payloads (true of the testdata documents); non-ASCII media "
+    "payloads are byte-opaque anyway and simply lose the SQL oracle, not "
+    "correctness.",
     tags=("multimodal", "pandas-udf"),
 )
 def q80_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:

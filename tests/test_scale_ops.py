@@ -171,6 +171,25 @@ class TestLookbackJoin:
         matched = sorted(r.event_id for r in pairs.collect())
         assert matched == [11, 12]
 
+    def test_pre_1970_timestamps_bucket_with_floor(self, spark):
+        from fantasy_premier_league_spark.operators.rangejoin import lookback_join
+
+        # negative epoch microseconds: cast-truncation (toward zero) would
+        # put event and anchor in off-by-one buckets and drop the match;
+        # floor semantics keep them aligned
+        rows = [
+            (1, "1969-12-31 23:50:00", 30, "view"),     # inside look-back
+            (1, "1969-12-31 22:00:00", 31, "view"),     # before window
+            (1, "1970-01-01 00:05:00", 32, "purchase"), # anchor (window spans epoch)
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts_s string, event_id int, event_type string").selectExpr(
+            "user_id", "cast(ts_s as timestamp) as ts", "event_id", "event_type"
+        )
+        anchors = df.filter("event_type = 'purchase'")
+        for bucket in (600, 1800):
+            pairs = lookback_join(df, anchors, window_seconds=1800, bucket_seconds=bucket)
+            assert sorted(r.event_id for r in pairs.collect()) == [30]
+
     def test_small_bucket_multi_probe(self, spark):
         from fantasy_premier_league_spark.operators.rangejoin import lookback_join
 
@@ -211,6 +230,20 @@ class TestConnectedComponents:
         got = {r.id: r.cluster_id for r in connected_components(pairs, max_iter=1).collect()}
         # after one round node 4 has only seen 3's initial label
         assert got[4] == 3 and got[2] == 1
+
+    def test_warns_when_round_budget_too_small(self, spark):
+        from fantasy_premier_league_spark.operators.dedup import connected_components
+
+        # a 6-node chain has diameter 5: one propagation round cannot
+        # reach a fixpoint, and silent partial labels would corrupt dedup
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+        )
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            got = connected_components(chain, max_iter=1).collect()
+        # converged run labels the whole chain with the min id and no warning
+        labels = {r.id: r.cluster_id for r in connected_components(chain).collect()}
+        assert set(labels.values()) == {1}
 
 
 class TestProductQuantization:

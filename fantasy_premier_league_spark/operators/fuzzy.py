@@ -131,6 +131,7 @@ def resolve_entities(
     *,
     threshold: float = 90.0,
     existing_lookup: DataFrame | None = None,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Best FIFA match per FPL player.
 
@@ -138,6 +139,13 @@ def resolve_entities(
     ``fifa``: (sofifa_id, fifa_name_short, fifa_name_long, player_positions)
     ``existing_lookup``: optional (player_id, ...) — players already matched
     are skipped (incremental anti-join J13).
+    ``n_salt``: the blocking key has only 4 classes, so a shuffle join on
+    it alone puts ~25% of all candidate scoring in ONE task. Passing
+    ``n_salt`` routes the block join through ``skew.salted_join`` (left
+    salted by player_id hash, right replicated) so each class spreads
+    over ``n_salt`` tasks — the at-scale path when the FIFA side outgrows
+    broadcast. Default ``None`` keeps the broadcast join (right side is
+    dimension-sized in the reference pipeline).
 
     Returns (player_id, sofifa_id, match_best, fpl_player_name,
     fifa_name_short, fifa_name_long); unmatched players keep their row with
@@ -156,9 +164,15 @@ def resolve_entities(
         normalize_name(F.col("fifa_name_long")).alias("fifa_name_long"),
         "position_name",
     )
-    # blocking equi-join; FIFA side is dimension-sized here → broadcast.
-    # At 100 TB with a large right side: shuffle join on a salted class key.
-    cand = fpl_n.join(F.broadcast(fifa_n), "position_name")
+    if n_salt:
+        from .skew import salted_join
+
+        cand = salted_join(
+            fpl_n, fifa_n, "position_name", n_salt=n_salt, left_disambiguator="player_id"
+        )
+    else:
+        # FIFA side is dimension-sized here → broadcast (no shuffle at all)
+        cand = fpl_n.join(F.broadcast(fifa_n), "position_name")
 
     exact_long = F.col("fpl_player_name") == F.col("fifa_name_long")
     match_long = F.when(exact_long, F.lit(100.0)).otherwise(

@@ -72,8 +72,9 @@ def extract_features(
 
     Output: (id, n_bytes, features array<double>[batch_feature_dim]).
     Partitioning is preserved (no shuffle); each Arrow batch decodes in one
-    Python call. Failures raise — a quarantine variant would wrap the
-    decoder and route failures to a dead-letter column instead.
+    Python call. Failures raise (fail-fast contract);
+    :func:`extract_features_quarantined` routes them to a dead-letter
+    column instead.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,6 +93,54 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(
         decode_batches,
         schema=f"id long, n_bytes long, features array<double>",
+    )
+
+
+def extract_features_quarantined(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    decoder: Decoder = _not_implemented_decoder,
+) -> DataFrame:
+    """Dead-letter variant of :func:`extract_features`: a payload whose
+    decode raises does NOT kill the stage — it yields a row with null
+    ``features`` and the exception text in ``decode_error``, so one
+    corrupt file in a 100 TB scan costs one quarantined row, not a
+    re-run of the job. Split downstream with
+    ``df.filter("decode_error IS NULL")`` / ``IS NOT NULL`` (the
+    dead-letter sink).
+
+    Output: (id, n_bytes, features array<double> | null, decode_error
+    string | null). Same Arrow-batched map-only dataflow as the raising
+    variant.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats: list[list[float] | None] = []
+            errs: list[str | None] = []
+            for p in pdf[payload_col]:
+                try:
+                    feats.append(decoder(p).tolist())
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — quarantine by contract
+                    feats.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "n_bytes": [len(p) for p in pdf[payload_col]],
+                    "features": feats,
+                    "decode_error": errs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches,
+        schema="id long, n_bytes long, features array<double>, decode_error string",
     )
 
 

@@ -399,20 +399,32 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 3,
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH signature buckets, exact
-    cosine rerank inside the query's bucket only.
+    """Approximate top-k: multi-table random-hyperplane LSH candidate
+    buckets, exact cosine rerank over the deduped candidate union.
 
-    With ``n_planes`` p, the corpus splits into 2^p buckets; the scanned
-    fraction is ~2^-p — the knob trading recall for scan cost at scale.
+    One table of ``n_planes`` p splits the corpus into 2^p buckets and
+    scans ~2^-p of it, but a true neighbor with per-plane collision
+    probability c survives only with c^p — single-table recall collapses
+    on high-dimensional data. The standard fix (Indyk-Motwani LSH) is
+    ``n_tables`` L independent tables: a pair is a candidate if it
+    collides in ANY table, lifting recall to 1-(1-c^p)^L while scanning
+    ~L*2^-p. L and p are the recall-vs-scan knobs; the rerank stays
+    exact, so precision is never approximate — only recall is.
+
+    Plane draws are row-major from one seeded generator, so
+    ``n_tables=1`` reproduces the historical single-table signatures
+    bit-for-bit (and the q55 oracle replays any configuration by
+    embedding the same literals).
     """
     rng = np.random.default_rng(seed)
     dim_row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
-    planes = rng.standard_normal((n_planes, int(dim_row["d"])))
+    planes = rng.standard_normal((n_tables, n_planes, int(dim_row["d"])))
 
-    def sig_expr(vec: F.Column) -> F.Column:
+    def sig_expr(vec: F.Column, table: int) -> F.Column:
         bits = [
             (
                 F.aggregate(
@@ -422,21 +434,32 @@ def lsh_bucket_topk(
                 )
                 >= 0
             ).cast("int").cast("string")
-            for plane in planes
+            for plane in planes[table]
         ]
         return F.concat_ws("", *bits)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-        sig_expr(F.col(vec_col)).alias("bucket"),
+    def tabled(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        vec = F.col(vec_col)
+        tables = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), sig_expr(vec, t).alias("bucket"))
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            vec.cast("array<double>").alias(out_vec),
+            F.explode(tables).alias("tb"),
+        ).select(out_id, out_vec, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    c = tabled(corpus, "neighbor_id", "cvec")
+    q = tabled(queries, "query_id", "qvec")
+    pairs = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a pair colliding in several tables must score once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-        sig_expr(F.col(vec_col)).alias("bucket"),
-    )
-    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), round_digits)
     scored = pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -14,29 +14,43 @@ from . import query
 _EMB_DIM = 64  # testdata embeddings are fixed 64-dim (TESTDATA.md)
 
 
-def _lsh_oracle(n_planes: int, k: int, seed: int) -> str:
+def _lsh_oracle(n_planes: int, k: int, seed: int, n_tables: int = 1) -> str:
     """DuckDB SQL replaying lsh_bucket_topk exactly: the same seeded
-    hyperplanes (np.random.default_rng(seed), identical draw order) are
-    embedded as full-precision literals, so bucket signatures, candidate
-    sets, and the rounded-cosine rerank all reproduce value-for-value."""
-    planes = np.random.default_rng(seed).standard_normal((n_planes, _EMB_DIM))
-    bits = " ||\n               ".join(
-        "(list_dot_product(v, [" + ", ".join(repr(float(x)) for x in plane) + "]) >= 0)::INT::VARCHAR"
-        for plane in planes
+    hyperplanes (np.random.default_rng(seed), identical row-major draw
+    order across tables) are embedded as full-precision literals, so per-
+    table bucket signatures, the deduped candidate union, and the
+    rounded-cosine rerank all reproduce value-for-value."""
+    planes = np.random.default_rng(seed).standard_normal((n_tables, n_planes, _EMB_DIM))
+
+    def bits(table: int) -> str:
+        return " ||\n               ".join(
+            "(list_dot_product(v, [" + ", ".join(repr(float(x)) for x in plane) + "]) >= 0)::INT::VARCHAR"
+            for plane in planes[table]
+        )
+
+    sig_cols = ",\n               ".join(f"{bits(t)} AS b{t}" for t in range(n_tables))
+    unions = "\n        UNION ALL\n        ".join(
+        f"SELECT q.query_id, q.qv, c.neighbor_id, c.cv FROM q JOIN c ON q.b{t} = c.b{t}"
+        for t in range(n_tables)
     )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sig AS (
         SELECT vec_id, v,
-               {bits} AS bucket
+               {sig_cols}
         FROM e
     ),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM sig),
+    q AS (SELECT vec_id AS query_id, v AS qv, * FROM sig WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, * FROM sig),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id, qv, cv FROM (
+        {unions}
+        ) WHERE neighbor_id <> query_id
+    ),
     scored AS (
         SELECT query_id, neighbor_id,
                round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
-        FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id
+        FROM cand
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
         SELECT *, (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
@@ -182,17 +196,20 @@ def q56_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q55_lsh_topk",
-    _lsh_oracle(n_planes=6, k=3, seed=42),
-    doc="Random-hyperplane LSH ANN: signature-bucketed candidates, exact "
-    "rerank inside the query's bucket (scanned fraction ~ 2^-planes). The "
-    "seeded planes are embedded in the oracle SQL as full-precision "
-    "literals, so the DuckDB oracle replays buckets + rerank exactly.",
+    _lsh_oracle(n_planes=6, k=3, seed=42, n_tables=4),
+    doc="Multi-table random-hyperplane LSH ANN: 4 independent 6-plane "
+    "tables, deduped candidate union, exact cosine rerank — recall "
+    "1-(1-c^p)^L vs a single table's c^p at ~L*2^-p scan fraction "
+    "(recall floor pinned in tests/test_scale_ops.py). The seeded planes "
+    "are embedded in the oracle SQL as full-precision literals, so the "
+    "DuckDB oracle replays every table, the union, and the rerank "
+    "exactly.",
     tags=("similarity", "ann", "lsh"),
 )
 def q55_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_bucket_topk(emb, queries, k=3, n_planes=6)
+    return S.lsh_bucket_topk(emb, queries, k=3, n_planes=6, n_tables=4)
 
 
 @query(

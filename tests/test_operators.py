@@ -195,6 +195,29 @@ class TestFuzzy:
         out = fuzzy.resolve_entities(fpl, fifa, threshold=90, existing_lookup=existing)
         assert [r["player_id"] for r in out.collect()] == ["2"]
 
+    def test_salted_blocking_matches_broadcast_path(self, spark):
+        # the 4-class blocking key is skewed by construction; the salted
+        # shuffle path must be semantically invisible vs the broadcast path
+        fpl = spark.createDataFrame(
+            [("1", "Mohamed Salah", "MID"), ("2", "Harry Kane", "FWD"),
+             ("3", "Ederson Moraes", "GKP"), ("4", "Nobody Atall", "DEF")],
+            "player_id string, fpl_player_name string, position_name string",
+        )
+        fifa = spark.createDataFrame(
+            [(10, "M. Salah", "Mohamed Salah", "RW, LW"),
+             (20, "H. Kane", "Harry Edward Kane", "ST"),
+             (30, "Ederson", "Ederson Santana de Moraes", "GK"),
+             (40, "K. Walker", "Kyle Walker", "RB")],
+            "sofifa_id long, fifa_name_short string, fifa_name_long string, player_positions string",
+        )
+        plain = {tuple(r) for r in fuzzy.resolve_entities(fpl, fifa, threshold=90).collect()}
+        salted = fuzzy.resolve_entities(fpl, fifa, threshold=90, n_salt=4)
+        assert {tuple(r) for r in salted.collect()} == plain
+        # the candidate join must shuffle on the salted composite key, not
+        # the bare 4-value class key — that is what evens out task sizes
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan.split("BroadcastHashJoin")[0] or "__salt" in plan
+
     def test_position_blocking_prevents_cross_class_match(self, spark):
         fpl = spark.createDataFrame(
             [("1", "Kyle Walker", "FWD")],  # wrong class on purpose
@@ -230,6 +253,22 @@ class TestMultimodal:
     def test_default_decoder_raises(self, payloads):
         with pytest.raises(Exception, match="NotImplementedError|codecs"):
             multimodal.extract_features(payloads, "id", "payload").collect()
+
+    def test_quarantine_routes_failures_to_dead_letter(self, payloads):
+        def flaky(payload: bytes):
+            if payload.startswith(b"xyz"):
+                raise ValueError("corrupt header")
+            return multimodal.fake_image_decoder(payload)
+
+        out = {r["id"]: r for r in multimodal.extract_features_quarantined(
+            payloads, "id", "payload", decoder=flaky).collect()}
+        # good row decodes normally
+        assert out[1]["decode_error"] is None
+        assert len(out[1]["features"]) == multimodal.FEATURE_DIM
+        # corrupt row is quarantined, not fatal
+        assert out[2]["features"] is None
+        assert "ValueError: corrupt header" in out[2]["decode_error"]
+        assert out[2]["n_bytes"] == 2700
 
     def test_frame_sampling_shape(self, payloads):
         frames = multimodal.sample_frames(payloads, "id", "payload", every_n_bytes=1000, max_frames=4)

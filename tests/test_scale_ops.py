@@ -95,6 +95,41 @@ class TestIvf:
         assert recall >= 0.9  # probing the home cell of tight clusters
 
 
+class TestLshRecall:
+    def test_multi_table_recall_floor_against_bruteforce(self, spark):
+        # mirror of the IVF recall gate: on clustered data, 8 independent
+        # 4-plane tables must recover >= 90% of the exact top-3 — the
+        # multi-table union is what makes that floor reachable (a single
+        # table's recall is c^p and fails this gate badly)
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((4, 16)) * 5
+        vecs = [(i, (centers[i % 4] + rng.standard_normal(16) * 0.3).tolist()) for i in range(120)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        queries = df.filter(F.col("vec_id") < 4)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in S.cosine_topk(df, queries, k=3).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in S.lsh_bucket_topk(df, queries, k=3, n_planes=4, n_tables=8).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9
+
+    def test_multi_table_beats_single_table(self, spark):
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((4, 16)) * 5
+        vecs = [(i, (centers[i % 4] + rng.standard_normal(16) * 0.3).tolist()) for i in range(120)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        queries = df.filter(F.col("vec_id") < 4)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in S.cosine_topk(df, queries, k=3).collect()}
+
+        def recall(n_tables):
+            got = {(r["query_id"], r["neighbor_id"])
+                   for r in S.lsh_bucket_topk(df, queries, k=3, n_planes=4, n_tables=n_tables).collect()}
+            return len(exact & got) / len(exact)
+
+        assert recall(8) >= recall(1)
+
+
 class TestGridSearch:
     def test_grouped_grid_search_picks_best(self, spark):
         from pyspark.ml.tuning import ParamGridBuilder

@@ -319,3 +319,96 @@ def q29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
     cc = D.connected_components(pairs)
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "q81_passage_dedup",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    p AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, ((len(words) + 9) // 10) - 1),
+                   i -> array_to_string(words[(i * 10 + 1):(i * 10 + 10)], ' '))) AS passage
+        FROM w
+    ),
+    freq AS (SELECT passage, count(*) AS n_occ FROM p GROUP BY passage)
+    SELECT p.doc_id,
+           count(*)::BIGINT AS n_passages,
+           count(*) FILTER (WHERE freq.n_occ > 1)::BIGINT AS n_dup_passages,
+           round(count(*) FILTER (WHERE freq.n_occ > 1)::DOUBLE / count(*), 6) AS dup_ratio
+    FROM p JOIN freq USING (passage)
+    GROUP BY p.doc_id
+    """,
+    doc="Passage-level (sub-document) dedup — the unit real corpus "
+    "pipelines dedup at when whole-document hashes miss boilerplate "
+    "shared across pages: normalized text splits into non-overlapping "
+    "10-word passages, a hash-groupBy counts each passage's corpus-wide "
+    "occurrences, and every doc gets its duplicated-passage ratio. Two "
+    "shuffles (passage frequency, doc rollup), both on high-cardinality "
+    "keys; the passage explode is the only fan-out (~n_words/10 rows per "
+    "doc). At 100 TB the frequency table is the same hash-groupBy that "
+    "exact dedup uses — linear, uniform keys.",
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def q81_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = D.words(F.col("text"))
+    n_pass = F.ceil(F.size(words) / F.lit(10)).cast("int")
+    passages = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_pass - 1),
+                lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+            )
+        ).alias("passage"),
+    )
+    freq = passages.groupBy("passage").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = (F.col("n_occ") > 1).cast("int")
+    return (
+        passages.join(freq, "passage")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(dup).alias("n_dup_passages"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "q82_repetition_score",
+    f"""
+    WITH w AS (
+        SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+    ),
+    wf AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word)
+    SELECT doc_id,
+           sum(n)::BIGINT AS n_words,
+           count(*)::BIGINT AS n_distinct,
+           round(count(*)::DOUBLE / sum(n), 6) AS distinct_ratio,
+           round(max(n)::DOUBLE / sum(n), 6) AS top_word_ratio
+    FROM wf GROUP BY doc_id
+    """,
+    doc="Within-document repetition quality signal (the Gopher-style "
+    "repetition filters): distinct-word ratio and the mass of the single "
+    "most frequent word. One explode + one (doc_id, word) hash-groupBy + "
+    "one doc rollup — high-cardinality composite key, partial aggregation "
+    "map-side, no window. Pairs with q31's surface-quality score to form "
+    "the standard two-axis quality filter.",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q82_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wf = (
+        docs.select("doc_id", F.explode(D.words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return wf.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("distinct_ratio"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_word_ratio"),
+    )

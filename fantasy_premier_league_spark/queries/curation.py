@@ -1,0 +1,222 @@
+"""Corpus-curation queries: decontamination, PII scrub, packing, mixing,
+containment — the post-dedup stages of a training-data release pipeline.
+
+All five are fully value-hash checked: the operators are pure Column /
+window expressions, so the DuckDB oracle replays them exactly (including
+the regex redaction — the patterns are written in the Java∩RE2 subset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import curation as C
+from ..operators import dedup as D
+from ..operators import pii as P
+from . import query
+from .dedup import _NORM, _SH_CTE, _WORDS
+
+
+def _sh_cte_n(n: int) -> str:
+    """DuckDB CTE body for distinct (id, word n-gram shingle) pairs."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT doc_id AS id,
+                   unnest(CASE WHEN len(w) >= {n}
+                               THEN list_transform(generate_series(1, len(w) - {n - 1}),
+                                                   i -> {gram})
+                               ELSE []::VARCHAR[] END) AS shingle
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        )
+    )"""
+
+
+@query(
+    "q83_decontaminate",
+    f"""
+    WITH {_sh_cte_n(5)},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE id % 17 = 0),
+    c AS (SELECT * FROM sh WHERE id % 17 != 0)
+    SELECT c.id AS doc_id,
+           count(*)::BIGINT AS n_shingles,
+           count(ev.shingle)::BIGINT AS n_hit,
+           round(count(ev.shingle)::DOUBLE / count(*), 6) AS overlap,
+           (round(count(ev.shingle)::DOUBLE / count(*), 6) >= 0.2)::INT AS contaminated
+    FROM c LEFT JOIN ev USING (shingle)
+    GROUP BY c.id
+    """,
+    doc="Benchmark decontamination: every training doc's 5-gram overlap "
+    "against the eval set's shingle universe (eval = doc_id % 17 == 0, a "
+    "deterministic 6% holdout). The standard pre-release contamination "
+    "check. Plan: two exploded shingle sets, one hash join on the shingle "
+    "key (AQE promotes to broadcast when the eval universe is genuinely "
+    "small), one groupBy(doc) with partial agg — no all-pairs, no collect.",
+    tags=("curation", "decontamination", "llm-pipeline"),
+)
+def q83_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return (
+        C.decontaminate_overlap(corpus, eval_df, "doc_id", "text", n=5, threshold=0.2)
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+# deterministic synthetic contact tail: the corpus text is synthetic word
+# soup with no PII, so the query plants one email/phone/IP per doc, derived
+# only from doc_id, identically on both engines — the regex pipeline is then
+# value-checked end-to-end on non-degenerate matches.
+_CONTACT_SQL = (
+    "text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||"
+    " '.example.com or 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||"
+    " lpad((doc_id % 10000)::VARCHAR, 4, '0') ||"
+    " ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)"
+)
+
+
+def _contact_col() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail"),
+        (d % 7).cast("string"),
+        F.lit(".example.com or 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (d % 256).cast("string"),
+        F.lit(".0."),
+        ((d * 7) % 256).cast("string"),
+    )
+
+
+def _pii_oracle() -> str:
+    exprs = []
+    red = "t"
+    for name, pattern, repl in P.PII_PATTERNS:
+        exprs.append(f"len(regexp_extract_all(t, '{pattern}'))::BIGINT AS n_{name}")
+        red = f"regexp_replace({red}, '{pattern}', '{repl}', 'g')"
+    total = " + ".join(f"len(regexp_extract_all(t, '{p}'))" for _, p, _ in P.PII_PATTERNS)
+    return f"""
+    WITH t AS (SELECT doc_id, {_CONTACT_SQL} AS t FROM documents)
+    SELECT doc_id, {', '.join(exprs)},
+           ({total})::BIGINT AS n_pii,
+           md5({red}) AS redacted_key
+    FROM t
+    """
+
+
+@query(
+    "q84_pii_scrub",
+    _pii_oracle(),
+    doc="PII detection + redaction (operators/pii.py): per-doc counts of "
+    "email/phone/IPv4 matches and the md5 of the fully redacted text. "
+    "Patterns live in the Java∩RE2 regex subset so the identical strings "
+    "run in Spark codegen and in the oracle. Pure regexp_replace/"
+    "regexp_count Column chain — zero shuffles, zero Python; the scan IS "
+    "the cost at 100 TB.",
+    tags=("curation", "pii", "llm-pipeline"),
+)
+def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("__t", _contact_col())
+    prof = P.pii_profile(docs, "doc_id", "__t")
+    counts = [f"n_{name}" for name, _, _ in P.PII_PATTERNS]
+    return prof.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in counts],
+        F.col("n_pii").cast("long").alias("n_pii"),
+        "redacted_key",
+    )
+
+
+@query(
+    "q85_sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, doc_id % 4 AS pack_bucket,
+               len({_WORDS})::BIGINT AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, pack_bucket, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source, pack_bucket
+                                   ORDER BY doc_id)::BIGINT AS running_tokens
+        FROM t
+    )
+    SELECT doc_id, source, pack_bucket, n_tokens, running_tokens,
+           ((running_tokens - 1) // 512)::BIGINT AS shard_id
+    FROM r
+    """,
+    doc="Sequence packing: assign docs to fixed 512-token training shards "
+    "within (source, doc_id % 4) pack buckets — greedy fill-forward on a "
+    "running token sum. ONE window per bucket; the sub-bucket key keeps a "
+    "whole source off a single task, so packing parallelism scales with "
+    "sub_buckets while shard numbering stays bucket-local and "
+    "deterministic.",
+    tags=("curation", "packing", "llm-pipeline"),
+)
+def q85_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.pack_sequences(
+        docs, "doc_id", "text", budget=512, partition_col="source", sub_buckets=4
+    )
+
+
+@query(
+    "q86_domain_mix",
+    """
+    WITH c AS (
+        SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(n_docs) AS total, count(*) AS n_groups FROM c)
+    SELECT lang, source, n_docs,
+           round(total / n_groups, 6) AS target_n,
+           round(least(1.0, (total / n_groups) / n_docs), 6) AS sample_rate,
+           round(least(total / n_groups, n_docs::DOUBLE), 6) AS expected_n
+    FROM c CROSS JOIN t
+    """,
+    doc="Domain-mix rebalancing: per-(lang, source) sampling rates toward "
+    "the uniform target mix. One bounded-key groupBy collapses the corpus "
+    "to n_groups rows; the total is a 1-row broadcast cross join, not a "
+    "window over data. Rates feed the deterministic hash-sampler to "
+    "materialize the rebalanced corpus.",
+    tags=("curation", "mixing", "llm-pipeline"),
+)
+def q86_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.domain_mix_rates(docs, ["lang", "source"])
+
+
+@query(
+    "q87_containment_pairs",
+    f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / least(sa.n_shingles, sb.n_shingles), 6) AS containment
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / least(sa.n_shingles, sb.n_shingles) >= 0.2
+    """,
+    doc="Asymmetric containment pairs |A∩B|/min(|A|,|B|) >= 0.2 — catches "
+    "the quote/boilerplate case Jaccard under-scores (a short doc wholly "
+    "inside a long one). Same inverted-index plan as q41, different "
+    "denominator.",
+    tags=("dedup", "containment", "llm-pipeline"),
+)
+def q87_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.2)

@@ -1,0 +1,130 @@
+"""Curation operators: decontamination, PII scrub, packing, mixing,
+containment — unit-level edge cases the q83–q87 oracles don't isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.operators import curation as C
+from fantasy_premier_league_spark.operators import pii as P
+from fantasy_premier_league_spark.operators.dedup import containment_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDecontaminate:
+    def test_copied_doc_fully_contaminated(self, spark):
+        eval_df = _docs(spark, [(100, "a b c d e f g h")])
+        corpus = _docs(
+            spark,
+            [
+                (1, "a b c d e f g h"),  # verbatim eval copy
+                (2, "x y z w v u t s"),  # disjoint
+                (3, "a b c d e zz yy xx"),  # one shared 5-gram
+            ],
+        )
+        out = {
+            r["id"]: r
+            for r in C.decontaminate_overlap(
+                corpus, eval_df, "doc_id", "text", n=5, threshold=0.2
+            ).collect()
+        }
+        assert out[1]["overlap"] == pytest.approx(1.0)
+        assert out[1]["contaminated"] == 1
+        assert out[2]["n_hit"] == 0 and out[2]["contaminated"] == 0
+        assert out[3]["n_hit"] == 1 and out[3]["n_shingles"] == 4
+
+    def test_short_docs_have_no_shingles(self, spark):
+        corpus = _docs(spark, [(1, "too short")])
+        eval_df = _docs(spark, [(2, "a b c d e")])
+        assert C.decontaminate_overlap(corpus, eval_df, "doc_id", "text", n=5).count() == 0
+
+
+class TestPii:
+    def test_counts_and_redaction(self, spark):
+        df = _docs(
+            spark,
+            [(1, "mail a.b+c@x-y.co now, call 555-123-4567 or ping 192.168.0.1 twice 10.0.0.255")],
+        )
+        r = P.pii_profile(df, "doc_id", "text").collect()[0]
+        assert (r["n_email"], r["n_phone"], r["n_ipv4"], r["n_pii"]) == (1, 1, 2, 4)
+        assert r["redacted"] == "mail <EMAIL> now, call <PHONE> or ping <IP> twice <IP>"
+
+    def test_idempotent(self, spark):
+        df = _docs(spark, [(1, "x a@b.io 555-000-1111 1.2.3.4")])
+        once = P.pii_profile(df, "doc_id", "text").select(F.col("redacted").alias("text"), "doc_id")
+        twice = P.pii_profile(once, "doc_id", "text").collect()[0]
+        assert twice["n_pii"] == 0
+        assert twice["redacted"] == "x <EMAIL> <PHONE> <IP>"
+
+    def test_email_digits_not_half_redacted_as_phone(self, spark):
+        df = _docs(spark, [(1, "a 555-123-4567@mail.com b")])
+        r = P.pii_profile(df, "doc_id", "text").collect()[0]
+        assert r["redacted"] == "a <EMAIL> b"
+        assert r["n_email"] == 1
+
+
+class TestPackSequences:
+    def test_shard_boundaries_and_oversize_doc(self, spark):
+        # single bucket: tokens 3,3,3 with budget 4 → cum 3,6,9 → shards 0,1,2
+        df = _docs(spark, [(1, "a b c"), (2, "d e f"), (3, "g h i")])
+        out = {r["doc_id"]: r for r in C.pack_sequences(df, "doc_id", "text", budget=4).collect()}
+        assert [out[i]["shard_id"] for i in (1, 2, 3)] == [0, 1, 2]
+        # a doc alone bigger than the budget still lands in one shard
+        big = _docs(spark, [(1, " ".join(["w"] * 10))])
+        assert C.pack_sequences(big, "doc_id", "text", budget=4).collect()[0]["shard_id"] == 2
+
+    def test_sub_buckets_partition_independently(self, spark):
+        df = _docs(spark, [(i, "a b c d") for i in range(8)])
+        out = C.pack_sequences(df, "doc_id", "text", budget=8, sub_buckets=4).collect()
+        # each bucket holds ids {i, i+4}: running 4, 8 → both in shard 0
+        assert {r["pack_bucket"] for r in out} == {0, 1, 2, 3}
+        assert all(r["shard_id"] == 0 for r in out)
+
+
+class TestDomainMix:
+    def test_uniform_target(self, spark):
+        df = spark.createDataFrame(
+            [("en",)] * 6 + [("fr",)] * 2, "lang string"
+        )
+        out = {r["lang"]: r for r in C.domain_mix_rates(df, ["lang"]).collect()}
+        # target = 8/2 = 4 per group
+        assert out["en"]["sample_rate"] == pytest.approx(4 / 6, abs=1e-6)
+        assert out["fr"]["sample_rate"] == 1.0  # under-represented: kept whole
+        assert out["fr"]["expected_n"] == 2.0
+
+    def test_explicit_target_shares(self, spark):
+        df = spark.createDataFrame([("en",)] * 8 + [("fr",)] * 2, "lang string")
+        out = {
+            r["lang"]: r
+            for r in C.domain_mix_rates(
+                df, ["lang"], target_shares={("en",): 0.5, ("fr",): 0.5}
+            ).collect()
+        }
+        assert out["en"]["target_n"] == 5.0
+        assert out["en"]["sample_rate"] == pytest.approx(5 / 8, abs=1e-6)
+        assert out["fr"]["sample_rate"] == 1.0
+
+
+class TestContainment:
+    def test_embedded_doc_scores_full_containment(self, spark):
+        long_doc = "p q r s t u v w x y z aa bb cc"
+        short_doc = "s t u v w"  # contiguous slice of long_doc
+        df = _docs(spark, [(1, long_doc), (2, short_doc)])
+        rows = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        assert r["containment"] == pytest.approx(1.0)
+
+    def test_jaccard_would_miss_it(self, spark):
+        from fantasy_premier_league_spark.operators.dedup import ngram_jaccard_pairs
+
+        long_doc = "p q r s t u v w x y z aa bb cc"
+        short_doc = "s t u v w"
+        df = _docs(spark, [(1, long_doc), (2, short_doc)])
+        jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+        assert jac.count() == 0  # 3/12 union → 0.25 < 0.5

@@ -225,6 +225,61 @@ class TestStreamStreamJoin:
         assert len(got) >= int(0.5 * len(want))
 
 
+class TestStreamingDedup:
+    def test_replayed_events_dedup_to_batch_distinct(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark over a doubled feed == batch distinct."""
+        from fantasy_premier_league_spark.catalog import load as cat_load
+        from fantasy_premier_league_spark.streaming.dedup import dedup_stream
+
+        ev = cat_load(spark, "/root/testdata/sf0.001", "events").limit(300)
+        src = str(tmp_path / "events_dup")
+        ev.write.parquet(src)  # original delivery
+        ev.write.mode("append").parquet(src)  # full replay (every row twice)
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        deduped = dedup_stream(stream, ["event_id"], ts="ts", watermark="1 hour")
+        (
+            deduped.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .format("memory")
+            .queryName("dedup_stream_test")
+            .start()
+            .awaitTermination(120)
+        )
+        got = spark.sql("SELECT event_id FROM dedup_stream_test").collect()
+        ids = [r.event_id for r in got]
+        assert len(ids) == len(set(ids)), "a replayed event slipped through"
+        assert set(ids) == {r.event_id for r in ev.collect()}
+
+    def test_content_dedup_drops_same_text_under_new_ids(self, spark, tmp_path):
+        from fantasy_premier_league_spark.streaming.dedup import content_dedup_stream
+
+        rows = [
+            (1, "2024-01-01 00:00:00", "Hello   World"),
+            (2, "2024-01-01 00:00:10", "hello world"),  # same normalized content
+            (3, "2024-01-01 00:00:20", "something else"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, ts string, text string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        src = str(tmp_path / "docs_src")
+        df.write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = content_dedup_stream(stream, "text", ts="ts", watermark="10 minutes")
+        (
+            out.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .format("memory")
+            .queryName("content_dedup_test")
+            .start()
+            .awaitTermination(120)
+        )
+        kept = spark.sql("SELECT doc_id FROM content_dedup_test").collect()
+        kept_ids = sorted(r.doc_id for r in kept)
+        assert len(kept_ids) == 2 and 3 in kept_ids
+        assert len({1, 2} & set(kept_ids)) == 1  # exactly one of the dup pair survives
+
+
 class TestFileSinks:
     """S4 (JSON sink) and S7 (CSV sink) round-trips — schema and values
     survive the write/read cycle, including the S12 timestamped naming."""

@@ -379,17 +379,24 @@ def connected_components(
     SimHash / Jaccard) form a graph whose components are the duplicate
     groups; one canonical doc (the min id) survives per group.
 
-    Algorithm: min-label propagation — each round every node takes the min
-    of its own label and its neighbors' labels. Rounds needed = graph
-    diameter; near-dup components are shallow (pairs all share content), so
-    convergence is typically 2-4 rounds. Each round is ONE shuffle of the
-    edge list keyed by node; labels persist round-over-round and the
-    convergence test is a single scalar count per round (the standard
-    iterate-to-fixpoint driver pattern, same as MLlib's). For adversarial
-    deep graphs at cluster scale, the drop-in upgrade is alternating
-    small-star/large-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — same dataflow primitives,
-    O(log d) rounds.
+    Algorithm: min-label propagation WITH pointer jumping (the
+    hooking + shortcutting scheme of Shiloach-Vishkin / FastSV, expressed
+    as DataFrame joins). Each round:
+
+    1. hook: every node takes the min of its label and its neighbors'
+       labels (one edge join + groupBy);
+    2. shortcut: every node then takes its label's label
+       (``l(u) <- l(l(u))``, one self-join on the label mapping) — the
+       path from a node to its component minimum at least halves, so
+       convergence needs O(log d) rounds, not d. A diameter-1000 chain
+       converges in ~10 rounds; plain propagation would need 1000.
+
+    Labels are monotone non-increasing and always node ids within the
+    component, so the fixpoint is exactly min-reachable-id (the same
+    closure a recursive SQL CTE computes — q29's oracle). For the largest
+    graphs the remaining upgrade is small-star/large-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which also bounds the per-round edge fan-in on skewed hubs.
     """
     import warnings
 
@@ -403,7 +410,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+    # init already folds round one in: l0(u) = min(u, min neighbor)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__nm"))
+        .select("u", F.least(F.col("u"), F.col("__nm")).alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -412,15 +425,25 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vlabel").alias("nmin"))
         )
+        hooked = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.col("label").alias("__old"),
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+        )
+        # shortcut: chase one pointer — labels are node ids, so the hooked
+        # frame itself is the mapping; jumped label <= hooked label always
+        jump = hooked.select(F.col("u").alias("label"), F.col("label").alias("__jmp"))
         # carry the per-row improvement flag through the checkpoint so the
         # convergence test is a scalar agg over checkpointed partitions, not
         # another join
         new_labels = (
-            labels.join(nbr_min, "u", "left")
+            hooked.join(jump, "label", "left")
             .select(
                 "u",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-                (F.coalesce("nmin", "label") < F.col("label")).cast("int").alias("__chg"),
+                F.least(F.col("label"), F.coalesce("__jmp", "label")).alias("label"),
+                (F.least(F.col("label"), F.coalesce("__jmp", "label")) < F.col("__old"))
+                .cast("int")
+                .alias("__chg"),
             )
             .localCheckpoint()
         )

@@ -424,33 +424,38 @@ def lsh_bucket_topk(
     dim_row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
     planes = rng.standard_normal((n_tables, n_planes, int(dim_row["d"])))
 
-    def sig_expr(vec: F.Column, table: int) -> F.Column:
-        bits = [
-            (
-                F.aggregate(
-                    F.zip_with(vec.cast("array<double>"), F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0
-            ).cast("int").cast("string")
-            for plane in planes[table]
-        ]
-        return F.concat_ws("", *bits)
+    # the plane tensor rides in ONE broadcast row (t x p x d nested array),
+    # not as plan literals: inlining n_tables*n_planes*dim F.lit nodes made
+    # Catalyst analysis/codegen the dominant cost (~4s per run regardless of
+    # data size). The signature math is unchanged — per plane, the same
+    # sequential zip_with/aggregate fold, so results are bit-identical and
+    # the oracle literals still replay them exactly.
+    spark = corpus.sparkSession
+    planes_df = spark.createDataFrame(
+        [(planes.tolist(),)], "planes array<array<array<double>>>"
+    )
 
     def tabled(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        vec = F.col(vec_col)
-        tables = F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), sig_expr(vec, t).alias("bucket"))
-                for t in range(n_tables)
-            ]
+        vec = F.col(vec_col).cast("array<double>")
+
+        def bit(plane: F.Column) -> F.Column:
+            dot = F.aggregate(
+                F.zip_with(vec, plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            )
+            return (dot >= 0).cast("int").cast("string")
+
+        tables = F.transform(
+            F.col("planes"),
+            lambda pl, t: F.struct(
+                t.cast("int").alias("t"),
+                F.array_join(F.transform(pl, bit), "").alias("bucket"),
+            ),
         )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            vec.cast("array<double>").alias(out_vec),
-            F.explode(tables).alias("tb"),
-        ).select(out_id, out_vec, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        return (
+            df.crossJoin(F.broadcast(planes_df))
+            .select(F.col(id_col).alias(out_id), vec.alias(out_vec), F.explode(tables).alias("tb"))
+            .select(out_id, out_vec, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        )
 
     c = tabled(corpus, "neighbor_id", "cvec")
     q = tabled(queries, "query_id", "qvec")

@@ -260,11 +260,51 @@ class TestConnectedComponents:
     def test_max_iter_caps_rounds(self, spark):
         from fantasy_premier_league_spark.operators.dedup import connected_components
 
-        # a long chain with max_iter=1: only direct neighbors converge
-        pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
-        got = {r.id: r.cluster_id for r in connected_components(pairs, max_iter=1).collect()}
-        # after one round node 4 has only seen 3's initial label
-        assert got[4] == 3 and got[2] == 1
+        # hook+shortcut covers ~4 hops per round, so an 8-chain under
+        # max_iter=1 is still partial at the far end
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+        )
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            got = {
+                r.id: r.cluster_id
+                for r in connected_components(pairs, max_iter=1).collect()
+            }
+        assert got[4] == 1 and got[8] == 4  # near end done, far end partial
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        from fantasy_premier_league_spark.operators.dedup import connected_components
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 60
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(45 + 15 * trial)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            touched = sorted({x for e in edges for x in e})
+            want = {}
+            for x in touched:
+                root = find(x)
+                want[x] = min(y for y in touched if find(y) == root)
+
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+            assert got == want, f"trial {trial} diverged from union-find"
 
     def test_warns_when_round_budget_too_small(self, spark):
         from fantasy_premier_league_spark.operators.dedup import connected_components

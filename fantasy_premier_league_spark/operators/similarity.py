@@ -471,6 +471,128 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 8,
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The full 100 TB ANN composition in one lazy plan: IVF cell pruning →
+    PQ asymmetric-distance scan of the probed cells → exact cosine rerank
+    of the ADC shortlist.
+
+    This is the architecture every large-scale vector index uses
+    (FAISS-style IVF-PQ): the stored corpus is (cell, codes) — one small
+    int per subspace, ~8x smaller than raw vectors — partitioned by cell
+    so a probe is partition pruning; the ADC scan touches only
+    ~n_probe/n_cells of the encoded rows and costs one (j, code) lookup
+    join against a broadcast query distance table; only the ``shortlist``
+    ids per query ever fetch their full vectors again, so the exact rerank
+    reads k' rows per query, not the corpus.
+
+    Every stage is deterministic dataflow (seeded cells, seeded codebook,
+    F.round on the JVM — no numpy, no collect), so an external SQL engine
+    replays cells, codes, ADC sums, shortlist, and rerank value-for-value
+    (q88's oracle). Recall knobs: n_probe (cell recall) and shortlist
+    (quantization recall); precision of what is returned is exact.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    d_sub = dim // m
+    e = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    # --- stage 1: seeded IVF (same closed form as ivf_topk_seeded) ---
+    seeds = e.orderBy("vid").limit(n_cells).select(F.col("vid").alias("cell"), F.col("v").alias("sv"))
+    ivf_dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("sv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("dist", ivf_dist)
+        .withColumn("rn", F.row_number().over(W.partitionBy("vid").orderBy("dist", "cell")))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vid", "cell")
+    probes = (
+        ranked.join(queries.select(F.col(id_col).alias("vid")), "vid", "left_semi")
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vid").alias("query_id"), "cell")
+    )
+
+    # --- stage 2: the stored index = (cell, codes), no raw vectors ---
+    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k_codes=k_codes)
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
+    enc = assign.join(codes, "vid")
+
+    # query-side distance table, pure dataflow: nq x m x k_codes rows
+    qsubs = F.array(*[F.slice("v", j * d_sub + 1, d_sub) for j in range(m)])
+    qd = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .select("query_id", F.posexplode(qsubs).alias("j", "sub"))
+        .join(F.broadcast(cb), "j")
+        .select(
+            "query_id",
+            "j",
+            "code",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("sub"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d2"),
+        )
+    )
+
+    # --- stage 3: ADC over probed cells only ---
+    cand = enc.join(F.broadcast(probes), "cell").filter(F.col("vid") != F.col("query_id"))
+    pairs_j = cand.select("query_id", "vid", F.posexplode("codes").alias("j", "code"))
+    adc = (
+        pairs_j.join(F.broadcast(qd), ["query_id", "j", "code"])
+        .groupBy("query_id", "vid")
+        .agg(F.round(F.sum("d2"), 6).alias("adc"))
+    )
+    short = (
+        adc.withColumn(
+            "srn", F.row_number().over(W.partitionBy("query_id").orderBy("adc", "vid"))
+        )
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "vid")
+    )
+
+    # --- stage 4: exact rerank — full vectors fetched for shortlist ids only ---
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec"))
+    rer = (
+        short.join(e, "vid")
+        .withColumnRenamed("v", "cvec")
+        .join(F.broadcast(qv), "query_id")
+    )
+    cosine = F.round(
+        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        round_digits,
+    )
+    scored = rer.select("query_id", F.col("vid").alias("neighbor_id"), cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def pq_codebook(
     corpus: DataFrame,
     *,

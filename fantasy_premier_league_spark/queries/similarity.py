@@ -299,3 +299,88 @@ def q26_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.pq_topk(emb, queries, k=3, m=8, k_codes=16)
+
+
+@query(
+    "q88_ivf_pq_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cell, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+    ivf AS (
+        SELECT e.vec_id, s.cell,
+               round(sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> (e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])))), 6) AS dist
+        FROM e CROSS JOIN seeds s
+    ),
+    ivfr AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM ivf
+    ),
+    assign AS (SELECT vec_id, cell FROM ivfr WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM ivfr WHERE vec_id < 10 AND rn <= 8),
+    js AS (SELECT unnest(generate_series(0, 15)) AS j),
+    cseeds AS (SELECT vec_id AS code, v AS sv FROM e ORDER BY vec_id LIMIT 32),
+    cb AS (SELECT code, j, list_slice(sv, j*4 + 1, j*4 + 4) AS cent FROM cseeds CROSS JOIN js),
+    subs AS (SELECT vec_id, j, list_slice(v, j*4 + 1, j*4 + 4) AS sub FROM e CROSS JOIN js),
+    dists AS (
+        SELECT s.vec_id, s.j, c.code,
+               round(list_sum(list_transform(generate_series(1, 4),
+                     i -> (s.sub[i] - c.cent[i]) * (s.sub[i] - c.cent[i]))), 6) AS d2
+        FROM subs s JOIN cb c ON s.j = c.j
+    ),
+    codes AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    qd AS (SELECT vec_id AS query_id, j, code, d2 FROM dists WHERE vec_id < 10),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM assign a JOIN probes p ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.neighbor_id, round(sum(qd.d2), 6) AS adc
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.neighbor_id
+        JOIN qd ON qd.query_id = c.query_id AND qd.j = k.j AND qd.code = k.code
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS srn
+            FROM adc
+        ) WHERE srn <= 32
+    ),
+    scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_dot_product(q.v, n.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 4) AS cosine
+        FROM short s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="The 100 TB ANN composition, one lazy plan: seeded IVF cell pruning "
+    "(probe = join on the cell key ≙ partition pruning) → PQ asymmetric-"
+    "distance scan of ONLY the probed cells (stored index = cell + 16 small "
+    "ints per vector; ADC = broadcast (query,j,code)->d2 lookup join) → "
+    "exact cosine rerank of the 32-deep shortlist (full vectors fetched for "
+    "shortlist ids only). All three stages closed-form/seeded, so the "
+    "oracle replays cells, codes, ADC sums, shortlist, and rerank "
+    "value-for-value.",
+    tags=("similarity", "ann", "ivf", "pq", "composition"),
+)
+def q88_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_pq_topk(
+        emb, queries, k=3, n_cells=16, n_probe=8, m=16, k_codes=32, shortlist=32
+    )

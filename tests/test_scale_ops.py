@@ -94,6 +94,21 @@ class TestIvf:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.9  # probing the home cell of tight clusters
 
+    def test_ivf_pq_composition_recall_on_testdata(self, spark):
+        # the q88 composition at its registered knobs, gated against exact
+        # brute force on the real sf0.01 embeddings: quantization loss is
+        # bounded by the 32-deep shortlist, cell loss by n_probe 8/16
+        from fantasy_premier_league_spark.catalog import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in S.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=3).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in S.ivf_pq_topk(emb, queries, k=3, n_cells=16, n_probe=8,
+                                         m=16, k_codes=32, shortlist=32).collect()}
+        assert len(exact & approx) / len(exact) >= 0.85
+
 
 class TestLshRecall:
     def test_multi_table_recall_floor_against_bruteforce(self, spark):

@@ -143,3 +143,36 @@ class TestNewOperatorPlans:
 
         plan = plan_of(spark, "q76_rank_family")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
+
+
+class TestCurationPlans:
+    def test_q84_pii_scrub_zero_shuffles(self, spark):
+        # regex chain must stay entirely inside the scan stage: no
+        # Exchange, no Python anywhere
+        import re
+
+        plan = plan_of(spark, "q84_pii_scrub")
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 0
+        assert "Python" not in plan
+
+    def test_q85_packing_single_window_exchange(self, spark):
+        # one running-sum window per pack partition -> exactly one hash
+        # exchange on the (source, bucket) key
+        import re
+
+        plan = plan_of(spark, "q85_sequence_packing")
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
+        assert plan.count("Window") == 1
+
+    def test_q83_decontaminate_no_cartesian(self, spark):
+        plan = plan_of(spark, "q83_decontaminate")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q88_ivf_pq_all_jvm_no_cartesian_scan(self, spark):
+        # the composition must not degenerate: no Python (the ADC lookup is
+        # a broadcast hash join, not a UDF), and the only nested-loop join
+        # is the bounded corpus x 16-seed fan-out (which AQE broadcasts)
+        plan = plan_of(spark, "q88_ivf_pq_topk")
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan

@@ -220,3 +220,49 @@ def q86_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q87_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@query(
+    "q89_unigram_logprob",
+    f"""
+    WITH w AS (
+        SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+    ),
+    freq AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    tot AS (SELECT sum(n) AS total FROM freq)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           round(avg(ln(freq.n / tot.total)), 6) AS avg_logprob,
+           round(-avg(ln(freq.n / tot.total)) / ln(2), 6) AS bits_per_token
+    FROM w JOIN freq USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Corpus-unigram log-probability per document — the language-model "
+    "quality filter (Gopher/CCNet style) at its simplest: a doc whose "
+    "tokens are improbable under the corpus unigram distribution (high "
+    "bits/token) is gibberish; one whose tokens are too probable is "
+    "boilerplate. Two-pass dataflow: pass 1 builds the unigram table (one "
+    "word-key groupBy, bounded by vocabulary), pass 2 re-joins it to the "
+    "token stream and averages per doc. The total is a 1-row broadcast "
+    "cross join; the word->count table broadcasts when the vocabulary "
+    "fits (AQE decides). At 100 TB both passes are linear scans; the "
+    "vocabulary table is the only state and it is lexicon-sized, not "
+    "corpus-sized.",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q89_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(D.words(F.col("text"))).alias("word"))
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    logp = F.log(F.col("n") / F.col("total"))
+    return (
+        w.join(freq, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+            F.round(-F.avg(logp) / F.log(F.lit(2.0)), 6).alias("bits_per_token"),
+        )
+    )

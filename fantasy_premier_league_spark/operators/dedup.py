@@ -213,14 +213,11 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, *, bands: int = 16) -> DataFrame:
-    """Banded LSH: docs agreeing on all rows of any band become a candidate
-    pair. Shuffle is on (band_idx, band_signature) buckets only — this is
-    what makes near-dup feasible at 100 TB (never all-pairs).
-    """
+def _banded(sig_df: DataFrame, bands: int) -> DataFrame:
+    """(id, band_idx, band_sig) — one row per signature band."""
     sig = sig_df.select("id", "sig")
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -235,6 +232,14 @@ def lsh_candidate_pairs(sig_df: DataFrame, *, bands: int = 16) -> DataFrame:
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_sig")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, *, bands: int = 16) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become a candidate
+    pair. Shuffle is on (band_idx, band_signature) buckets only — this is
+    what makes near-dup feasible at 100 TB (never all-pairs).
+    """
+    banded = _banded(sig_df, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -285,6 +290,63 @@ def minhash_dedup_pairs(
         .withColumn("jaccard_est", F.round(est, 6))
         .filter(F.col("jaccard_est") >= est_threshold)
         .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dups of a NEW batch against a stored signature index — the
+    nightly-ingest pattern: the historical corpus is never re-sketched,
+    only its (id, sig) table (``minhash_signatures`` output, persisted as
+    the index; num_hashes longs per doc) participates.
+
+    Only the new batch pays the shingle explode; candidates come from the
+    band join new-bands ⋈ index-bands, so the shuffle is new-batch-sized
+    plus the touched index buckets — at 100 TB the index side is a
+    parquet table partitioned by band, and this join is partition-pruned
+    bucket probing. Returns (new_id, index_id, jaccard_est); new ids that
+    survive (no pair ≥ threshold) are appended to the index, which is
+    exactly how the store grows.
+
+    Same seeded permutation family as :func:`minhash_signatures` — the
+    caller must build the index with identical (n, num_hashes, seed,
+    portable) or estimates are meaningless.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
+    ).persist()
+    nb = _banded(new_sigs, bands).withColumnRenamed("id", "new_id")
+    ib = _banded(index_sigs, bands).withColumnRenamed("id", "index_id")
+    cand = (
+        nb.join(ib, ["band_idx", "band_sig"])
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    a = new_sigs.withColumnsRenamed({"id": "new_id", "sig": "sig_a"})
+    b = index_sigs.withColumnsRenamed({"id": "index_id", "sig": "sig_b"})
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("sig_a")
+    return (
+        cand.join(a, "new_id")
+        .join(b, "index_id")
+        .withColumn("jaccard_est", F.round(est, 6))
+        .filter(F.col("jaccard_est") >= est_threshold)
+        .select("new_id", "index_id", "jaccard_est")
     )
 
 

@@ -412,3 +412,69 @@ def q82_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("distinct_ratio"),
         F.round(F.max("n") / F.sum("n"), 6).alias("top_word_ratio"),
     )
+
+
+def _minhash_incremental_oracle(num_hashes: int, bands: int, threshold: float, seed: int) -> str:
+    """DuckDB SQL replaying minhash_incremental_pairs(portable=True): the
+    full sketch for BOTH sides (same md5 base hash + seeded permutations),
+    banded join restricted to new-batch (doc_id % 3 = 0) vs index rows."""
+    params = _hash_params(num_hashes, seed)
+    mins = ",\n               ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE31}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    rpb = num_hashes // bands
+    band_keys = ",\n                   ".join(
+        f"'b{bidx}|' || " + " || ',' || ".join(f"h{bidx * rpb + j}::VARCHAR" for j in range(rpb))
+        for bidx in range(bands)
+    )
+    eq_sum = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(num_hashes))
+    return f"""
+    WITH {_SH_CTE},
+    hv AS (
+        SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT & {_MASK30} AS h
+        FROM sh
+    ),
+    sig AS (
+        SELECT id, {mins}
+        FROM hv GROUP BY id
+    ),
+    banded AS (
+        SELECT id, unnest([{band_keys}]) AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS new_id, b.id AS index_id
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.id % 3 = 0 AND b.id % 3 != 0
+    )
+    SELECT c.new_id, c.index_id, round(({eq_sum}) / {num_hashes}.0, 6) AS jaccard_est
+    FROM cand c
+    JOIN sig sa ON sa.id = c.new_id
+    JOIN sig sb ON sb.id = c.index_id
+    WHERE round(({eq_sum}) / {num_hashes}.0, 6) >= {threshold}
+    """
+
+
+@query(
+    "q90_incremental_dedup",
+    _minhash_incremental_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42),
+    doc="Incremental dedup — a new ingest batch (doc_id % 3 == 0) checked "
+    "against the stored MinHash signature index of the existing corpus "
+    "(the rest): only the new batch is sketched; candidates come from the "
+    "new-bands ⋈ index-bands join (at scale: band-partitioned index table, "
+    "partition-pruned bucket probing), estimates from signature agreement. "
+    "The oracle replays both sides' sketches and the asymmetric band join "
+    "value-for-value.",
+    tags=("dedup", "minhash", "incremental", "llm-pipeline"),
+)
+def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    index_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index_sigs = D.minhash_signatures(
+        index_docs, "doc_id", "text", n=3, num_hashes=64, seed=42, portable=True
+    )
+    return D.minhash_incremental_pairs(
+        new_batch, index_sigs, "doc_id", "text",
+        n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True,
+    )

@@ -128,3 +128,38 @@ class TestContainment:
         df = _docs(spark, [(1, long_doc), (2, short_doc)])
         jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
         assert jac.count() == 0  # 3/12 union → 0.25 < 0.5
+
+
+class TestIncrementalDedup:
+    def test_matches_full_selfjoin_cross_pairs(self, spark):
+        from fantasy_premier_league_spark.operators.dedup import (
+            minhash_dedup_pairs,
+            minhash_incremental_pairs,
+            minhash_signatures,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base),
+            (2, base + " tail"),          # near-dup of 1
+            (3, "completely different words in this one here now ok fine"),
+            (4, base + " extra tail"),    # new batch: near-dup of 1/2
+            (5, "another unrelated document with its own content entirely"),
+        ]
+        docs = _docs(spark, rows)
+        index_docs = docs.filter("doc_id <= 3")
+        batch = docs.filter("doc_id > 3")
+
+        kw = dict(n=3, num_hashes=32, bands=8, est_threshold=0.3, portable=True)
+        index_sigs = minhash_signatures(index_docs, "doc_id", "text", n=3, num_hashes=32, portable=True)
+        inc = {
+            (r.new_id, r.index_id, r.jaccard_est)
+            for r in minhash_incremental_pairs(batch, index_sigs, "doc_id", "text", **kw).collect()
+        }
+        full = minhash_dedup_pairs(docs, "doc_id", "text", **kw)
+        want = {
+            (r.id_b, r.id_a, r.jaccard_est)
+            for r in full.collect()
+            if r.id_b > 3 and r.id_a <= 3
+        }
+        assert inc == want and len(inc) > 0

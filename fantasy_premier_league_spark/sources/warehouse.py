@@ -44,3 +44,28 @@ def write_bucketed_table(
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: str) -> DataFrame:
     """Join two same-bucketed tables on their bucket key — shuffle-free."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def write_sharded_corpus(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_cols: list[str],
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a packed corpus (operators/curation.py::pack_sequences
+    output) as the training-data layout: one directory per shard key, files
+    capped at ``max_records_per_file`` rows so downstream loaders get
+    uniformly sized inputs regardless of shard skew.
+
+    The row cap is Spark's write-side ``maxRecordsPerFile`` — enforcement
+    happens inside each task with no extra shuffle; combined with
+    ``partitionBy(shard_cols)`` the output is the
+    ``.../pack_bucket=N/shard_id=M/part-*.parquet`` tree a data loader
+    streams shard-by-shard (and the scanner partition-prunes when a single
+    shard is re-read for inspection)."""
+    writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*shard_cols).parquet(path)

@@ -163,3 +163,30 @@ class TestIncrementalDedup:
             if r.id_b > 3 and r.id_a <= 3
         }
         assert inc == want and len(inc) > 0
+
+
+class TestShardedCorpusWriter:
+    def test_layout_row_cap_and_roundtrip(self, spark, tmp_path):
+        import os
+
+        from fantasy_premier_league_spark.sources.warehouse import write_sharded_corpus
+
+        df = _docs(spark, [(i, "w " * 40) for i in range(40)])
+        packed = C.pack_sequences(df, "doc_id", "text", budget=100, sub_buckets=2)
+        out = str(tmp_path / "corpus")
+        write_sharded_corpus(
+            packed, out, shard_cols=["pack_bucket", "shard_id"], max_records_per_file=3
+        )
+        # directory-per-shard layout
+        assert any(d.startswith("pack_bucket=") for d in os.listdir(out))
+        back = spark.read.parquet(out)
+        assert back.count() == 40
+        # row cap enforced: no file holds more than 3 records
+        from pyspark.sql import functions as SF
+
+        per_file = back.groupBy(SF.input_file_name()).count().collect()
+        assert max(r["count"] for r in per_file) <= 3
+        # partition pruning: a single-shard read touches one directory
+        one = back.filter("pack_bucket = 0 AND shard_id = 0")
+        files = {r[0] for r in one.select(SF.input_file_name()).distinct().collect()}
+        assert all("pack_bucket=0" in f and "shard_id=0" in f for f in files)

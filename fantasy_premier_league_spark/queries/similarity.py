@@ -384,3 +384,46 @@ def q88_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk(
         emb, queries, k=3, n_cells=16, n_probe=8, m=16, k_codes=32, shortlist=32
     )
+
+
+@query(
+    "q91_embedding_dup_clusters",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.v AS id, r.label FROM reach r JOIN edges e ON r.id = e.u
+    )
+    SELECT id AS vec_id, min(label)::BIGINT AS cluster_id
+    FROM reach GROUP BY id
+    """,
+    doc="Embedding-dedup capstone: the q53 cosine pair graph (distributed "
+    "block pair-grid, threshold 0.35) fed through connected components "
+    "(hook + pointer-jump, O(log d) rounds) — (vector, cluster) with the "
+    "min id as the canonical survivor. The same shape as q29 but with "
+    "semantic (embedding) rather than lexical (SimHash) pair evidence; "
+    "the oracle replays pair generation AND the closure via a recursive "
+    "CTE, so the iterative path over a second graph family is value-hash "
+    "checked too.",
+    tags=("similarity", "dedup", "graph", "iterative"),
+)
+def q91_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs_grid(emb, id_col="vec_id", vec_col="embedding", threshold=0.35)
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("vec_id"), "cluster_id")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .dedup import doc_shingles, words
+from .dedup import doc_shingles, normalize_text, words
 
 
 def decontaminate_overlap(
@@ -102,6 +102,139 @@ def pack_sequences(
         n_tokens.cast("long").alias("n_tokens"),
         running.alias("running_tokens"),
         F.floor((running - 1) / F.lit(budget)).cast("long").alias("shard_id"),
+    )
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 15,
+    max_words: int = 10_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stop_hits: int = 2,
+    min_alpha_ratio: float = 0.7,
+    max_top_freq: float = 0.3,
+) -> DataFrame:
+    """Gopher-style per-document quality rules (Rae et al. 2021, §A1.1).
+
+    Emits the raw statistics, one 0/1 flag per rule, and the conjunction:
+
+    - word count within [min_words, max_words],
+    - mean word length within [min_mean_len, max_mean_len],
+    - at least ``min_stop_hits`` stop-word occurrences,
+    - alphabetic-token ratio >= min_alpha_ratio (symbol-soup guard),
+    - most-frequent-word share <= max_top_freq (repetition guard).
+
+    Scale shape: every stat except the repetition share is a pure Column
+    expression over the words array (scan-speed, whole-stage codegen). The
+    top-word share needs per-(doc, word) counts: one explode with two-level
+    partial aggregation keyed by doc_id — no window over the corpus, no
+    collect. Both shuffles are on doc_id, so AQE coalesces them together.
+    """
+    from .textstats import STOPWORDS
+
+    w = words(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_words = F.size(w)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            (F.length(normalize_text(F.col(text_col))) - (n_words - 1)) / n_words,
+            6,
+        ).alias("mean_word_len"),
+        F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))).cast("long").alias("stop_hits"),
+        F.round(F.size(F.filter(w, lambda t: t.rlike("^[a-z]+$"))) / n_words, 6).alias("alpha_ratio"),
+    )
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(w).alias("word"))
+    top = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy("doc_id")
+        .agg(F.max("__n").alias("__top_n"))
+    )
+    scored = base.join(top, "doc_id").withColumn(
+        "top_word_ratio", F.round(F.col("__top_n") / F.col("n_words"), 6)
+    )
+    r_count = ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).cast("int")
+    r_mean = (
+        (F.col("mean_word_len") >= min_mean_len) & (F.col("mean_word_len") <= max_mean_len)
+    ).cast("int")
+    r_stop = (F.col("stop_hits") >= min_stop_hits).cast("int")
+    r_alpha = (F.col("alpha_ratio") >= min_alpha_ratio).cast("int")
+    r_rep = (F.col("top_word_ratio") <= max_top_freq).cast("int")
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "alpha_ratio",
+        "top_word_ratio",
+        r_count.alias("r_word_count"),
+        r_mean.alias("r_mean_len"),
+        r_stop.alias("r_stopwords"),
+        r_alpha.alias("r_alpha"),
+        r_rep.alias("r_repetition"),
+        (r_count * r_mean * r_stop * r_alpha * r_rep).alias("quality_pass"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Bigram-LM cross-entropy per document, model trained on the corpus.
+
+    The classic perplexity-style quality signal one LM up from q89's unigram
+    scorer: P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V) with add-k
+    smoothing, V = vocabulary size. Emits per-doc bigram count, mean log
+    probability, and bits/bigram (cross-entropy).
+
+    Scale shape: the model IS aggregation — bigram counts from one explode,
+    prefix counts derived from the bigram table (no second corpus pass),
+    vocab size a single-row broadcast. Scoring joins each doc's bigrams to
+    the model on the bigram key: shuffle-on-key hash joins with partial
+    aggregation everywhere, never a collect of the model to the driver.
+    """
+    w = words(F.col(text_col))
+    bigrams = F.expr(
+        "transform(sequence(1, size(__w) - 1), "
+        "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+    )
+    bg = (
+        df.select(F.col(id_col).alias("doc_id"), w.alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("__c_bg"))
+    pc = (
+        bgc.withColumn("__prefix", F.split("bigram", " ").getItem(0))
+        .groupBy("__prefix")
+        .agg(F.sum("__c_bg").alias("__c_prefix"))
+    )
+    vocab = (
+        df.select(F.explode(w).alias("word")).agg(F.countDistinct("word").alias("__v"))
+    )
+    logp = F.log(
+        (F.col("__c_bg") + F.lit(add_k)) / (F.col("__c_prefix") + F.lit(add_k) * F.col("__v"))
+    )
+    return (
+        bg.join(bgc, "bigram")
+        .withColumn("__prefix", F.split("bigram", " ").getItem(0))
+        .join(pc, "__prefix")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+            F.round(-F.avg(logp) / F.log(F.lit(2.0)), 6).alias("bits_per_bigram"),
+        )
     )
 
 

@@ -266,3 +266,98 @@ def q89_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg(logp) / F.log(F.lit(2.0)), 6).alias("bits_per_token"),
         )
     )
+
+
+_STOP_LIST = "['the','a','an','of','and','or','is','to','in']"
+
+
+@query(
+    "q92_gopher_rules",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w, {_NORM} AS norm FROM documents),
+    base AS (
+        SELECT doc_id,
+               len(w)::BIGINT AS n_words,
+               round((length(norm) - (len(w) - 1))::DOUBLE / len(w), 6) AS mean_word_len,
+               len(list_filter(w, x -> list_contains({_STOP_LIST}, x)))::BIGINT AS stop_hits,
+               round(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))::DOUBLE / len(w), 6) AS alpha_ratio
+        FROM t
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS n
+        FROM (SELECT doc_id, unnest(w) AS word FROM t)
+        GROUP BY doc_id, word
+    ),
+    top AS (SELECT doc_id, max(n) AS top_n FROM tf GROUP BY doc_id),
+    s AS (
+        SELECT b.doc_id, n_words, mean_word_len, stop_hits, alpha_ratio,
+               round(top_n::DOUBLE / n_words, 6) AS top_word_ratio
+        FROM base b JOIN top USING (doc_id)
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_ratio, top_word_ratio,
+           (n_words BETWEEN 15 AND 10000)::INT AS r_word_count,
+           (mean_word_len BETWEEN 3.0 AND 10.0)::INT AS r_mean_len,
+           (stop_hits >= 2)::INT AS r_stopwords,
+           (alpha_ratio >= 0.7)::INT AS r_alpha,
+           (top_word_ratio <= 0.3)::INT AS r_repetition,
+           (n_words BETWEEN 15 AND 10000)::INT
+             * (mean_word_len BETWEEN 3.0 AND 10.0)::INT
+             * (stop_hits >= 2)::INT
+             * (alpha_ratio >= 0.7)::INT
+             * (top_word_ratio <= 0.3)::INT AS quality_pass
+    FROM s
+    """,
+    doc="Gopher-style quality rule battery (Rae et al. 2021 §A1.1): word "
+    "count band, mean word length band, stop-word floor, alphabetic-token "
+    "ratio, and top-word repetition share — each as a 0/1 flag plus the "
+    "conjunction. All stats except the repetition share are pure Column "
+    "expressions at scan speed; the top-word share is one explode with "
+    "two-level partial aggregation keyed by doc_id. The rule flags compare "
+    "6dp-rounded stats so the cut is engine-stable.",
+    tags=("curation", "quality", "llm-pipeline"),
+)
+def q92_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.gopher_quality_rules(docs, "doc_id", "text")
+
+
+@query(
+    "q93_bigram_logprob",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM t WHERE len(w) >= 2
+    ),
+    bgc AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY bigram),
+    pc AS (
+        SELECT string_split(bigram, ' ')[1] AS prefix, sum(c_bg)::BIGINT AS c_prefix
+        FROM bgc GROUP BY 1
+    ),
+    v AS (SELECT count(DISTINCT word)::BIGINT AS vv
+          FROM (SELECT unnest(w) AS word FROM t))
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(avg(ln((c_bg + 0.5e0) / (c_prefix + 0.5e0 * vv))), 6) AS avg_logprob,
+           round(-avg(ln((c_bg + 0.5e0) / (c_prefix + 0.5e0 * vv))) / ln(2e0), 6) AS bits_per_bigram
+    FROM bg
+    JOIN bgc USING (bigram)
+    JOIN pc ON string_split(bg.bigram, ' ')[1] = pc.prefix
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    doc="Bigram-LM cross-entropy per document with add-0.5 smoothing, model "
+    "trained on the corpus itself — one LM up from q89's unigram scorer and "
+    "the standard CCNet-style perplexity quality filter shape. The model IS "
+    "aggregation: bigram counts from one explode, prefix totals derived "
+    "from the bigram table (no second corpus pass), vocabulary size a "
+    "single-row broadcast. Scoring re-joins the doc bigram stream to the "
+    "model on the bigram key — shuffle-on-key hash joins with partial agg, "
+    "model never collected to the driver.",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q93_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.bigram_logprob(docs, "doc_id", "text")

@@ -165,6 +165,69 @@ class TestIncrementalDedup:
         assert inc == want and len(inc) > 0
 
 
+class TestGopherRules:
+    def test_rule_flags_isolate_failures(self, spark):
+        good = (
+            "the quick brown foxes jumped over the gentle fence and "
+            "the happy dogs rested in warm sunshine for a while"
+        )
+        df = _docs(
+            spark,
+            [
+                (1, good),                      # passes every rule
+                (2, "short doc here"),          # fails word-count floor
+                (3, "spam " * 30),              # fails repetition + stopwords
+            ],
+        )
+        out = {r["doc_id"]: r for r in C.gopher_quality_rules(df, "doc_id", "text").collect()}
+        assert out[1]["quality_pass"] == 1
+        assert out[2]["r_word_count"] == 0 and out[2]["quality_pass"] == 0
+        assert out[3]["r_repetition"] == 0 and out[3]["r_stopwords"] == 0
+        # top-word share: 30/30 spam tokens
+        assert out[3]["top_word_ratio"] == pytest.approx(1.0)
+
+    def test_stats_exact_on_known_doc(self, spark):
+        df = _docs(spark, [(1, "the aa bbb cccc")])
+        r = C.gopher_quality_rules(df, "doc_id", "text").collect()[0]
+        assert r["n_words"] == 4
+        # (15 chars - 3 spaces) / 4 words = 3.0
+        assert r["mean_word_len"] == pytest.approx(3.0)
+        assert r["stop_hits"] == 1
+        assert r["alpha_ratio"] == pytest.approx(1.0)
+        assert r["top_word_ratio"] == pytest.approx(0.25)
+
+
+class TestBigramLogprob:
+    def test_repeated_bigrams_score_higher(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "a b a b a b a b"),   # all mass on 'a b'/'b a'
+                (2, "c d e f g h i j"),   # every bigram unique
+            ],
+        )
+        out = {r["doc_id"]: r for r in C.bigram_logprob(df, "doc_id", "text").collect()}
+        assert out[1]["n_bigrams"] == 7 and out[2]["n_bigrams"] == 7
+        # common bigrams are more probable → higher (less negative) logprob
+        assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+        assert out[2]["bits_per_bigram"] > out[1]["bits_per_bigram"]
+
+    def test_single_word_docs_dropped(self, spark):
+        df = _docs(spark, [(1, "solo"), (2, "a pair")])
+        out = C.bigram_logprob(df, "doc_id", "text").collect()
+        assert {r["doc_id"] for r in out} == {2}
+
+    def test_smoothed_probability_exact(self, spark):
+        import math
+
+        # corpus 'x y x y': bigrams x·y ×2, y·x ×1. V=2, k=0.5.
+        # P(y|x) = (2+0.5)/(2+1) = 5/6 ; P(x|y) = (1+0.5)/(1+1) = 0.75
+        df = _docs(spark, [(1, "x y x y")])
+        r = C.bigram_logprob(df, "doc_id", "text").collect()[0]
+        want = (2 * math.log(2.5 / 3.0) + math.log(1.5 / 2.0)) / 3
+        assert r["avg_logprob"] == pytest.approx(round(want, 6), abs=1e-6)
+
+
 class TestShardedCorpusWriter:
     def test_layout_row_cap_and_roundtrip(self, spark, tmp_path):
         import os

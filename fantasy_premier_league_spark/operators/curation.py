@@ -280,3 +280,166 @@ def domain_mix_rates(
         F.round(F.least(F.lit(1.0), target_n / F.col("n_docs")), 6).alias("sample_rate"),
         F.round(F.least(target_n, F.col("n_docs").cast("double")), 6).alias("expected_n"),
     )
+
+
+def dedup_passages_keep_first(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    passage_words: int = 10,
+) -> DataFrame:
+    """C4-style exact passage dedup that REWRITES documents, keeping the
+    first occurrence of every duplicated passage corpus-wide.
+
+    q81 scores sub-document duplication; this operator removes it: text
+    splits into non-overlapping ``passage_words``-word passages, each
+    passage survives only at its lexicographically-first occurrence
+    (min doc id, then min position within that doc — C4 dedups exact
+    three-sentence spans this way, Raffel et al. 2020 §2.2), and each doc is
+    reassembled from its surviving passages in original order.
+
+    Scale shape: one explode (~n_words/passage_words rows per doc), two
+    window functions over the SAME passage-keyed sort (Catalyst runs them
+    in one shuffle: partition by passage covers partition by passage+doc),
+    then one groupBy(doc) that rebuilds the text with an ordered
+    array_sort/array_join — no collect, no second corpus scan. The passage
+    key is high-cardinality and uniform, so the shuffle is skew-free.
+    """
+    wds = words(F.col(text_col))
+    pw = passage_words
+    n_pass = F.ceil(F.size(wds) / F.lit(pw)).cast("int")
+    passages = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_pass - 1),
+                lambda i: F.array_join(F.slice(wds, i * pw + 1, pw), " "),
+            )
+        ).alias("pos", "passage"),
+    )
+    w_first_doc = W.partitionBy("passage")
+    w_first_pos = W.partitionBy("passage", "doc_id")
+    flagged = passages.select(
+        "doc_id",
+        "pos",
+        "passage",
+        (
+            (F.col("doc_id") == F.min("doc_id").over(w_first_doc))
+            & (F.col("pos") == F.min("pos").over(w_first_pos))
+        )
+        .cast("int")
+        .alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passages"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "kept", "passage"))),
+                    lambda s: s["kept"] == 1,
+                ),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    budget: int,
+    salt: str = "tb",
+) -> DataFrame:
+    """Deterministic per-domain token-budget cap: within each group, docs
+    are taken in seeded-hash order until the cumulative token count would
+    exceed ``budget``.
+
+    This is how a mixture spec ("at most N tokens from source X") is
+    enforced when materializing a training corpus. Hash order makes the
+    sample uniform AND reproducible across engines/runs; the budget is a
+    prefix-sum cut, so adding documents to the corpus never changes which
+    earlier-hashed docs survive.
+
+    Scale shape: one window (running token sum) per group — the same
+    single-shuffle prefix-sum as pack_sequences. Group cardinality is the
+    domain count (bounded); if one domain is 100 TB alone, the two-phase
+    global-rank decomposition (operators/rank.py) applies verbatim since
+    the hash order is arbitrary-tie-breakable.
+    """
+    n_tokens = F.size(words(F.col(text_col))).cast("long")
+    order_key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(order_key, F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            n_tokens.alias("n_tokens"),
+            F.sum(n_tokens).over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    multipliers: dict[str, float],
+    default_mult: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a target corpus mixture as explicit (doc, epoch) rows.
+
+    Each group's target size is round(multiplier * n_docs) (half-up).
+    Docs are ranked by seeded hash within the group; every doc gets
+    floor(target / n) copies and the first (target mod n) ranked docs get
+    one extra — so upsampling (mult > 1) repeats docs evenly ("epochs" of
+    the domain) and downsampling (mult < 1) keeps a deterministic hash
+    prefix, exactly the repetition policy domain_mix_rates leaves to the
+    sampler. Output is one row per (doc, epoch) — the corpus a trainer
+    would actually iterate.
+
+    Scale shape: group counts are a bounded-cardinality aggregate joined
+    back broadcast; the rank is the same one-shuffle per-group window as
+    token_budget_sample; repetition is sequence+explode (row fan-out
+    proportional to the OUTPUT size, never materialized on the driver).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    mult_map = F.create_map(*[F.lit(x) for kv in multipliers.items() for x in kv])
+    order_key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = W.partitionBy(group_col).orderBy(order_key, F.col(id_col))
+    mult = F.coalesce(mult_map[F.col(group_col)], F.lit(float(default_mult)))
+    ranked = df.join(F.broadcast(counts), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("__n"),
+        F.floor(mult * F.col("__n") + F.lit(0.5)).cast("long").alias("__target"),
+        F.row_number().over(w).alias("__rank"),
+    )
+    copies = (
+        F.floor(F.col("__target") / F.col("__n")).cast("long")
+        + (F.col("__rank") <= F.col("__target") % F.col("__n")).cast("long")
+    )
+    return (
+        ranked.withColumn("n_copies", copies)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.when(copies >= 1, F.sequence(F.lit(1).cast("long"), copies)).otherwise(
+                    F.array().cast("array<long>")
+                )
+            ),
+        )
+        .select(F.col(id_col), F.col(group_col), "n_copies", "epoch")
+    )

@@ -28,29 +28,45 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # The contract is ONE JSON line on stdout. The JVM inherits our fd 1, so
+    # anything Spark decides to print there would corrupt the artifact:
+    # reserve the real stdout for the final JSON and point fd 1 at stderr
+    # for everyone else (Python prints included).
+    real_stdout = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
     spark = get_spark("bench")
     registry = all_queries()
     # warm the JVM + parquet footers so per-query timings measure the plans
-    registry["q01_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    try:
+        registry["q01_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    except Exception:
+        pass
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(registry.items()):
         t0 = time.time()
-        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        # one broken query must never zero the whole artifact: record the
+        # error and keep benchmarking the rest
+        try:
+            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_inventory_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(timings),
-                "mean_query_sec": round(total / len(timings), 3),
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "query_inventory_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "mean_query_sec": round(total / len(timings), 3) if timings else None,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out), file=real_stdout)
+    real_stdout.flush()
 
 
 if __name__ == "__main__":

@@ -54,8 +54,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         from pyspark.sql import functions as F, types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) read via nanosAsLong: truncate to micros,
+            # exactly like DuckDB reading the same file.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Naive micros parquet reads as TIMESTAMP_NTZ under Spark 4's
+            # default inferTimestampNTZ. The unix_* family rejects NTZ, so
+            # normalize to TIMESTAMP; with the session tz pinned to UTC
+            # above, wall-clock == epoch, matching the oracle's epoch_us.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

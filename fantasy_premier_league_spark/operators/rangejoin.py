@@ -50,14 +50,14 @@ def lookback_join(
     # floor division, NOT double-divide-then-cast: casting truncates toward
     # zero, which shifts every pre-1970 (negative-microsecond) timestamp
     # into the wrong bucket and silently drops its matches
-    e = events.withColumn("__us", F.unix_micros(F.col(ts_col))).withColumn(
+    e = events.withColumn("__us", F.unix_micros(F.col(ts_col).cast("timestamp"))).withColumn(
         "__bucket", F.floor(F.col("__us") / F.lit(bucket_us)).cast("long")
     )
     a = (
         anchors.select(
             F.col(key_col).alias("__akey"),
             F.col(anchor_id_col).alias("anchor_id"),
-            F.unix_micros(F.col(anchor_ts_col)).alias("anchor_us"),
+            F.unix_micros(F.col(anchor_ts_col).cast("timestamp")).alias("anchor_us"),
         )
         .withColumn("__abucket", F.floor(F.col("anchor_us") / F.lit(bucket_us)).cast("long"))
         # probe every bucket the look-back window can overlap

@@ -41,7 +41,9 @@ def sessionize(
     <= ``gap_seconds``; ordering ties break on ``tiebreak_col`` so the
     assignment is deterministic under duplicate timestamps.
     """
-    us = F.unix_micros(F.col(ts_col))
+    # .cast("timestamp") tolerates TIMESTAMP_NTZ inputs (unix_micros rejects
+    # them); under a UTC session the cast is epoch-exact either way
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     order = W.partitionBy(key_col).orderBy(us, F.col(tiebreak_col))
     gap_us = F.lit(int(gap_seconds) * 1_000_000)
     opens = (

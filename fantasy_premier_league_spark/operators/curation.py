@@ -443,3 +443,149 @@ def materialize_mixture(
         )
         .select(F.col(id_col), F.col(group_col), "n_copies", "epoch")
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_words: int = 64,
+    stride_words: int | None = None,
+) -> DataFrame:
+    """Sliding-window token chunking: split every document into fixed-size
+    word windows with optional overlap (``stride < chunk``), the sequence
+    prep step that turns variable-length documents into model-ready
+    contexts. Complements ``pack_sequences`` (which concatenates SHORT docs
+    up to a budget; this splits LONG docs down to one).
+
+    Emits one row per (doc, window): ``chunk_id`` (0-based), ``n_tokens``
+    (window length — only the final window may be short), ``chunk_text``.
+    A doc shorter than ``chunk_words`` yields exactly one chunk. Windows
+    start at 0, stride, 2*stride, ... and the last start is the smallest
+    one whose window reaches the end of the doc — no trailing windows that
+    add no new tokens.
+
+    Scale shape: narrow transform only — tokenize, compute the start list
+    with ``sequence``, ``explode``, ``slice``. Zero shuffles and zero
+    Python; output volume is input tokens x (chunk/stride) overlap factor,
+    fanned out row-wise (never materialized per-doc on the driver). The
+    explode keeps the document's partition, so downstream per-chunk ops
+    (dedup, quality, embedding) start evenly distributed.
+    """
+    if chunk_words < 1:
+        raise ValueError("chunk_words must be >= 1")
+    stride = stride_words or chunk_words
+    if not 1 <= stride <= chunk_words:
+        raise ValueError("stride_words must be in [1, chunk_words]")
+    w = words(F.col(text_col))
+    n = F.size(w)
+    # number of windows: 1 + ceil((n - chunk) / stride) for n > chunk
+    extra = F.ceil((n - F.lit(chunk_words)).cast("double") / F.lit(stride)).cast("long")
+    n_chunks = F.when(n <= chunk_words, F.lit(1).cast("long")).otherwise(extra + 1)
+    return (
+        df.select(
+            F.col(id_col),
+            w.alias("__w"),
+            n.alias("__n"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (n_chunks - 1) * F.lit(stride), F.lit(stride))
+            ).alias("__start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__start") / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.slice(F.col("__w"), F.col("__start") + 1, F.lit(chunk_words)).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled corpus mixture: target share of group i is
+    p_i^alpha / sum_j p_j^alpha where p_i is the observed share. The
+    standard multinomial alpha-sampling used to rebalance multilingual /
+    multi-source training corpora (alpha=1 keeps the natural mix, alpha=0
+    is uniform, 0<alpha<1 flattens toward the tail without discarding the
+    head's ordering).
+
+    Same output contract as ``domain_mix_rates`` (n_docs, target_n,
+    sample_rate, expected_n), so either feeds the deterministic hash
+    sampler / ``materialize_mixture`` unchanged.
+
+    Scale shape: one groupBy on the bounded-cardinality domain key, then
+    arithmetic over n_groups rows with the two scalar totals broadcast as
+    a 1-row cross join — the 100 TB input collapses before any math.
+    """
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_docs"))
+    powered = counts.withColumn(
+        "__pw", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    totals = powered.agg(F.sum("n_docs").alias("__total"), F.sum("__pw").alias("__z"))
+    target_n = F.col("__pw") / F.col("__z") * F.col("__total")
+    return powered.crossJoin(F.broadcast(totals)).select(
+        *group_cols,
+        "n_docs",
+        F.round(target_n, 6).alias("target_n"),
+        F.round(F.least(F.lit(1.0), target_n / F.col("n_docs")), 6).alias("sample_rate"),
+        F.round(F.least(target_n, F.col("n_docs").cast("double")), 6).alias("expected_n"),
+    )
+
+
+def compress_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Interval compaction (SCD Type 2 history build): collapse each key's
+    time-ordered state stream into contiguous validity runs — one row per
+    maximal run of an unchanged state, with ``valid_from`` / ``valid_to``
+    (the next run's start, null while current) and the run's row count.
+
+    This is how a warehouse turns append-only snapshots/events into a
+    slowly-changing-dimension table (the reference's timestamped snapshot
+    files, run_load.py:205-223, are the input shape). Gaps-and-islands:
+    a lag() change flag, a running sum to number islands, one groupBy —
+    all three share the same (key, ts) partitioning, so Catalyst plans
+    exactly ONE shuffle.
+
+    Scale: windows partition on the entity key (high cardinality —
+    distributes at any scale); a single entity's history must fit a task,
+    the standard keyed-window bound (operators/skew.py documents the
+    salting escape hatch).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = W.partitionBy(key_col).orderBy(us, F.col(tiebreak_col))
+    changed = (
+        F.lag(state_col).over(order).isNull()
+        | (F.lag(state_col).over(order) != F.col(state_col))
+    ).cast("int")
+    running = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    islands = df.withColumn("__island", F.sum(changed).over(running))
+    runs = islands.groupBy(key_col, "__island").agg(
+        F.first(state_col).alias("state"),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    nxt = W.partitionBy(key_col).orderBy("__island")
+    return runs.select(
+        F.col(key_col),
+        (F.col("__island") - 1).cast("long").alias("run_seq"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

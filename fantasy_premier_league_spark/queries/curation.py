@@ -361,3 +361,103 @@ def q92_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q93_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.bigram_logprob(docs, "doc_id", "text")
+
+
+@query(
+    "q94_token_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (
+        SELECT doc_id, w, len(w) AS n,
+               CASE WHEN len(w) <= 32 THEN 1
+                    ELSE CAST(ceil((len(w) - 32)::DOUBLE / 16) AS BIGINT) + 1
+               END AS nc
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id, w, n, unnest(generate_series(0, (nc - 1) * 16, 16)) AS start
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(start // 16 AS BIGINT) AS chunk_id,
+           len(ch)::BIGINT AS n_tokens,
+           array_to_string(ch, ' ') AS chunk_text
+    FROM (SELECT doc_id, start, list_slice(w, start + 1, least(start + 32, n)) AS ch
+          FROM e)
+    """,
+    doc="Sliding-window token chunking (operators/curation.py::chunk_tokens, "
+    "chunk=32, stride=16 — 50% overlap): every document split into "
+    "model-ready fixed-size word windows, the sequence-prep complement of "
+    "q85's packing. Narrow plan: tokenize, sequence+explode the window "
+    "starts, slice — zero shuffles, zero Python, output fan-out stays on "
+    "the document's partition.",
+    tags=("curation", "chunking", "llm-pipeline"),
+)
+def q94_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.chunk_tokens(docs, "doc_id", "text", chunk_words=32, stride_words=16)
+
+
+@query(
+    "q95_temperature_mix",
+    """
+    WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT sum(n_docs)::BIGINT AS total, sum(pow(n_docs::DOUBLE, 0.5)) AS z FROM c)
+    SELECT source, n_docs,
+           round(pow(n_docs::DOUBLE, 0.5) / z * total, 6) AS target_n,
+           round(least(1.0, pow(n_docs::DOUBLE, 0.5) / z * total / n_docs), 6) AS sample_rate,
+           round(least(pow(n_docs::DOUBLE, 0.5) / z * total, n_docs::DOUBLE), 6) AS expected_n
+    FROM c, t
+    """,
+    doc="Temperature-scaled corpus mixture (operators/curation.py::"
+    "temperature_mix_rates, alpha=0.5): target share of source i is "
+    "p_i^alpha / sum p_j^alpha — the multinomial alpha-sampling used to "
+    "flatten multilingual/multi-source training mixes. One groupBy on the "
+    "bounded domain key; the two scalar totals broadcast back as a 1-row "
+    "cross join, so 100 TB collapses before any arithmetic.",
+    tags=("curation", "sampling", "llm-pipeline"),
+)
+def q95_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.temperature_mix_rates(docs, ["source"], alpha=0.5)
+
+
+@query(
+    "q96_state_history",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us FROM events
+    ),
+    f AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w != event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    i AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM f
+    ),
+    r AS (
+        SELECT user_id, island, min(event_type) AS state, min(ts) AS valid_from,
+               count(*)::BIGINT AS n_rows
+        FROM i GROUP BY user_id, island
+    )
+    SELECT user_id, (island - 1)::BIGINT AS run_seq, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+           n_rows
+    FROM r
+    """,
+    doc="SCD Type 2 history build (operators/curation.py::compress_history): "
+    "each user's time-ordered event_type stream compressed into maximal "
+    "unchanged runs with valid_from/valid_to intervals — how a warehouse "
+    "turns append-only snapshots (reference run_load.py:205-223 timestamped "
+    "files) into a slowly-changing dimension. Gaps-and-islands: lag flag + "
+    "running sum + groupBy all share one (user_id, ts) partitioning — "
+    "Catalyst plans a single shuffle.",
+    tags=("warehouse", "window", "scd2"),
+)
+def q96_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return C.compress_history(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")

@@ -253,3 +253,118 @@ class TestShardedCorpusWriter:
         one = back.filter("pack_bucket = 0 AND shard_id = 0")
         files = {r[0] for r in one.select(SF.input_file_name()).distinct().collect()}
         assert all("pack_bucket=0" in f and "shard_id=0" in f for f in files)
+
+
+class TestChunkTokens:
+    def test_short_doc_single_chunk(self, spark):
+        df = _docs(spark, [(1, "a b c")])
+        out = C.chunk_tokens(df, "doc_id", "text", chunk_words=8, stride_words=4).collect()
+        assert len(out) == 1
+        assert out[0]["chunk_id"] == 0 and out[0]["n_tokens"] == 3
+        assert out[0]["chunk_text"] == "a b c"
+
+    def test_overlap_windows_cover_exactly(self, spark):
+        # 10 tokens, chunk 4, stride 2 -> starts 0,2,4,6; last window 7..10
+        toks = [f"t{i}" for i in range(10)]
+        df = _docs(spark, [(1, " ".join(toks))])
+        out = sorted(
+            C.chunk_tokens(df, "doc_id", "text", chunk_words=4, stride_words=2).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+        assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert out[-1]["chunk_text"] == "t6 t7 t8 t9"
+        # every window full-size here (10 = 4 + 3*2)
+        assert all(r["n_tokens"] == 4 for r in out)
+
+    def test_ragged_tail_window_short(self, spark):
+        # 9 tokens, chunk 4, stride 4 -> starts 0,4,8; tail holds 1 token
+        df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(9)))])
+        out = sorted(
+            C.chunk_tokens(df, "doc_id", "text", chunk_words=4).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["n_tokens"] for r in out] == [4, 4, 1]
+
+    def test_exact_multiple_no_empty_tail(self, spark):
+        # 8 tokens, chunk 4, stride 4 -> exactly 2 windows, no empty third
+        df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(8)))])
+        out = C.chunk_tokens(df, "doc_id", "text", chunk_words=4).collect()
+        assert len(out) == 2
+
+    def test_bad_params_raise(self, spark):
+        df = _docs(spark, [(1, "a")])
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            C.chunk_tokens(df, "doc_id", "text", chunk_words=0)
+        with _pt.raises(ValueError):
+            C.chunk_tokens(df, "doc_id", "text", chunk_words=4, stride_words=5)
+
+
+class TestTemperatureMix:
+    def test_alpha_one_is_natural_mix(self, spark):
+        df = _docs_src(spark, [(i, "x", "a" if i < 6 else "b") for i in range(10)])
+        out = {r["source"]: r for r in C.temperature_mix_rates(df, ["source"], alpha=1.0).collect()}
+        # alpha=1 keeps observed shares -> every group's target equals its size
+        assert out["a"]["target_n"] == 6.0 and out["b"]["target_n"] == 4.0
+        assert out["a"]["sample_rate"] == 1.0 and out["b"]["sample_rate"] == 1.0
+
+    def test_alpha_zero_is_uniform(self, spark):
+        df = _docs_src(spark, [(i, "x", "a" if i < 8 else "b") for i in range(10)])
+        out = {r["source"]: r for r in C.temperature_mix_rates(df, ["source"], alpha=0.0).collect()}
+        assert out["a"]["target_n"] == 5.0 and out["b"]["target_n"] == 5.0
+        # over-represented group downsampled, under-represented kept whole
+        assert out["a"]["sample_rate"] == 0.625 and out["b"]["sample_rate"] == 1.0
+
+    def test_flattens_toward_tail(self, spark):
+        df = _docs_src(spark, [(i, "x", "big" if i < 90 else "small") for i in range(100)])
+        out = {r["source"]: r for r in C.temperature_mix_rates(df, ["source"], alpha=0.5).collect()}
+        # sqrt scaling: big's share shrinks below 0.9, small's grows above 0.1
+        assert out["big"]["target_n"] < 90
+        assert out["small"]["target_n"] > 10
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestCompressHistory:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+
+    def test_runs_compress_and_intervals_chain(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+        df = self._ev(
+            spark,
+            [
+                (1, 7, t(0), "view"),
+                (2, 7, t(10), "view"),
+                (3, 7, t(20), "click"),
+                (4, 7, t(30), "view"),
+            ],
+        )
+        out = sorted(
+            C.compress_history(df, "user_id", "ts", "event_type", tiebreak_col="event_id").collect(),
+            key=lambda r: r["run_seq"],
+        )
+        assert [(r["state"], r["n_rows"]) for r in out] == [("view", 2), ("click", 1), ("view", 1)]
+        # intervals chain: each run's valid_to is the next run's valid_from
+        assert out[0]["valid_to"] == out[1]["valid_from"]
+        assert out[1]["valid_to"] == out[2]["valid_from"]
+        assert out[2]["valid_to"] is None  # current run stays open
+
+    def test_duplicate_ts_breaks_on_tiebreak(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = self._ev(spark, [(2, 1, t0, "b"), (1, 1, t0, "a")])
+        out = sorted(
+            C.compress_history(df, "user_id", "ts", "event_type", tiebreak_col="event_id").collect(),
+            key=lambda r: r["run_seq"],
+        )
+        assert [r["state"] for r in out] == ["a", "b"]

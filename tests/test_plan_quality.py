@@ -176,3 +176,29 @@ class TestCurationPlans:
         plan = plan_of(spark, "q88_ivf_pq_topk")
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound4OperatorPlans:
+    def test_q94_chunking_no_shuffle(self, spark):
+        # tokenize + sequence + explode + slice is a narrow pipeline: any
+        # Exchange here is a planning regression (the fan-out must stay on
+        # the document's input partition)
+        plan = plan_of(spark, "q94_token_chunks")
+        assert "Exchange" not in plan
+        assert "Generate explode" in plan
+
+    def test_q96_state_history_two_exchanges(self, spark):
+        # lag + running sum + run aggregate share the (user_id, ts)
+        # partitioning (one exchange); the valid_to lead over runs needs the
+        # second. Three or more means the islands chain stopped reusing the
+        # sort order.
+        import re
+
+        plan = plan_of(spark, "q96_state_history")
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 2
+
+    def test_q95_temperature_mix_broadcast_totals(self, spark):
+        # the scalar totals must come back as a broadcast (1-row cross
+        # join), never a shuffle of the grouped frame against itself
+        plan = plan_of(spark, "q95_temperature_mix")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,104 @@
+"""Distributed graph operators: fixed-iteration PageRank.
+
+Complements the connected-components family (operators/dedup.py — min-label
+propagation and pointer jumping for dedup clusters) with the other classic
+iterative graph computation. PageRank here is the *showcase shape* for any
+fixed-point linear iteration on Spark:
+
+- the edge list is the only big table; it shuffles ONCE onto the source key
+  and is persisted, so every iteration's contribution join reuses the same
+  partitioning (Catalyst reuses the exchange; no per-round re-shuffle of
+  the edges),
+- the rank vector is nodes-sized (orders of magnitude smaller than edges);
+  each iteration is one shuffle-on-key hash join + one groupBy with
+  map-side partial aggregation,
+- iteration count is FIXED (power iteration with known convergence rate),
+  so the plan is a finite unrolled chain — no driver-side convergence test
+  collecting data per round. For deep iteration counts, cut lineage with
+  localCheckpoint the same way dedup's label propagation does
+  (operators/dedup.py).
+
+A 100 TB edge list distributes on the src key; skewed hubs are the
+documented salting case (operators/skew.py) — the contribution of a hub is
+a sum, so it salts cleanly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    Every node must appear as a source (no dangling nodes) — true by
+    construction for co-occurrence graphs, which are symmetric. Returns
+    (node, rank) with rank rounded to 6 dp (engine-portable: the rounding
+    absorbs float-sum ordering differences across engines).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_total = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    # out-degree rides along with the rank vector so the per-iteration join
+    # touches only (edges x ranks) — deg is folded in once, not re-joined
+    ranks = deg.crossJoin(F.broadcast(n_total)).select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.col("__n")).alias("rank"),
+        "deg",
+        "__n",
+    )
+    for i in range(int(iterations)):
+        contrib = e.join(
+            ranks.select(
+                F.col("node").alias("src"),
+                (F.col("rank") / F.col("deg")).alias("__c"),
+                "__n",
+            ),
+            "src",
+        )
+        new_ranks = contrib.groupBy("dst").agg(
+            F.sum("__c").alias("__in"), F.first("__n").alias("__n")
+        )
+        ranks = new_ranks.select(
+            F.col("dst").alias("node"),
+            (
+                (F.lit(1.0) - F.lit(damping)) / F.col("__n")
+                + F.lit(damping) * F.col("__in")
+            ).alias("rank"),
+            "__n",
+        ).join(deg.select(F.col("src").alias("node"), "deg"), "node")
+        if (i + 1) % checkpoint_every == 0:
+            # deep iteration chains blow up the lineage/plan; cut it the
+            # same way dedup's label propagation does
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def co_occurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Distinct directed co-occurrence edges: (a, b) whenever items a != b
+    share a group (symmetric — both directions emitted). The standard
+    market-basket graph builder: a self-join on the group key, fan-out
+    bounded by the square of the (small) per-group item count.
+    """
+    a = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("src")).distinct()
+    b = a.select("__g", F.col("src").alias("dst"))
+    return (
+        a.join(b, "__g")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

@@ -407,3 +407,49 @@ def q80_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "payload", every_n_bytes=256, max_frames=4
     )
     return frames.select(F.col("id").alias("doc_id"), "frame_idx", "frame_digest")
+
+
+_PR_ITER = """r{t} AS (
+        SELECT e.dst AS node,
+               0.15 / (SELECT n FROM n) + 0.85 * sum(r{p}.rank / deg.deg) AS rank
+        FROM e
+        JOIN r{p} ON e.src = r{p}.node
+        JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    )"""
+
+
+@query(
+    "q97_part_pagerank",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM li a JOIN li b ON a.g = b.g AND a.p != b.p
+    ),
+    deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+    n AS (SELECT count(*)::DOUBLE AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM n) AS rank FROM deg),
+    {_PR_ITER.format(t=1, p=0)},
+    {_PR_ITER.format(t=2, p=1)},
+    {_PR_ITER.format(t=3, p=2)}
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+    doc="Fixed-iteration PageRank (operators/graph.py::pagerank, 3 power "
+    "iterations, d=0.85) over the part co-purchase graph (parts sharing an "
+    "order — operators/graph.py::co_occurrence_edges). The iterative-"
+    "linear-algebra showcase: the edge list shuffles once and is persisted; "
+    "each iteration is one hash join against the nodes-sized rank vector + "
+    "one partial-agg groupBy; the iteration count is fixed so the plan is "
+    "a finite unrolled chain (deep chains cut lineage via localCheckpoint, "
+    "same as dedup's label propagation). Oracle unrolls the identical 3 "
+    "iterations as CTEs; final round(6) absorbs cross-engine float-sum "
+    "ordering.",
+    tags=("graph", "iterative", "pagerank"),
+)
+def q97_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import co_occurrence_edges, pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return pagerank(edges, iterations=3, damping=0.85)

@@ -375,3 +375,35 @@ class TestTextAndSimilarity:
         best = {r["query_id"]: r["cosine"] for r in exact.collect() if r["rank"] == 1}
         for r in rows:
             assert r["cosine"] <= best[r["query_id"]] + 1e-9
+
+
+class TestPageRank:
+    def test_symmetric_pair_is_uniform_fixed_point(self, spark):
+        from fantasy_premier_league_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        out = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+        # uniform is the exact fixed point of a symmetric regular graph
+        assert out[1] == out[2] == 0.5
+
+    def test_hub_outranks_leaves(self, spark):
+        from fantasy_premier_league_spark.operators.graph import (
+            co_occurrence_edges,
+            pagerank,
+        )
+
+        # star: hub 0 co-occurs with 1..4 pairwise through shared groups
+        rows = [(g, 0) for g in range(4)] + [(g, g + 1) for g in range(4)]
+        df = spark.createDataFrame(rows, "g long, item long")
+        e = co_occurrence_edges(df, "g", "item")
+        out = {r["node"]: r["rank"] for r in pagerank(e, iterations=10).collect()}
+        assert out[0] > max(out[i] for i in range(1, 5))
+        # probability mass is conserved by power iteration
+        assert abs(sum(out.values()) - 1.0) < 1e-3
+
+    def test_deep_iteration_lineage_cut(self, spark):
+        from fantasy_premier_league_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long")
+        out = pagerank(e, iterations=9, checkpoint_every=4).collect()
+        assert len(out) == 3

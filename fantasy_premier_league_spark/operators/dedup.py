@@ -433,6 +433,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    shortcut_from: int = 2,
 ) -> DataFrame:
     """(id, cluster_id) — connected components over a near-dup pair graph;
     ``cluster_id`` is the minimum node id in the component.
@@ -479,40 +480,48 @@ def connected_components(
         .select("u", F.least(F.col("u"), F.col("__nm")).alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")), "v"
+    prev_sum = None
+    for it in range(max_iter):
+        # hook: l(u) <- min(l(u), min over neighbors' labels). Folding the
+        # node's own label in via union (instead of a separate left join
+        # back onto `labels`) keeps the round at TWO exchanges — the
+        # message join on v and the min-groupBy on u.
+        msgs = edges.join(
+            labels.select(F.col("u").alias("v"), F.col("label").alias("label")), "v"
+        ).select("u", "label")
+        hooked = msgs.union(labels).groupBy("u").agg(F.min("label").alias("label"))
+        if it < shortcut_from:
+            # near-dup graphs are almost always shallow (tight clusters,
+            # diameter 1-2): plain hooking alone converges in the first
+            # couple of rounds, so don't pay the shortcut's label-keyed
+            # join until the graph has proven deep
+            new_labels = hooked.localCheckpoint()
+        else:
+            # shortcut: chase one pointer — labels are node ids, so the
+            # hooked frame itself is the mapping; jumped <= hooked always.
+            # Path to the component min at least halves per round from here
+            # on, keeping worst-case O(log d) total rounds.
+            jump = hooked.select(F.col("u").alias("label"), F.col("label").alias("__jmp"))
+            new_labels = (
+                hooked.join(jump, "label", "left")
+                .select(
+                    "u",
+                    F.least(F.col("label"), F.coalesce("__jmp", "label")).alias("label"),
+                )
+                .localCheckpoint()
             )
-            .groupBy("u")
-            .agg(F.min("vlabel").alias("nmin"))
-        )
-        hooked = labels.join(nbr_min, "u", "left").select(
-            "u",
-            F.col("label").alias("__old"),
-            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-        )
-        # shortcut: chase one pointer — labels are node ids, so the hooked
-        # frame itself is the mapping; jumped label <= hooked label always
-        jump = hooked.select(F.col("u").alias("label"), F.col("label").alias("__jmp"))
-        # carry the per-row improvement flag through the checkpoint so the
-        # convergence test is a scalar agg over checkpointed partitions, not
-        # another join
-        new_labels = (
-            hooked.join(jump, "label", "left")
-            .select(
-                "u",
-                F.least(F.col("label"), F.coalesce("__jmp", "label")).alias("label"),
-                (F.least(F.col("label"), F.coalesce("__jmp", "label")) < F.col("__old"))
-                .cast("int")
-                .alias("__chg"),
-            )
-            .localCheckpoint()
-        )
-        changed = new_labels.agg(F.max("__chg")).first()[0]
-        labels = new_labels.drop("__chg")
-        if not changed:
+        # convergence when no label moved: labels are monotone
+        # non-increasing, so the label sum is a strictly decreasing
+        # progress measure — one scalar agg over the checkpointed frame,
+        # no join against the previous round and no per-row change flag.
+        # decimal(38,0): exact at any id magnitude (long sum could wrap).
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
+        labels = new_labels
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # exhausted max_iter with labels still moving: component diameter
         # exceeds the round budget and the returned labels are NOT a

@@ -45,38 +45,43 @@ def pagerank(
     (node, rank) with rank rounded to 6 dp (engine-portable: the rounding
     absorbs float-sum ordering differences across engines).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    n_total = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    # out-degree rides along with the rank vector so the per-iteration join
-    # touches only (edges x ranks) — deg is folded in once, not re-joined
+    from pyspark.sql import Window as W
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # fold the out-degree into the edge list ONCE via a src-partitioned
+    # window (one shuffle — a separate deg aggregate + re-join would
+    # shuffle the full edge list twice) and persist: every iteration's
+    # contribution join then touches only (edges+deg) x ranks — one
+    # shuffle join + one partial-agg groupBy per round
+    ed = e.withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src"))).persist()
+    # nodes-sized frames derive from the cached edges with map-side
+    # partial aggregation — no extra pass over the raw edge build
+    deg = ed.groupBy("src").agg(F.first("deg").alias("deg"))
+    n_total = deg.agg(F.count(F.lit(1)).alias("__n"))
     ranks = deg.crossJoin(F.broadcast(n_total)).select(
         F.col("src").alias("node"),
         (F.lit(1.0) / F.col("__n")).alias("rank"),
-        "deg",
         "__n",
     )
     for i in range(int(iterations)):
-        contrib = e.join(
-            ranks.select(
-                F.col("node").alias("src"),
-                (F.col("rank") / F.col("deg")).alias("__c"),
+        contrib = ed.join(
+            ranks.select(F.col("node").alias("src"), "rank", "__n"), "src"
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                F.sum(F.col("rank") / F.col("deg")).alias("__in"),
+                F.first("__n").alias("__n"),
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("__n")
+                    + F.lit(damping) * F.col("__in")
+                ).alias("rank"),
                 "__n",
-            ),
-            "src",
+            )
         )
-        new_ranks = contrib.groupBy("dst").agg(
-            F.sum("__c").alias("__in"), F.first("__n").alias("__n")
-        )
-        ranks = new_ranks.select(
-            F.col("dst").alias("node"),
-            (
-                (F.lit(1.0) - F.lit(damping)) / F.col("__n")
-                + F.lit(damping) * F.col("__in")
-            ).alias("rank"),
-            "__n",
-        ).join(deg.select(F.col("src").alias("node"), "deg"), "node")
         if (i + 1) % checkpoint_every == 0:
             # deep iteration chains blow up the lineage/plan; cut it the
             # same way dedup's label propagation does

@@ -83,17 +83,26 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
-    # dims broadcast explicitly (nation/region are tiny at any SF; customer
-    # joins shuffle on key — at 100 TB this is the intended hash-partitioned join)
+    # eager aggregation (a rewrite Catalyst does NOT do itself): collapse
+    # lineitem to order grain BEFORE the join chain. The big shuffle drops
+    # from lineitem-size to orders-size (~4x here, ~lineitems-per-order x
+    # at any SF), and count(DISTINCT o_orderkey) — an expensive expand-based
+    # two-phase agg — becomes a plain count because the stream is now
+    # unique per order. Dims broadcast explicitly (tiny at any SF);
+    # the orders/customer joins shuffle on key — at 100 TB this is the
+    # intended hash-partitioned join.
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__order_rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_per_order.join(orders, li_per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("__order_rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 

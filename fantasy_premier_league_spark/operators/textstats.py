@@ -104,3 +104,59 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         digest.alias("content_md5"),
         F.substring(digest, 1, 8).alias("bucket_key"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_query_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against the corpus's top-df terms —
+    the classic lexical-retrieval scorer (the keyword half of a
+    hybrid-retrieval pipeline; the embedding half is operators/similarity).
+
+    The query is self-contained and deterministic: the ``n_query_terms``
+    highest-document-frequency terms (ties by term asc). Per doc that
+    matches >= 1 query term:
+
+        score = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))        (Lucene form)
+
+    Scale shape: tokenize -> (doc, term) tf and (doc) length aggregates
+    (two partial-agg shuffles over the exploded stream); document
+    frequencies collapse to vocabulary size; the query-term table is
+    top-k-sized and broadcast, so scoring touches only matching postings.
+    N / avgdl are a 1-row broadcast cross join. No UDFs, no collect.
+    """
+    from .dedup import words
+
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n_docs"), F.avg("dl").alias("__avgdl")
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), F.col("word").asc()).limit(n_query_terms)
+    idf = F.log(F.lit(1.0) + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (
+        F.col("tf") * (F.lit(k1) + 1)
+        / (F.col("tf") + F.lit(k1) * (1 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("__avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum(idf * tf_part), 6).alias("bm25"),
+        )
+    )

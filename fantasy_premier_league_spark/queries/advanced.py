@@ -453,3 +453,46 @@ def q97_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
     return pagerank(edges, iterations=3, damping=0.85)
+
+
+_Z_TERMS = " + ".join(
+    t
+    for i in range(10)
+    for t in (f"(((x >> {i}) & 1) << {2 * i})", f"(((y >> {i}) & 1) << {2 * i + 1})")
+)
+
+
+@query(
+    "q99_zorder_key",
+    f"""
+    WITH b AS (
+        SELECT o_orderkey,
+               (o_custkey & 1023) AS x,
+               (date_diff('day', DATE '1992-01-01', o_orderdate::DATE) & 1023) AS y
+        FROM orders
+    )
+    SELECT o_orderkey, x, y, ({_Z_TERMS})::BIGINT AS zval FROM b
+    """,
+    doc="Morton (Z-order) locality key over (customer, order day) — "
+    "sources/warehouse.py::zorder_key, the layout lever behind "
+    "write_zordered: range-partition + sort on the interleaved key "
+    "clusters rows close in BOTH dimensions into the same files, so "
+    "min/max file stats prune scans on EITHER column (a plain (x,y) sort "
+    "only prunes the leading one). Exact integer bit arithmetic, "
+    "engine-portable; narrow projection, zero shuffles.",
+    tags=("warehouse", "layout", "zorder"),
+)
+def q99_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warehouse import zorder_key
+
+    orders = load(spark, sf_dir, "orders")
+    x = F.col("o_custkey").bitwiseAND(F.lit(1023))
+    y = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).bitwiseAND(
+        F.lit(1023)
+    )
+    return orders.select(
+        "o_orderkey",
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        zorder_key(x, y, bits=10).alias("zval"),
+    )

@@ -172,3 +172,37 @@ def q35_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("digest"),
         "n_chars",
     )
+
+
+@query(
+    "q98_bm25_retrieval",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE word != ''),
+    tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfq AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+    q AS (SELECT word, df FROM dfq ORDER BY df DESC, word ASC LIMIT 3)
+    SELECT tf.doc_id,
+           count(*)::BIGINT AS n_terms_hit,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * tf * (1.2 + 1)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+    FROM tf JOIN q USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+    doc="BM25 lexical retrieval (operators/textstats.py::bm25_scores, "
+    "k1=1.2, b=0.75, Lucene idf): every document scored against the "
+    "corpus's top-3-df terms — the keyword half of a hybrid-retrieval "
+    "pipeline (the embedding half is q50-q57). Postings from two "
+    "partial-agg shuffles of the token stream; the query-term table and "
+    "the N/avgdl scalars broadcast, so scoring touches only matching "
+    "postings. No UDFs, no collect.",
+    tags=("text", "retrieval", "llm-pipeline"),
+)
+def q98_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.bm25_scores(docs, "doc_id", "text", n_query_terms=3)

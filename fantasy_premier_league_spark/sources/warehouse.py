@@ -69,3 +69,54 @@ def write_sharded_corpus(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*shard_cols).parquet(path)
+
+
+def zorder_key(x_col, y_col, *, bits: int = 10):
+    """Morton (Z-order) interleave of two bounded ints -> one locality key.
+
+    The third physical-layout lever after partitioning and bucketing:
+    range-partitioning + sorting by the interleaved key clusters rows that
+    are close in BOTH dimensions into the same files, so per-file min/max
+    statistics prune scans on EITHER column (a sort on (x, y) only ever
+    prunes the leading column). This is how multi-dimensional predicates
+    (tenant x date, customer x time) stay I/O-proportional at 100 TB —
+    the same layout Delta/Iceberg OPTIMIZE ZORDER produces.
+
+    Inputs are masked to ``bits`` (caller buckets/ranks beforehand); the
+    key is an exact integer Column — engine-portable bit arithmetic.
+    """
+    from pyspark.sql import functions as F
+
+    x = x_col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    y = y_col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 10,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Z-order key of (x_col, y_col):
+    range-partition on the key (contiguous z-ranges per file), sort within
+    partitions, drop the helper column. Readers filtering on either
+    dimension skip whole files via parquet row-group/file min-max stats."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("__z", zorder_key(F.col(x_col), F.col(y_col), bits=bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -407,3 +407,75 @@ class TestPageRank:
         e = spark.createDataFrame([(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long")
         out = pagerank(e, iterations=9, checkpoint_every=4).collect()
         assert len(out) == 3
+
+
+class TestBM25:
+    def test_exact_score_tiny_corpus(self, spark):
+        import math
+
+        from fantasy_premier_league_spark.operators.textstats import bm25_scores
+
+        # 3 docs; "a" appears in all (df=3), "b" in two (df=2), "c" in one.
+        # top-2 query terms by df: a (3), b (2)
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c"), (3, "a")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in bm25_scores(df, "doc_id", "text", n_query_terms=2).collect()}
+        n, avgdl, k1, b = 3, 2.0, 1.2, 0.75
+
+        def score(tf, dl, dfq):
+            idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        assert out[1]["n_terms_hit"] == 2
+        assert out[1]["bm25"] == pytest.approx(round(score(1, 2, 3) + score(1, 2, 2), 6), abs=2e-6)
+        assert out[3]["n_terms_hit"] == 1
+        assert out[3]["bm25"] == pytest.approx(round(score(1, 1, 3), 6), abs=2e-6)
+
+    def test_doc_without_query_terms_absent(self, spark):
+        from fantasy_premier_league_spark.operators.textstats import bm25_scores
+
+        df = spark.createDataFrame(
+            [(1, "a a a"), (2, "a b"), (3, "zzz")], "doc_id long, text string"
+        )
+        out = bm25_scores(df, "doc_id", "text", n_query_terms=1).collect()
+        assert {r["doc_id"] for r in out} == {1, 2}
+
+
+class TestZOrder:
+    def test_interleave_known_values(self, spark):
+        from pyspark.sql import functions as F
+
+        from fantasy_premier_league_spark.sources.warehouse import zorder_key
+
+        df = spark.createDataFrame([(3, 5)], "x long, y long")
+        # x=0b011 interleaves to even bit positions, y=0b101 to odd:
+        # z = x0<<0 | y0<<1 | x1<<2 | y1<<3 | x2<<4 | y2<<5
+        #   = 1 + 2 + 4 + 0 + 0 + 32 = 39
+        got = df.select(zorder_key(F.col("x"), F.col("y")).alias("z")).first()["z"]
+        assert got == 39
+
+    def test_write_zordered_clusters_both_dims(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        import os
+
+        from fantasy_premier_league_spark.sources.warehouse import write_zordered
+
+        # 32x32 grid, one row per cell
+        rows = [(x, y) for x in range(32) for y in range(32)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        out = str(tmp_path / "z")
+        write_zordered(df, out, "x", "y", bits=5, n_files=8)
+        spans = []
+        for f in os.listdir(out):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(out, f))
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            spans.append(((max(xs) - min(xs)), (max(ys) - min(ys))))
+        # Z-order clustering: every file must cover a narrow range in BOTH
+        # dimensions (a lexicographic (x,y) sort would leave the y span at
+        # the full 31 in every file)
+        assert len(spans) >= 4
+        assert all(sx <= 16 for sx, _ in spans)
+        assert all(sy <= 16 for _, sy in spans)

@@ -160,3 +160,28 @@ def bm25_scores(
             F.round(F.sum(idf * tf_part), 6).alias("bm25"),
         )
     )
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩ RE2
+#: subset (no lookahead) so an external SQL engine replays it exactly:
+#: contraction suffixes, space-prefixed letter runs, digit runs, punct runs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9']+|'"
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token counts under a BPE-ish pre-tokenizer vs plain
+    whitespace — the cheap proxy for "how many tokens will the tokenizer
+    actually bill" that corpus budgeting runs at 100 TB (real BPE merges
+    only split pre-tokens further, so this lower-bounds and tracks the
+    true count). Pure Column work: one regexp_extract_all over normalized
+    text, zero shuffles, zero Python."""
+    norm = normalize_text(F.col(text_col))
+    pieces = F.regexp_extract_all(norm, F.lit(BPE_PRETOKEN_RE), 0)
+    n_bpe = F.size(pieces)
+    n_ws = F.size(words(F.col(text_col)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.round(n_bpe / n_ws, 6).alias("fertility"),
+    )

@@ -206,3 +206,28 @@ def q35_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q98_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.bm25_scores(docs, "doc_id", "text", n_query_terms=3)
+
+
+@query(
+    "q100_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all({_NORM},
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+|'''''))::BIGINT
+               AS n_bpe_tokens,
+           len({_WORDS})::BIGINT AS n_ws_tokens,
+           round(len(regexp_extract_all({_NORM},
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+|'''''))::DOUBLE
+               / len({_WORDS}), 6) AS fertility
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenizer token counting (operators/textstats.py::"
+    "bpe_token_count): GPT-2-style pattern restricted to the Java∩RE2 "
+    "regex subset so the oracle replays it byte-for-byte. The corpus-"
+    "budgeting proxy for billed tokens (real BPE merges only split "
+    "pre-tokens further). One regexp_extract_all, zero shuffles.",
+    tags=("text", "tokenization", "llm-pipeline"),
+)
+def q100_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.bpe_token_count(docs, "doc_id", "text")

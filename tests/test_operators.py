@@ -479,3 +479,17 @@ class TestZOrder:
         assert len(spans) >= 4
         assert all(sx <= 16 for sx, _ in spans)
         assert all(sy <= 16 for _, sy in spans)
+
+
+class TestBpeTokenCount:
+    def test_splits_contractions_digits_punct(self, spark):
+        from fantasy_premier_league_spark.operators.textstats import bpe_token_count
+
+        df = spark.createDataFrame(
+            [(1, "don't stop 42 now!!")], "doc_id long, text string"
+        )
+        r = bpe_token_count(df, "doc_id", "text").first()
+        # pieces: don / 't / " stop" / " 42" / " now" / "!!" -> 6
+        assert r["n_bpe_tokens"] == 6
+        assert r["n_ws_tokens"] == 4
+        assert r["fertility"] == 1.5

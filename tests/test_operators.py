@@ -493,3 +493,38 @@ class TestBpeTokenCount:
         assert r["n_bpe_tokens"] == 6
         assert r["n_ws_tokens"] == 4
         assert r["fertility"] == 1.5
+
+
+class TestRound4EmptyInputs:
+    def test_chunk_tokens_empty_frame(self, spark):
+        from fantasy_premier_league_spark.operators.curation import chunk_tokens
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        assert chunk_tokens(df, "doc_id", "text", chunk_words=4).count() == 0
+
+    def test_pagerank_empty_edges(self, spark):
+        from fantasy_premier_league_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(e, iterations=2).count() == 0
+
+    def test_compress_history_empty(self, spark):
+        from fantasy_premier_league_spark.operators.curation import compress_history
+
+        df = spark.createDataFrame([], "event_id long, user_id long, ts timestamp, event_type string")
+        assert (
+            compress_history(df, "user_id", "ts", "event_type", tiebreak_col="event_id").count()
+            == 0
+        )
+
+    def test_bm25_empty_corpus(self, spark):
+        from fantasy_premier_league_spark.operators.textstats import bm25_scores
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        assert bm25_scores(df, "doc_id", "text").count() == 0
+
+    def test_temperature_mix_empty(self, spark):
+        from fantasy_premier_league_spark.operators.curation import temperature_mix_rates
+
+        df = spark.createDataFrame([], "doc_id long, text string, source string")
+        assert temperature_mix_rates(df, ["source"]).count() == 0

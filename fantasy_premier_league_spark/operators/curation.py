@@ -589,3 +589,60 @@ def compress_history(
         F.lead("valid_from").over(nxt).alias("valid_to"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed inference batching: rank documents by token count
+    (descending, id tiebreak), cut the ranking into fixed-size batches,
+    and account each batch's padding waste — the standard sorted-batching
+    prep that minimizes pad tokens when serving variable-length sequences
+    (padded cost = batch_max x batch_size; sorting makes neighbors
+    similar-length, so waste collapses vs random batching).
+
+    Returns one row per batch: n_seqs, max/sum tokens, padded token cost,
+    padding_waste and efficiency (= sum/padded).
+
+    Scale shape: the global ordering uses the two-phase rank
+    (operators/rank.py::global_rank — one range sort, zero Python, no
+    driver collect); batch stats are one groupBy on the dense batch id.
+    """
+    from .dedup import words
+    from .rank import global_rank
+
+    with_len = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    ranked = global_rank(
+        with_len, [F.col("n_tokens").desc(), F.col("doc_id").asc()], out="__rank"
+    )
+    batched = ranked.withColumn(
+        "batch_id", F.floor((F.col("__rank") - 1) / F.lit(int(batch_size))).cast("long")
+    )
+    return (
+        batched.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "batch_id",
+            "n_seqs",
+            "max_tokens",
+            "sum_tokens",
+            (F.col("max_tokens") * F.col("n_seqs")).alias("padded_tokens"),
+            (F.col("max_tokens") * F.col("n_seqs") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+            F.round(
+                F.col("sum_tokens") / (F.col("max_tokens") * F.col("n_seqs")), 6
+            ).alias("efficiency"),
+        )
+    )

@@ -461,3 +461,34 @@ def q95_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q96_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return C.compress_history(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
+
+
+@query(
+    "q101_length_batches",
+    f"""
+    WITH t AS (SELECT doc_id, len({_WORDS})::BIGINT AS n_tokens FROM documents),
+    r AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rk
+        FROM t
+    ),
+    b AS (SELECT *, ((rk - 1) // 32)::BIGINT AS batch_id FROM r)
+    SELECT batch_id,
+           count(*)::BIGINT AS n_seqs,
+           max(n_tokens) AS max_tokens,
+           sum(n_tokens)::BIGINT AS sum_tokens,
+           (max(n_tokens) * count(*))::BIGINT AS padded_tokens,
+           (max(n_tokens) * count(*) - sum(n_tokens))::BIGINT AS padding_waste,
+           round(sum(n_tokens)::DOUBLE / (max(n_tokens) * count(*)), 6) AS efficiency
+    FROM b GROUP BY batch_id
+    """,
+    doc="Length-bucketed inference batching (operators/curation.py::"
+    "length_bucket_batches, batch=32): documents ranked by token count "
+    "via the two-phase global rank (one range sort, zero Python), cut "
+    "into fixed batches, per-batch padding waste accounted — the sorted-"
+    "batching prep that minimizes pad tokens for variable-length serving.",
+    tags=("curation", "batching", "llm-pipeline"),
+)
+def q101_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.length_bucket_batches(docs, "doc_id", "text", batch_size=32)

@@ -368,3 +368,31 @@ class TestCompressHistory:
             key=lambda r: r["run_seq"],
         )
         assert [r["state"] for r in out] == ["a", "b"]
+
+
+class TestLengthBucketBatches:
+    def test_sorted_batching_and_waste_accounting(self, spark):
+        # 5 docs with lengths 8,8,4,4,1; batch_size=2 ->
+        # batch0 = [8,8] waste 0; batch1 = [4,4] waste 0; batch2 = [1]
+        rows = [
+            (1, "w " * 8),
+            (2, "w " * 8),
+            (3, "w " * 4),
+            (4, "w " * 4),
+            (5, "w"),
+        ]
+        df = _docs(spark, [(i, t.strip()) for i, t in rows])
+        out = {
+            r["batch_id"]: r
+            for r in C.length_bucket_batches(df, "doc_id", "text", batch_size=2).collect()
+        }
+        assert out[0]["max_tokens"] == 8 and out[0]["padding_waste"] == 0
+        assert out[1]["max_tokens"] == 4 and out[1]["padding_waste"] == 0
+        assert out[2]["n_seqs"] == 1 and out[2]["efficiency"] == 1.0
+
+    def test_mixed_lengths_waste(self, spark):
+        # lengths 6 and 2 in one batch: padded 12, waste 4
+        df = _docs(spark, [(1, "w " * 6), (2, "w " * 2)])
+        r = C.length_bucket_batches(df, "doc_id", "text", batch_size=2).first()
+        assert r["padded_tokens"] == 12 and r["padding_waste"] == 4
+        assert r["efficiency"] == pytest.approx(8 / 12, abs=1e-6)

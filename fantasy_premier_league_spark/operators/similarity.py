@@ -502,7 +502,7 @@ def ivf_pq_topk(
     Every stage is deterministic dataflow (seeded cells, seeded codebook,
     F.round on the JVM — no numpy, no collect), so an external SQL engine
     replays cells, codes, ADC sums, shortlist, and rerank value-for-value
-    (q88's oracle). Recall knobs: n_probe (cell recall) and shortlist
+    (q39's oracle). Recall knobs: n_probe (cell recall) and shortlist
     (quantization recall); precision of what is returned is exact.
     Returns (query_id, neighbor_id, cosine, rank).
     """

@@ -420,7 +420,7 @@ _PR_ITER = """r{t} AS (
 
 
 @query(
-    "q97_part_pagerank",
+    "q48_part_pagerank",
     f"""
     WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
     e AS (
@@ -447,7 +447,7 @@ _PR_ITER = """r{t} AS (
     "ordering.",
     tags=("graph", "iterative", "pagerank"),
 )
-def q97_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import co_occurrence_edges, pagerank
 
     li = load(spark, sf_dir, "lineitem")

@@ -423,7 +423,7 @@ def q95_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q96_state_history",
+    "q47_state_history",
     """
     WITH o AS (
         SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us FROM events
@@ -458,13 +458,13 @@ def q95_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Catalyst plans a single shuffle.",
     tags=("warehouse", "window", "scd2"),
 )
-def q96_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q47_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return C.compress_history(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
 
 
 @query(
-    "q101_length_batches",
+    "q59_length_batches",
     f"""
     WITH t AS (SELECT doc_id, len({_WORDS})::BIGINT AS n_tokens FROM documents),
     r AS (
@@ -489,6 +489,6 @@ def q96_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batching prep that minimizes pad tokens for variable-length serving.",
     tags=("curation", "batching", "llm-pipeline"),
 )
-def q101_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q59_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.length_bucket_batches(docs, "doc_id", "text", batch_size=32)

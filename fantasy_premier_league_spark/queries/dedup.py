@@ -456,7 +456,7 @@ def _minhash_incremental_oracle(num_hashes: int, bands: int, threshold: float, s
 
 
 @query(
-    "q90_incremental_dedup",
+    "q44_incremental_dedup",
     _minhash_incremental_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42),
     doc="Incremental dedup — a new ingest batch (doc_id % 3 == 0) checked "
     "against the stored MinHash signature index of the existing corpus "
@@ -467,7 +467,7 @@ def _minhash_incremental_oracle(num_hashes: int, bands: int, threshold: float, s
     "value-for-value.",
     tags=("dedup", "minhash", "incremental", "llm-pipeline"),
 )
-def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     index_docs = docs.filter(F.col("doc_id") % 3 != 0)
     new_batch = docs.filter(F.col("doc_id") % 3 == 0)

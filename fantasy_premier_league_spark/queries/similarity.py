@@ -302,7 +302,7 @@ def q26_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q88_ivf_pq_topk",
+    "q39_ivf_pq_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (SELECT vec_id AS cell, v AS sv FROM e ORDER BY vec_id LIMIT 16),
@@ -378,7 +378,7 @@ def q26_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-for-value.",
     tags=("similarity", "ann", "ivf", "pq", "composition"),
 )
-def q88_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_pq_topk(
@@ -387,7 +387,7 @@ def q88_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q91_embedding_dup_clusters",
+    "q46_embedding_dup_clusters",
     """
     WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     pairs AS (
@@ -420,7 +420,7 @@ def q88_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "checked too.",
     tags=("similarity", "dedup", "graph", "iterative"),
 )
-def q91_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     emb = load(spark, sf_dir, "embeddings")

@@ -175,7 +175,7 @@ def q35_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q98_bm25_retrieval",
+    "q49_bm25_retrieval",
     f"""
     WITH tok AS (
         SELECT doc_id, unnest({_WORDS}) AS word FROM documents
@@ -203,13 +203,13 @@ def q35_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "postings. No UDFs, no collect.",
     tags=("text", "retrieval", "llm-pipeline"),
 )
-def q98_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q49_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.bm25_scores(docs, "doc_id", "text", n_query_terms=3)
 
 
 @query(
-    "q100_bpe_token_count",
+    "q58_bpe_token_count",
     f"""
     SELECT doc_id,
            len(regexp_extract_all({_NORM},
@@ -228,6 +228,6 @@ def q98_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pre-tokens further). One regexp_extract_all, zero shuffles.",
     tags=("text", "tokenization", "llm-pipeline"),
 )
-def q100_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q58_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.bpe_token_count(docs, "doc_id", "text")

@@ -169,11 +169,11 @@ class TestCurationPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_q88_ivf_pq_all_jvm_no_cartesian_scan(self, spark):
+    def test_q39_ivf_pq_all_jvm_no_cartesian_scan(self, spark):
         # the composition must not degenerate: no Python (the ADC lookup is
         # a broadcast hash join, not a UDF), and the only nested-loop join
         # is the bounded corpus x 16-seed fan-out (which AQE broadcasts)
-        plan = plan_of(spark, "q88_ivf_pq_topk")
+        plan = plan_of(spark, "q39_ivf_pq_topk")
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
 
@@ -187,14 +187,14 @@ class TestRound4OperatorPlans:
         assert "Exchange" not in plan
         assert "Generate explode" in plan
 
-    def test_q96_state_history_two_exchanges(self, spark):
+    def test_q47_state_history_two_exchanges(self, spark):
         # lag + running sum + run aggregate share the (user_id, ts)
         # partitioning (one exchange); the valid_to lead over runs needs the
         # second. Three or more means the islands chain stopped reusing the
         # sort order.
         import re
 
-        plan = plan_of(spark, "q96_state_history")
+        plan = plan_of(spark, "q47_state_history")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 2
 
     def test_q95_temperature_mix_broadcast_totals(self, spark):

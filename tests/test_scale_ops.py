@@ -95,7 +95,7 @@ class TestIvf:
         assert recall >= 0.9  # probing the home cell of tight clusters
 
     def test_ivf_pq_composition_recall_on_testdata(self, spark):
-        # the q88 composition at its registered knobs, gated against exact
+        # the q39 composition at its registered knobs, gated against exact
         # brute force on the real sf0.01 embeddings: quantization loss is
         # bounded by the 32-deep shortlist, cell loss by n_probe 8/16
         from fantasy_premier_league_spark.catalog import load

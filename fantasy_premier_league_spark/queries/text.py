@@ -213,11 +213,11 @@ def q49_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            len(regexp_extract_all({_NORM},
-               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+|'''''))::BIGINT
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+|'''))::BIGINT
                AS n_bpe_tokens,
            len({_WORDS})::BIGINT AS n_ws_tokens,
            round(len(regexp_extract_all({_NORM},
-               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+|'''''))::DOUBLE
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+|'''))::DOUBLE
                / len({_WORDS}), 6) AS fertility
     FROM documents
     """,

@@ -494,6 +494,39 @@ class TestBpeTokenCount:
         assert r["n_ws_tokens"] == 4
         assert r["fertility"] == 1.5
 
+    def test_lone_apostrophe_matches_oracle(self, spark, tmp_path):
+        # The regex's final alternative is a LONE apostrophe ("o' brien",
+        # "rock 'n roll", quote marks). The oracle's SQL string literal must
+        # decode to that same single-' alternative — a five-quote tail
+        # decodes to '' and silently skips lone apostrophes.
+        import duckdb
+
+        from fantasy_premier_league_spark.queries import all_queries
+
+        q = all_queries()["q58_bpe_token_count"]
+        docs = spark.createDataFrame(
+            [
+                (1, "o' brien met rock 'n roll"),
+                (2, "'quoted words' trail '"),
+                (3, "don't mix ' lone and 'll clitic"),
+            ],
+            "doc_id long, text string",
+        )
+        docs.write.parquet(str(tmp_path / "documents.parquet"))
+        got = (
+            q.fn(spark, str(tmp_path))
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        want = con.execute(q.oracle).df().sort_values("doc_id", ignore_index=True)
+        assert got["n_bpe_tokens"].tolist() == want["n_bpe_tokens"].tolist()
+        assert got["fertility"].tolist() == want["fertility"].tolist()
+
 
 class TestRound4EmptyInputs:
     def test_chunk_tokens_empty_frame(self, spark):

@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from fantasy_premier_league_spark.operators.cache import release_operator_caches
 from fantasy_premier_league_spark.queries import all_queries
 from fantasy_premier_league_spark.session import get_spark
 
@@ -52,6 +53,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue
+        finally:
+            # operator-persisted intermediates (sketch tables, inverted
+            # indexes, edge lists) must not accumulate across 90+ queries
+            release_operator_caches()
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
     out = {

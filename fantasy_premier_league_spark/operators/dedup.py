@@ -25,13 +25,64 @@ Python in any hot path. Two base-hash families are offered:
 
 from __future__ import annotations
 
+import logging
 import random
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
+
 _MASK30 = (1 << 30) - 1
 _MERSENNE31 = (1 << 31) - 1
+
+_LOG = logging.getLogger(__name__)
+
+
+def _cap_band_buckets(
+    banded: DataFrame, max_bucket_size: int | None, *, context: str
+) -> DataFrame:
+    """Drop band buckets with more than ``max_bucket_size`` members.
+
+    The band self-join is quadratic PER BUCKET: one degenerate bucket
+    (boilerplate headers, empty documents hashing identically) with m
+    members emits m^2/2 candidate rows inside a single task — AQE's skew
+    split cannot save a logically quadratic explosion, so at corpus scale
+    the guard is what keeps the worst bucket bounded. Mirrors the
+    ``max_doc_freq`` shingle blocking above and the reference's own
+    candidate cap (/root/reference/etl/additional_fifa.py:314-320).
+
+    Dropping a bucket loses its candidate pairs (recall, not precision),
+    so the guard defaults to off and — per the no-silent-caps rule — an
+    eager accounting pass logs exactly how many buckets/rows were dropped
+    (cheap: it scans the sketch table, which callers persist, not the
+    corpus).
+    """
+    if max_bucket_size is None:
+        return banded
+    w = W.partitionBy("band_idx", "band_sig")
+    capped = (
+        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
+    stats = (
+        banded.groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .agg(F.count(F.lit(1)).alias("buckets"), F.sum("__n").alias("rows"))
+        .first()
+    )
+    if stats["buckets"]:
+        _LOG.warning(
+            "%s: dropped %d oversized LSH band buckets (> %d members, %d member "
+            "rows) before candidate pairing — their pairs are NOT generated",
+            context,
+            stats["buckets"],
+            max_bucket_size,
+            stats["rows"],
+        )
+    return capped
 
 
 def portable_hash32(col: F.Column) -> F.Column:
@@ -108,7 +159,7 @@ def ngram_jaccard_pairs(
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
     # the inverted index feeds three consumers (sizes, both join sides);
     # without an explicit persist Spark re-scans and re-shuffles it 3x
-    sh = sh.persist()
+    sh = tracked_persist(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -151,7 +202,7 @@ def containment_pairs(
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
-    sh = sh.persist()
+    sh = tracked_persist(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -234,12 +285,20 @@ def _banded(sig_df: DataFrame, bands: int) -> DataFrame:
     ).select("id", "band.band_idx", "band.band_sig")
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, *, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    sig_df: DataFrame, *, bands: int = 16, max_bucket_size: int | None = None
+) -> DataFrame:
     """Banded LSH: docs agreeing on all rows of any band become a candidate
     pair. Shuffle is on (band_idx, band_signature) buckets only — this is
     what makes near-dup feasible at 100 TB (never all-pairs).
+
+    ``max_bucket_size`` drops (and logs) degenerate buckets before the
+    self-join — see :func:`_cap_band_buckets`. Off by default (exact
+    candidate recall, oracle-replayable).
     """
-    banded = _banded(sig_df, bands)
+    banded = _cap_band_buckets(
+        _banded(sig_df, bands), max_bucket_size, context="lsh_candidate_pairs"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -265,6 +324,7 @@ def minhash_dedup_pairs(
     est_threshold: float = 0.5,
     seed: int = 42,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup pairs with signature-estimated Jaccard.
 
@@ -272,11 +332,14 @@ def minhash_dedup_pairs(
     components (unbiased for Jaccard). No second pass over the raw text.
     """
     # signatures feed banding + both verify-join sides → persist once
-    # (num_hashes longs per doc; tiny next to the corpus)
-    sigs = minhash_signatures(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
-    ).persist()
-    cands = lsh_candidate_pairs(sigs, bands=bands)
+    # (num_hashes longs per doc; tiny next to the corpus); tracked so a
+    # long-lived session can bulk-release via cache.release_operator_caches
+    sigs = tracked_persist(
+        minhash_signatures(
+            df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
+        )
+    )
+    cands = lsh_candidate_pairs(sigs, bands=bands, max_bucket_size=max_bucket_size)
     a = sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
     b = sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
     est = F.aggregate(
@@ -305,6 +368,7 @@ def minhash_incremental_pairs(
     est_threshold: float = 0.5,
     seed: int = 42,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW batch against a stored signature index — the
     nightly-ingest pattern: the historical corpus is never re-sketched,
@@ -323,11 +387,17 @@ def minhash_incremental_pairs(
     caller must build the index with identical (n, num_hashes, seed,
     portable) or estimates are meaningless.
     """
-    new_sigs = minhash_signatures(
-        new_docs, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
-    ).persist()
-    nb = _banded(new_sigs, bands).withColumnRenamed("id", "new_id")
-    ib = _banded(index_sigs, bands).withColumnRenamed("id", "index_id")
+    new_sigs = tracked_persist(
+        minhash_signatures(
+            new_docs, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
+        )
+    )
+    nb = _cap_band_buckets(
+        _banded(new_sigs, bands), max_bucket_size, context="minhash_incremental_pairs[new]"
+    ).withColumnRenamed("id", "new_id")
+    ib = _cap_band_buckets(
+        _banded(index_sigs, bands), max_bucket_size, context="minhash_incremental_pairs[index]"
+    ).withColumnRenamed("id", "index_id")
     cand = (
         nb.join(ib, ["band_idx", "band_sig"])
         .filter(F.col("new_id") != F.col("index_id"))
@@ -400,13 +470,23 @@ def simhash(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 8, portable: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 8,
+    portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: banded candidates (pigeonhole: hamming<=3
     guarantees an equal 16-bit band; wider radii trade recall), then exact
     hamming distance filter on the full fingerprint."""
-    fp = simhash(df, id_col, text_col, portable=portable).persist()
-    banded = fp.select("id", "simhash_bits", F.posexplode("bands").alias("band_idx", "band_sig"))
+    fp = tracked_persist(simhash(df, id_col, text_col, portable=portable))
+    banded = _cap_band_buckets(
+        fp.select("id", "simhash_bits", F.posexplode("bands").alias("band_idx", "band_sig")),
+        max_bucket_size,
+        context="simhash_near_dup_pairs",
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.aggregate(
@@ -481,7 +561,11 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = None
-    for it in range(max_iter):
+    # max_iter + 1: the sum-equality probe observes a fixpoint one round
+    # AFTER it is reached, so a fixpoint hit exactly on the last budgeted
+    # round needs one extra confirmation round or it would be misreported
+    # as non-convergence
+    for it in range(max_iter + 1):
         # hook: l(u) <- min(l(u), min over neighbors' labels). Folding the
         # node's own label in via union (instead of a separate left join
         # back onto `labels`) keeps the round at TWO exchanges — the

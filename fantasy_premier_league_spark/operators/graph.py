@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
+
 
 def pagerank(
     edges: DataFrame,
@@ -40,10 +42,16 @@ def pagerank(
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
-    Every node must appear as a source (no dangling nodes) — true by
-    construction for co-occurrence graphs, which are symmetric. Returns
-    (node, rank) with rank rounded to 6 dp (engine-portable: the rounding
-    absorbs float-sum ordering differences across engines).
+    Handles the full standard semantics on ANY edge list, not just
+    symmetric co-occurrence graphs: the rank vector is keyed on the
+    complete node set (sources ∪ sinks, rebuilt via left join every
+    round, so a node with no in-edges never drops out of the vector),
+    and the mass held by dangling nodes (no out-edges) is redistributed
+    uniformly each round — total rank mass stays 1 instead of leaking.
+    On a symmetric graph both corrections are exact no-ops, so the q48
+    oracle's unrolled CTEs replay the same values. Returns (node, rank)
+    with rank rounded to 6 dp (engine-portable: the rounding absorbs
+    float-sum ordering differences across engines).
     """
     from pyspark.sql import Window as W
 
@@ -52,34 +60,46 @@ def pagerank(
     # window (one shuffle — a separate deg aggregate + re-join would
     # shuffle the full edge list twice) and persist: every iteration's
     # contribution join then touches only (edges+deg) x ranks — one
-    # shuffle join + one partial-agg groupBy per round
-    ed = e.withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src"))).persist()
-    # nodes-sized frames derive from the cached edges with map-side
-    # partial aggregation — no extra pass over the raw edge build
-    deg = ed.groupBy("src").agg(F.first("deg").alias("deg"))
-    n_total = deg.agg(F.count(F.lit(1)).alias("__n"))
-    ranks = deg.crossJoin(F.broadcast(n_total)).select(
-        F.col("src").alias("node"),
-        (F.lit(1.0) / F.col("__n")).alias("rank"),
-        "__n",
+    # shuffle join + one partial-agg groupBy per round. Tracked: release
+    # via operators.cache.release_operator_caches after consumption.
+    ed = tracked_persist(
+        e.withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
     )
+    out_deg = ed.groupBy("src").agg(F.first("deg").alias("deg"))
+    # complete node set; deg stays null for dangling nodes (sink-only)
+    node_set = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(out_deg.withColumnRenamed("src", "node"), "node", "left")
+    )
+    n_total = node_set.agg(F.count(F.lit(1)).alias("__n"))
+    # nodes-sized and reused by three consumers every round → persist
+    nodes = tracked_persist(node_set.crossJoin(F.broadcast(n_total)))
+    ranks = nodes.select("node", (F.lit(1.0) / F.col("__n")).alias("rank"))
     for i in range(int(iterations)):
-        contrib = ed.join(
-            ranks.select(F.col("node").alias("src"), "rank", "__n"), "src"
-        )
-        ranks = (
+        contrib = ed.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+        inmass = (
             contrib.groupBy("dst")
-            .agg(
-                F.sum(F.col("rank") / F.col("deg")).alias("__in"),
-                F.first("__n").alias("__n"),
-            )
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in"))
+            .withColumnRenamed("dst", "node")
+        )
+        # dangling nodes hold rank but emit no contributions: spread their
+        # mass uniformly (standard PageRank), as a 1-row broadcast — no
+        # driver-side action, the plan stays a finite unrolled chain
+        dmass = ranks.join(
+            nodes.filter(F.col("deg").isNull()).select("node"), "node"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        ranks = (
+            nodes.join(inmass, "node", "left")
+            .crossJoin(F.broadcast(dmass))
             .select(
-                F.col("dst").alias("node"),
+                "node",
                 (
                     (F.lit(1.0) - F.lit(damping)) / F.col("__n")
-                    + F.lit(damping) * F.col("__in")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / F.col("__n"))
                 ).alias("rank"),
-                "__n",
             )
         )
         if (i + 1) % checkpoint_every == 0:

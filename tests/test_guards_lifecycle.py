@@ -1,0 +1,139 @@
+"""Round-5 hardening: LSH bucket-size guards, operator cache lifecycle,
+PageRank dangling/no-in-edge semantics, CC convergence confirmation."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.operators import dedup as D
+from fantasy_premier_league_spark.operators.cache import release_operator_caches
+from fantasy_premier_league_spark.operators.graph import pagerank
+
+
+def _degenerate_corpus(spark, n_boiler=200):
+    """n_boiler identical boilerplate docs + one genuine near-dup pair that
+    shares no shingles with the boilerplate."""
+    boiler = [(i, "terms of service apply to all content on this site every day") for i in range(n_boiler)]
+    pair = [
+        (10_000, "quick brown fox jumps over the lazy dog near the river bank"),
+        (10_001, "quick brown fox jumps over the lazy dog near the river bend"),
+    ]
+    return spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+
+class TestBucketGuard:
+    def test_lsh_guard_drops_degenerate_bucket_keeps_real_pairs(self, spark, caplog):
+        docs = _degenerate_corpus(spark)
+        sigs = D.minhash_signatures(docs, "doc_id", "text")
+        with caplog.at_level("WARNING", logger="fantasy_premier_league_spark.operators.dedup"):
+            rows = D.lsh_candidate_pairs(sigs, bands=16, max_bucket_size=50).collect()
+        ids = {r["id_a"] for r in rows} | {r["id_b"] for r in rows}
+        # the 200-doc boilerplate bucket (19900 quadratic pairs) is dropped...
+        assert not any(i < 10_000 for i in ids)
+        # ...while the genuine near-dup pair in a small bucket survives
+        assert (10_000, 10_001) in {(r["id_a"], r["id_b"]) for r in rows}
+        # no-silent-caps: the drop is logged with a bucket count
+        assert any("oversized LSH band buckets" in r.message for r in caplog.records)
+
+    def test_lsh_guard_off_by_default_matches_unguarded(self, spark):
+        docs = _degenerate_corpus(spark, n_boiler=20)
+        sigs = D.minhash_signatures(docs, "doc_id", "text")
+        default = {tuple(r) for r in D.lsh_candidate_pairs(sigs, bands=16).collect()}
+        huge_cap = {
+            tuple(r)
+            for r in D.lsh_candidate_pairs(sigs, bands=16, max_bucket_size=10_000).collect()
+        }
+        assert default == huge_cap
+        assert len(default) >= 190 + 1  # 20-doc clique + the real pair
+
+    def test_simhash_guard_bounds_degenerate_bucket(self, spark, caplog):
+        docs = _degenerate_corpus(spark)
+        with caplog.at_level("WARNING", logger="fantasy_premier_league_spark.operators.dedup"):
+            rows = D.simhash_near_dup_pairs(
+                docs, "doc_id", "text", max_hamming=10, max_bucket_size=50
+            ).collect()
+        assert not any(r["id_a"] < 10_000 for r in rows)
+        assert any("simhash_near_dup_pairs" in r.message for r in caplog.records)
+
+    def test_incremental_guard_prunes_index_bucket(self, spark, caplog):
+        docs = _degenerate_corpus(spark)
+        index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+        new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+        index_sigs = D.minhash_signatures(index_docs, "doc_id", "text")
+        with caplog.at_level("WARNING", logger="fantasy_premier_league_spark.operators.dedup"):
+            rows = D.minhash_incremental_pairs(
+                new_docs, index_sigs, "doc_id", "text", max_bucket_size=30
+            ).collect()
+        # boilerplate buckets capped on both sides -> only the real pair left
+        assert {(r["new_id"], r["index_id"]) for r in rows} == {(10_001, 10_000)}
+        assert any("minhash_incremental_pairs" in r.message for r in caplog.records)
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+class TestCacheLifecycle:
+    def test_dedup_operators_release_cleanly(self, spark):
+        release_operator_caches(blocking=True)
+        before = _n_persistent(spark)
+        docs = _degenerate_corpus(spark, n_boiler=10)
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+        D.minhash_dedup_pairs(docs, "doc_id", "text").collect()
+        D.simhash_near_dup_pairs(docs, "doc_id", "text").collect()
+        assert _n_persistent(spark) > before  # the caches were in use
+        release_operator_caches(blocking=True)
+        assert _n_persistent(spark) == before
+
+    def test_pagerank_releases_cleanly(self, spark):
+        release_operator_caches(blocking=True)
+        before = _n_persistent(spark)
+        e = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+        )
+        pagerank(e, iterations=3).collect()
+        assert _n_persistent(spark) > before
+        release_operator_caches(blocking=True)
+        assert _n_persistent(spark) == before
+
+
+class TestPagerankSemantics:
+    def test_mass_conserved_with_dangling_and_no_in_edge_nodes(self, spark):
+        # 1 -> 2 -> 3: node 1 has no in-edges (must stay in the vector),
+        # node 3 has no out-edges (dangling: its mass must redistribute)
+        e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        rows = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+        assert set(rows) == {1, 2, 3}
+        assert sum(rows.values()) == pytest.approx(1.0, abs=1e-4)
+        assert all(v > 0 for v in rows.values())
+        # the chain's sink accumulates the most rank
+        assert rows[3] > rows[1]
+
+    def test_symmetric_graph_unchanged_semantics(self, spark):
+        # on a symmetric graph both corrections are no-ops; spot-check the
+        # 2-cycle fixpoint: uniform 0.5/0.5
+        e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        rows = {r["node"]: r["rank"] for r in pagerank(e, iterations=4).collect()}
+        assert rows == {1: 0.5, 2: 0.5}
+
+
+class TestConvergenceConfirmation:
+    def test_fixpoint_on_last_budgeted_round_not_misreported(self, spark):
+        # a single edge converges in the init round; with max_iter=1 the old
+        # loop had no round left to OBSERVE the fixpoint and warned anyway
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            out = D.connected_components(pairs, max_iter=1).collect()
+        assert {(r["id"], r["cluster_id"]) for r in out} == {(1, 1), (2, 1)}
+
+    def test_true_non_convergence_still_warns(self, spark):
+        # a long chain cannot converge in 1 round (+1 confirmation)
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        )
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            D.connected_components(chain, max_iter=1, shortcut_from=99).collect()

@@ -78,6 +78,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            from fantasy_premier_league_spark.operators.cache import release_operator_caches
+
+            release_operator_caches()
         if q.oracle is None:
             n_rows_only += 1
             print(f"ROWS {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")

@@ -26,8 +26,6 @@ Spark-first design (vs the reference's batched cross join, :314-340):
 
 from __future__ import annotations
 
-from difflib import SequenceMatcher
-
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -43,10 +41,35 @@ POSITION_COMPAT: dict[str, frozenset[str]] = {
 }
 
 
+def _indel_ratio(s1: str, s2: str) -> float:
+    """rapidfuzz ``fuzz.ratio`` semantics: normalized InDel similarity
+    ``100 * (1 - indel_dist / (len1 + len2))``, equivalently
+    ``200 * LCS / (len1 + len2)`` (insert/delete cost 1, no
+    substitutions). difflib's Ratcliff-Obershelp ratio is near but NOT
+    equal to this on reordered tails, and the reference scores with
+    rapidfuzz (etl/additional_fifa.py:111-155), so matching decisions at
+    the threshold need the exact metric. Pure-Python two-row LCS DP —
+    inputs are short normalized names, called only on the pairs the
+    JVM exact-match short-circuit lets through."""
+    if s1 == s2:
+        return 100.0  # covers "" vs "" (rapidfuzz: 100)
+    if not s1 or not s2:
+        return 0.0
+    prev = [0] * (len(s2) + 1)
+    for c1 in s1:
+        cur = [0]
+        for j, c2 in enumerate(s2):
+            cur.append(prev[j] + 1 if c1 == c2 else max(prev[j + 1], cur[j]))
+        prev = cur
+    return 200.0 * prev[-1] / (len(s1) + len(s2))
+
+
 def token_set_ratio(a: str, b: str) -> float:
-    """Classic token-set ratio (public fuzzywuzzy/rapidfuzz algorithm):
-    compare sorted-token combinations of intersection and differences, take
-    the max pairwise similarity ratio (0-100)."""
+    """Token-set ratio with exact rapidfuzz numerics: compare sorted-token
+    combinations of intersection and differences, take the max pairwise
+    InDel similarity (0-100). Replays ``rapidfuzz.fuzz.token_set_ratio``
+    on normalized names value-for-value (the reference's scorer,
+    etl/additional_fifa.py:111-155)."""
     if a is None or b is None:
         return 0.0
     ta, tb = set(a.split()), set(b.split())
@@ -61,8 +84,8 @@ def token_set_ratio(a: str, b: str) -> float:
     for x, y in ((inter, t1), (inter, t2), (t1, t2)):
         if not x and not y:
             continue
-        best = max(best, SequenceMatcher(None, x, y).ratio())
-    return round(best * 100, 4)
+        best = max(best, _indel_ratio(x, y))
+    return round(best, 4)
 
 
 @F.pandas_udf(T.DoubleType())

@@ -163,6 +163,30 @@ class TestFuzzy:
         assert fuzzy.token_set_ratio("harry kane", "raheem sterling") < 50.0
         assert fuzzy.token_set_ratio(None, "x") == 0.0
 
+    def test_token_set_ratio_matches_published_rapidfuzz_values(self):
+        # the reference scores with rapidfuzz.fuzz.token_set_ratio
+        # (additional_fifa.py:111-155) — InDel ratio, NOT difflib's
+        # Ratcliff-Obershelp. Pin the exact published numerics:
+        # rapidfuzz README example for fuzz.ratio
+        assert fuzzy._indel_ratio("this is a test", "this is a test!") == pytest.approx(
+            96.55172413793103
+        )
+        # fuzzywuzzy README: duplicated token collapses under set semantics
+        assert fuzzy.token_set_ratio("fuzzy was a bear", "fuzzy fuzzy was a bear") == 100.0
+        # seatgeek token_set_ratio example: 30/33 on the sect-vs-(sect+diff)
+        assert fuzzy.token_set_ratio(
+            "mariners vs angels", "los angeles angels of anaheim at seattle mariners"
+        ) == pytest.approx(90.9091, abs=1e-4)
+        # subset name (short form inside long form) is a perfect 100
+        assert fuzzy.token_set_ratio("new york mets", "new york mets vs atlanta braves") == 100.0
+        # accented chars normalize away BEFORE scoring in the pipeline;
+        # post-normalization reordered tokens are a perfect 100
+        assert fuzzy.token_set_ratio("sergio aguero", "aguero sergio") == 100.0
+        # difflib's ratio underestimates scattered matches (R-O picks the
+        # longest block greedily, missing LCS chars); pin the indel value
+        # difflib would get wrong (difflib: 25.0)
+        assert fuzzy.token_set_ratio("gabriel jesus", "andre gomes") == pytest.approx(50.0)
+
     def test_resolve_entities(self, spark):
         fpl = spark.createDataFrame(
             [("1", "Mohamed Salah", "MID"), ("2", "Harry Kane", "FWD"),

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Scale soak: run the heavy operator family at sf0.1 and the generated
+sf1 (tools/gen_sf1.py) and report per-query scaling factors.
+
+Usage: python tools/soak_sf1.py [query ...]   (default: the heavy seven)
+
+Each query runs once per scale through the no-op sink (full plan, no
+driver materialization), with operator caches released between runs.
+Prints one JSON line: {"queries": {name: {"sf0.1": s, "sf1": s,
+"scale_factor": x, "data_factor": y}}} — scale_factor ≈ data_factor
+(or below) is the linear-scaling evidence SCALE.md cites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fantasy_premier_league_spark.operators.cache import release_operator_caches
+from fantasy_premier_league_spark.queries import all_queries
+from fantasy_premier_league_spark.session import get_spark
+
+HEAVY = [
+    "q29_dedup_clusters",
+    "q41_ngram_jaccard_pairs",
+    "q42_minhash_lsh_pairs",
+    "q44_incremental_dedup",
+    "q53_embedding_near_dups",
+    "q39_ivf_pq_topk",
+    "q48_part_pagerank",
+]
+
+#: rows at sf1 / rows at sf0.1 for the table each query is bound by
+DATA_FACTOR = {
+    "q29_dedup_clusters": 10.0,
+    "q41_ngram_jaccard_pairs": 10.0,
+    "q42_minhash_lsh_pairs": 10.0,
+    "q44_incremental_dedup": 10.0,
+    "q53_embedding_near_dups": 4.0,
+    "q39_ivf_pq_topk": 4.0,
+    "q48_part_pagerank": 10.0,
+}
+
+
+def main() -> None:
+    names = sys.argv[1:] or HEAVY
+    sf1_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1"
+    )
+    spark = get_spark("soak-sf1")
+    registry = all_queries()
+    # warm the JVM so sf0.1 timings aren't charged the session cold-start
+    registry["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.1").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out: dict[str, dict[str, float]] = {}
+    for name in names:
+        row: dict[str, float] = {}
+        for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)):
+            t0 = time.time()
+            registry[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            row[label] = round(time.time() - t0, 2)
+            release_operator_caches()
+        row["scale_factor"] = round(row["sf1"] / row["sf0.1"], 2)
+        row["data_factor"] = DATA_FACTOR.get(name, 10.0)
+        out[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+    print(json.dumps({"queries": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -123,32 +123,39 @@ class TestSignatureIndexStore:
         assert "PartitionFilters" in plan and "band_pk" in plan
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _persistent_ids(spark) -> set[int]:
+    """Ids of currently persisted RDDs. Id SETS, not counts: Spark's
+    ContextCleaner may concurrently unpersist other tests' garbage-
+    collected frames, so only the delta attributable to this test is
+    assertable."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
 
 
 class TestCacheLifecycle:
     def test_dedup_operators_release_cleanly(self, spark):
         release_operator_caches(blocking=True)
-        before = _n_persistent(spark)
+        before = _persistent_ids(spark)
         docs = _degenerate_corpus(spark, n_boiler=10)
         D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
         D.minhash_dedup_pairs(docs, "doc_id", "text").collect()
         D.simhash_near_dup_pairs(docs, "doc_id", "text").collect()
-        assert _n_persistent(spark) > before  # the caches were in use
+        ours = _persistent_ids(spark) - before
+        assert ours  # the caches were in use
         release_operator_caches(blocking=True)
-        assert _n_persistent(spark) == before
+        assert not (_persistent_ids(spark) & ours)  # and all released
 
     def test_pagerank_releases_cleanly(self, spark):
         release_operator_caches(blocking=True)
-        before = _n_persistent(spark)
+        before = _persistent_ids(spark)
         e = spark.createDataFrame(
             [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
         )
         pagerank(e, iterations=3).collect()
-        assert _n_persistent(spark) > before
+        ours = _persistent_ids(spark) - before
+        assert ours
         release_operator_caches(blocking=True)
-        assert _n_persistent(spark) == before
+        assert not (_persistent_ids(spark) & ours)
 
 
 class TestPagerankSemantics:

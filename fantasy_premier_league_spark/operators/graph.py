@@ -76,6 +76,11 @@ def pagerank(
     n_total = node_set.agg(F.count(F.lit(1)).alias("__n"))
     # nodes-sized and reused by three consumers every round → persist
     nodes = tracked_persist(node_set.crossJoin(F.broadcast(n_total)))
+    # one tiny probe against the persisted nodes frame: co-occurrence and
+    # other symmetric graphs have NO dangling nodes, so the per-round
+    # dangling-mass subtree (a join + scalar agg unrolled per iteration)
+    # would be pure plan weight — skip it unless it can matter
+    has_dangling = nodes.filter(F.col("deg").isNull()).limit(1).count() > 0
     ranks = nodes.select("node", (F.lit(1.0) / F.col("__n")).alias("rank"))
     for i in range(int(iterations)):
         contrib = ed.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
@@ -84,23 +89,23 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in"))
             .withColumnRenamed("dst", "node")
         )
-        # dangling nodes hold rank but emit no contributions: spread their
-        # mass uniformly (standard PageRank), as a 1-row broadcast — no
-        # driver-side action, the plan stays a finite unrolled chain
-        dmass = ranks.join(
-            nodes.filter(F.col("deg").isNull()).select("node"), "node"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
-        ranks = (
-            nodes.join(inmass, "node", "left")
-            .crossJoin(F.broadcast(dmass))
-            .select(
-                "node",
-                (
-                    (F.lit(1.0) - F.lit(damping)) / F.col("__n")
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / F.col("__n"))
-                ).alias("rank"),
-            )
+        stepped = nodes.join(inmass, "node", "left")
+        in_term = F.coalesce(F.col("__in"), F.lit(0.0))
+        if has_dangling:
+            # dangling nodes hold rank but emit no contributions: spread
+            # their mass uniformly (standard PageRank), as a 1-row
+            # broadcast — no driver-side action inside the loop, the plan
+            # stays a finite unrolled chain
+            dmass = ranks.join(
+                nodes.filter(F.col("deg").isNull()).select("node"), "node"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+            stepped = stepped.crossJoin(F.broadcast(dmass))
+            in_term = in_term + F.col("__dm") / F.col("__n")
+        ranks = stepped.select(
+            "node",
+            (
+                (F.lit(1.0) - F.lit(damping)) / F.col("__n") + F.lit(damping) * in_term
+            ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0:
             # deep iteration chains blow up the lineage/plan; cut it the

@@ -36,10 +36,15 @@ _SH_CTE = f"""sh AS (
     )"""
 
 
-def _minhash_oracle(num_hashes: int, bands: int, threshold: float, seed: int) -> str:
+def _minhash_oracle(
+    num_hashes: int, bands: int, threshold: float, seed: int, max_bucket_size: int | None = None
+) -> str:
     """DuckDB SQL replaying minhash_dedup_pairs(portable=True) exactly:
     same md5-derived base hash, same seeded (a,b) permutation parameters,
-    same banding, same agreement-fraction estimator."""
+    same banding, same agreement-fraction estimator. With
+    ``max_bucket_size`` the candidate join is restricted to band buckets
+    of at most that many members — replaying the Spark-side degenerate-
+    bucket guard (operators/dedup.py::_cap_band_buckets) value-for-value."""
     params = _hash_params(num_hashes, seed)
     mins = ",\n               ".join(
         f"min((h * {a} + {b}) % {_MERSENNE31}) AS h{i}" for i, (a, b) in enumerate(params)
@@ -50,6 +55,17 @@ def _minhash_oracle(num_hashes: int, bands: int, threshold: float, seed: int) ->
         for bidx in range(bands)
     )
     eq_sum = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(num_hashes))
+    if max_bucket_size is not None:
+        cap_cte = f""",
+    keep AS (
+        SELECT band_key FROM (
+            SELECT band_key, count(*) AS n FROM banded GROUP BY band_key
+        ) WHERE n <= {max_bucket_size}
+    )"""
+        banded_src = "(SELECT banded.* FROM banded JOIN keep USING (band_key))"
+    else:
+        cap_cte = ""
+        banded_src = "banded"
     return f"""
     WITH {_SH_CTE},
     hv AS (
@@ -63,10 +79,11 @@ def _minhash_oracle(num_hashes: int, bands: int, threshold: float, seed: int) ->
     banded AS (
         SELECT id, unnest([{band_keys}]) AS band_key
         FROM sig
-    ),
+    ){cap_cte},
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+        FROM {banded_src} a JOIN {banded_src} b
+        ON a.band_key = b.band_key AND a.id < b.id
     )
     SELECT c.id_a, c.id_b, round(({eq_sum}) / {num_hashes}.0, 6) AS jaccard_est
     FROM cand c
@@ -257,6 +274,34 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True
+    )
+
+
+@query(
+    "q90_capped_lsh_pairs",
+    _minhash_oracle(num_hashes=64, bands=16, threshold=0.2, seed=42, max_bucket_size=2),
+    doc="MinHash LSH pairs under the degenerate-bucket guard "
+    "(max_bucket_size=2): band buckets with more than two members are "
+    "dropped before the candidate self-join — the cap that keeps one "
+    "boilerplate bucket from becoming an O(b^2) task at corpus scale "
+    "(operators/dedup.py::_cap_band_buckets; dropped buckets are "
+    "logged, never silent). The oracle replays sketch, banding, bucket "
+    "counting, the cap, and the estimator value-for-value, so the "
+    "guard's exact semantics — not just its row count — are checked.",
+    tags=("dedup", "minhash", "guard", "llm-pipeline"),
+)
+def q90_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=64,
+        bands=16,
+        est_threshold=0.2,
+        portable=True,
+        max_bucket_size=2,
     )
 
 

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -384,6 +384,87 @@ def q39_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk(
         emb, queries, k=3, n_cells=16, n_probe=8, m=16, k_codes=32, shortlist=32
     )
+
+
+@query(
+    "q88_hybrid_rrf",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE word != ''),
+    tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfq AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+    qt AS (SELECT word, df FROM dfq ORDER BY df DESC, word ASC LIMIT 3),
+    bm AS (
+        SELECT tf.doc_id,
+               round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * (1.2 + 1)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        FROM tf JOIN qt USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, (row_number() OVER (ORDER BY bm25 DESC, doc_id))::INT AS r_lex
+        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, doc_id,
+               round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+        FROM qv, cv WHERE doc_id <> query_id
+    ),
+    sem AS (
+        SELECT query_id, doc_id, r_sem FROM (
+            SELECT query_id, doc_id,
+                   (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id))::INT AS r_sem
+            FROM scored
+        ) WHERE r_sem <= 20
+    ),
+    qs AS (SELECT DISTINCT query_id FROM sem),
+    lx AS (SELECT qs.query_id, lex.doc_id, lex.r_lex FROM qs CROSS JOIN lex),
+    fused AS (
+        SELECT coalesce(s.query_id, l.query_id) AS query_id,
+               coalesce(s.doc_id, l.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60 + s.r_sem), 0) + coalesce(1.0 / (60 + l.r_lex), 0), 6) AS rrf
+        FROM sem s FULL OUTER JOIN lx l ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, rrf, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id))::INT AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+    doc="Hybrid retrieval (operators/retrieval.py::rrf_fuse_topk): BM25 "
+    "top-20 (corpus top-3-df terms, the lexical prior) fused with "
+    "per-query cosine top-20 via Reciprocal Rank Fusion "
+    "(1/(60+rank), Cormack 2009) — the standard RAG retrieval stack "
+    "as one lazy plan. Both inputs are top-k-sized before the fusion "
+    "joins, so the fuse stage is broadcast-only regardless of corpus "
+    "size; ranks and 6dp-rounded rrf are engine-stable, so the oracle "
+    "replays lexical ranking, semantic ranking, and fusion exactly.",
+    tags=("similarity", "retrieval", "rrf", "llm-pipeline"),
+)
+def q88_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats
+    from ..operators.retrieval import rrf_fuse_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    sem = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    bm = textstats.bm25_scores(docs, "doc_id", "text", n_query_terms=3)
+    lex_order = (F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        bm.orderBy(*lex_order)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*lex_order)).cast("int"))
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse_topk(sem, lex, k=10, k_rrf=60)
 
 
 @query(

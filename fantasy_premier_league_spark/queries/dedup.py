@@ -367,6 +367,84 @@ def q29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q91_cluster_representatives",
+    f"""
+    WITH RECURSIVE pairs AS (
+        {_simhash_oracle(8)}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.v AS id, r.label FROM reach r JOIN edges e ON r.id = e.u
+    ),
+    cc AS (SELECT id AS doc_id, min(label)::BIGINT AS cluster_id FROM reach GROUP BY id),
+    scored AS (
+        SELECT doc_id,
+               round(0.4 * (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 1.0
+                           WHEN len(w) < 20 THEN len(w) / 20.0
+                           ELSE 1000.0 / len(w) END)
+             + 0.3 * (len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) / len(w))
+             + 0.3 * (len(list_distinct(w)) / len(w)), 6) AS quality
+        FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+    ),
+    members AS (
+        SELECT s.doc_id, coalesce(cc.cluster_id, s.doc_id) AS cluster_id, s.quality
+        FROM scored s LEFT JOIN cc ON cc.doc_id = s.doc_id
+    )
+    SELECT cluster_id,
+           doc_id AS rep_doc_id,
+           n_members,
+           quality AS rep_quality
+    FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
+        FROM members
+    ) WHERE rn = 1
+    """,
+    doc="Curation capstone: duplicate clusters (q29's SimHash -> connected "
+    "components) with the BEST-quality member kept per cluster instead of "
+    "min-id — the survivor-selection policy real corpus dedup wants "
+    "(quality argmax, doc-id tie-break; singletons represent themselves "
+    "via a left join, no second pass). One lazy plan composes the "
+    "iterative closure, the quality scorer, and the argmax window; the "
+    "oracle replays sketch, recursive closure, scoring, and selection.",
+    tags=("dedup", "curation", "graph", "llm-pipeline"),
+)
+def q91_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
+    cc = D.connected_components(pairs)
+    quality = textstats.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    members = quality.join(
+        cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id")
+    ordered = W.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        members.withColumn("__rn", F.row_number().over(ordered))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("quality").alias("rep_quality"),
+        )
+    )
+
+
+@query(
     "q81_passage_dedup",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),

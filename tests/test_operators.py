@@ -255,6 +255,29 @@ class TestFuzzy:
         assert out == []  # blocked: no candidate pair survives → no row
 
 
+class TestRrfFusion:
+    def test_fusion_math_and_truncated_lists(self, spark):
+        from fantasy_premier_league_spark.operators.retrieval import rrf_fuse_topk
+
+        sem = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (2, 12, 1)], "query_id long, doc_id long, rank int"
+        )
+        lex = spark.createDataFrame([(11, 1), (13, 2)], "doc_id long, rank int")
+        got = {
+            (r["query_id"], r["doc_id"]): (r["rrf"], r["rank"])
+            for r in rrf_fuse_topk(sem, lex, k=10, k_rrf=60).collect()
+        }
+        # doc 11 appears in BOTH lists for query 1: contributions add
+        assert got[(1, 11)][0] == pytest.approx(round(1 / 62 + 1 / 61, 6))
+        # docs in only one list get only that list's contribution
+        assert got[(1, 10)][0] == pytest.approx(round(1 / 61, 6))
+        assert got[(1, 13)][0] == pytest.approx(round(1 / 62, 6))
+        # the global lexical list fans out to every query
+        assert got[(2, 13)][0] == pytest.approx(round(1 / 62, 6))
+        # fused ranking: 11 (both lists) > 10 (sem rank 1) > 13 (lex rank 2)
+        assert got[(1, 11)][1] == 1 and got[(1, 10)][1] == 2 and got[(1, 13)][1] == 3
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def payloads(self, spark):

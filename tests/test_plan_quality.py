@@ -169,6 +169,14 @@ class TestCurationPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_q88_hybrid_rrf_all_jvm_no_cartesian(self, spark):
+        # the fusion stage joins two top-k-sized frames: everything stays
+        # JVM-side and the only nested-loop is the bounded query x lex-20
+        # broadcast fan-out, never an unbounded cartesian
+        plan = plan_of(spark, "q88_hybrid_rrf")
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_q39_ivf_pq_all_jvm_no_cartesian_scan(self, spark):
         # the composition must not degenerate: no Python (the ADC lookup is
         # a broadcast hash join, not a UDF), and the only nested-loop join

@@ -67,6 +67,49 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training: for each
+    query (anchor), the k most-similar corpus vectors with a DIFFERENT
+    label — high-cosine wrong-class examples are exactly the negatives
+    that sharpen a contrastive objective. Same broadcast + windowed
+    top-k shape as :func:`cosine_topk` (corpus never shuffles; the label
+    inequality rides the same fused filter), same rounded-cosine +
+    id tie-break determinism.
+
+    Returns (query_id, neighbor_id, neg_label, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neg_label") != F.col("__qlabel"))
+    )
+    cosine = F.round(
+        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        round_digits,
+    )
+    scored = pairs.select("query_id", "neighbor_id", "neg_label", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk_block(
     corpus: DataFrame,
     queries_pdf: pd.DataFrame,

@@ -213,6 +213,94 @@ def q55_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q96_ann_recall_eval",
+    f"""
+    WITH lsh AS (
+        {_lsh_oracle(n_planes=6, k=3, seed=42, n_tables=4)}
+    ),
+    brute AS (
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+            FROM q, c WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    )
+    SELECT b.query_id,
+           sum((l.neighbor_id IS NOT NULL)::INT)::BIGINT AS n_hits,
+           round(sum((l.neighbor_id IS NOT NULL)::INT) / 3.0, 6) AS recall_at_3
+    FROM brute b
+    LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    """,
+    doc="ANN quality evaluation IN-ENGINE: per-query recall@3 of the "
+    "4-table LSH index (q55) against exact brute force (q50) — the "
+    "join-and-count eval every production ANN deployment runs before "
+    "trusting an index. Both rankings are deterministic (seeded planes, "
+    "rounded cosine, id tie-breaks), so the oracle replays retrieval "
+    "AND evaluation; at 100 TB the eval joins two top-k-sized frames, "
+    "nothing corpus-sized.",
+    tags=("similarity", "ann", "eval", "llm-pipeline"),
+)
+def q96_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = S.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = (
+        S.lsh_bucket_topk(emb, queries, k=3, n_planes=6, n_tables=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        brute.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(3.0), 6
+            ).alias("recall_at_3"),
+        )
+    )
+
+
+@query(
+    "q98_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS neg_label FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, neg_label,
+               round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+        FROM q, c WHERE neighbor_id <> query_id AND neg_label <> ql
+    )
+    SELECT query_id, neighbor_id, neg_label, cosine, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Hard-negative mining (operators/similarity.py::hard_negative_topk) "
+    "for contrastive/embedding training: per anchor, the top-3 highest-"
+    "cosine vectors with a DIFFERENT label — the wrong-class lookalikes "
+    "a contrastive objective needs. Same broadcast + windowed top-k "
+    "shape as q50 with the label inequality fused into the scan filter.",
+    tags=("similarity", "training-data", "llm-pipeline"),
+)
+def q98_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.hard_negative_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", label_col="label", k=3
+    )
+
+
+@query(
     "q52_label_centroid_sim",
     """
     WITH e AS (

@@ -209,6 +209,68 @@ def q49_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q97_token_zipf",
+    f"""
+    WITH freq AS (
+        SELECT word, count(*)::BIGINT AS n
+        FROM (SELECT unnest({_WORDS}) AS word FROM documents)
+        WHERE word != ''
+        GROUP BY word
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, word ASC) AS r
+        FROM freq ORDER BY n DESC, word ASC LIMIT 100
+    ),
+    pts AS (SELECT ln(r) AS x, ln(n) AS y FROM ranked)
+    SELECT count(*)::BIGINT AS n_points,
+           round((sum(x * y) - sum(x) * sum(y) / count(*))
+                 / (sum(x * x) - sum(x) * sum(x) / count(*)), 6) AS zipf_slope,
+           round((sum(y) - (sum(x * y) - sum(x) * sum(y) / count(*))
+                 / (sum(x * x) - sum(x) * sum(x) / count(*)) * sum(x)) / count(*), 6) AS log_intercept
+    FROM pts
+    """,
+    doc="Zipf fit of the corpus vocabulary: OLS slope/intercept of "
+    "ln(freq) on ln(rank) over the top-100 terms — the standard "
+    "vocabulary-health diagnostic (natural text slopes near -1; word "
+    "salad or boilerplate-heavy corpora deviate sharply). One partial-agg "
+    "shuffle to the frequency table, a distributed top-k, then closed-"
+    "form OLS over 100 rows; the 6dp rounding absorbs cross-engine "
+    "float-summation ordering.",
+    tags=("text", "corpus-stats", "llm-pipeline"),
+)
+def q97_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import words
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = (F.desc("n"), F.asc("word"))
+    ranked = (
+        freq.orderBy(*order)
+        .limit(100)
+        .withColumn("r", F.row_number().over(W.orderBy(*order)))
+    )
+    pts = ranked.select(F.log("r").alias("x"), F.log("n").alias("y"))
+    n = F.count(F.lit(1))
+    sx, sy, sxy, sxx = F.sum("x"), F.sum("y"), F.sum(F.col("x") * F.col("y")), F.sum(
+        F.col("x") * F.col("x")
+    )
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    intercept = (sy - slope * sx) / n
+    return pts.agg(
+        n.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("log_intercept"),
+    )
+
+
+@query(
     "q58_bpe_token_count",
     f"""
     SELECT doc_id,

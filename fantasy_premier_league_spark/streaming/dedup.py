@@ -12,8 +12,13 @@ watermark-bounded streaming state:
 - :func:`content_dedup_stream` — same machinery keyed on the normalized
   content hash (the q40 exact-dedup key), for sources that re-deliver the
   same document under fresh ids.
+- :func:`run_near_dup_ingest` — NEAR-dup ingest (the one equality state
+  can't do): each micro-batch LSH-collapses internally, probes the
+  persisted band-partitioned signature index, and appends survivors to
+  corpus + index — streaming state lives in the index store, bounded and
+  partition-pruned, not in the streaming engine.
 
-Both run identically under ``availableNow`` backfill and continuous
+All run identically under ``availableNow`` backfill and continuous
 micro-batch; batch/stream parity is asserted in
 tests/test_sources_streaming.py.
 """
@@ -58,3 +63,99 @@ def content_dedup_stream(
         .dropDuplicatesWithinWatermark(["__content_key"])
         .drop("__content_key")
     )
+
+
+def run_near_dup_ingest(
+    docs_stream: DataFrame,
+    *,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    band_buckets: int = 64,
+    est_threshold: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+    max_bucket_size: int | None = None,
+    available_now: bool = True,
+):
+    """NEAR-dup ingest dedup against the persisted band-partitioned
+    signature index — the streaming form of the nightly-ingest pattern
+    (operators/dedup.py::minhash_incremental_pairs_indexed).
+
+    Each micro-batch, inside ``foreachBatch``:
+
+    1. within-batch near-dups collapse (banded LSH on the batch alone;
+       the higher id of each pair drops — batches are small, this is
+       the cheap part);
+    2. survivors probe the stored index through the partition-pruned
+       ``band_pk`` layout — I/O proportional to the batch's bucket
+       footprint, never the corpus history;
+    3. documents that clear both checks append to the output corpus AND
+       their signatures append to the index's banded + flat stores, so
+       the next batch dedups against everything that came before.
+
+    Exactly-once: foreachBatch replays a failed batch, and both appends
+    are idempotent per batch only if the sink dedups — production runs
+    point ``out_path`` at a transactional table; the parquet append here
+    is the test-harness stand-in. State lives entirely in the index
+    directory (no unbounded streaming state), which is what makes
+    near-dup — impossible under ``dropDuplicatesWithinWatermark``'s
+    equality-only state — feasible at ingest.
+
+    Starts the query (``availableNow`` by default) and returns it.
+    """
+    import os
+
+    from ..operators.cache import release_operator_caches
+    from ..operators.dedup import (
+        _band_pk,
+        _banded,
+        minhash_dedup_pairs,
+        minhash_incremental_pairs_indexed,
+        minhash_signatures,
+    )
+
+    kw = dict(n=n, num_hashes=num_hashes, seed=seed, portable=portable)
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch_p = batch.persist()
+        internal = minhash_dedup_pairs(
+            batch_p, id_col, text_col, bands=bands, est_threshold=est_threshold,
+            max_bucket_size=max_bucket_size, **kw,
+        )
+        losers = internal.select(F.col("id_b").alias(id_col)).distinct()
+        kept = batch_p.join(losers, id_col, "left_anti")
+        if os.path.exists(os.path.join(index_path, "sigs")):
+            hits = minhash_incremental_pairs_indexed(
+                spark, kept, index_path, id_col, text_col,
+                bands=bands, band_buckets=band_buckets,
+                est_threshold=est_threshold, max_bucket_size=max_bucket_size, **kw,
+            )
+            dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+            kept = kept.join(dup_ids, id_col, "left_anti")
+        kept = kept.persist()
+        kept.write.mode("append").parquet(out_path)
+        sigs = minhash_signatures(kept, id_col, text_col, **kw)
+        banded = (
+            _banded(sigs, bands)
+            .withColumn("band_pk", _band_pk(band_buckets))
+            .select("id", "band_sig", "band_pk")
+        )
+        banded.write.mode("append").partitionBy("band_pk").parquet(f"{index_path}/bands")
+        sigs.select("id", "sig").write.mode("append").parquet(f"{index_path}/sigs")
+        kept.unpersist()
+        batch_p.unpersist()
+        release_operator_caches()
+
+    writer = docs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -280,6 +280,66 @@ class TestStreamingDedup:
         assert len({1, 2} & set(kept_ids)) == 1  # exactly one of the dup pair survives
 
 
+class TestNearDupIngestStream:
+    def test_two_batches_dedup_within_and_across_via_index(self, spark, tmp_path):
+        """foreachBatch near-dup ingest: batch-internal LSH collapse, then a
+        probe of the persisted band-partitioned index; survivors append to
+        corpus + index so batch 2 dedups against batch 1's survivors."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fantasy_premier_league_spark.streaming.dedup import run_near_dup_ingest
+
+        src = tmp_path / "src"
+        src.mkdir()
+        base = "quick brown fox jumps over the lazy dog near the river bank today"
+        filler = "completely different text about spark parquet columns and shuffles here now"
+
+        def write_batch(name, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": pa.array([r[1] for r in rows]),
+                    }
+                ),
+                str(src / name),
+            )
+
+        def run_once():
+            stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+            q = run_near_dup_ingest(
+                stream,
+                index_path=str(tmp_path / "idx"),
+                out_path=str(tmp_path / "out"),
+                checkpoint=str(tmp_path / "ck"),
+                est_threshold=0.5,
+            )
+            q.awaitTermination(180)
+
+        # batch 1: docs 1/2 are near-dups of each other, 3 is unique
+        write_batch("b1.parquet", [(1, base), (2, base.replace("today", "tonight")), (3, filler)])
+        run_once()
+        kept1 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert kept1 == {1, 3}  # higher id of the in-batch pair dropped
+
+        # batch 2: doc 10 is a near-dup of doc 1 (caught ONLY via the
+        # index — doc 1 arrived in the previous batch), 11 is new
+        write_batch(
+            "b2.parquet",
+            [
+                (10, base.replace("quick", "rapid")),
+                (11, "entirely fresh subject matter covering streaming ingestion checkpoints and watermark state"),
+            ],
+        )
+        run_once()
+        kept2 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert kept2 == {1, 3, 11}
+        # and 11's signature joined the index for future batches
+        idx_ids = {r.id for r in spark.read.parquet(str(tmp_path / "idx" / "sigs")).collect()}
+        assert idx_ids == {1, 3, 11}
+
+
 class TestFileSinks:
     """S4 (JSON sink) and S7 (CSV sink) round-trips — schema and values
     survive the write/read cycle, including the S12 timestamped naming."""

@@ -278,6 +278,40 @@ class TestRrfFusion:
         assert got[(1, 11)][1] == 1 and got[(1, 10)][1] == 2 and got[(1, 13)][1] == 3
 
 
+class TestRound5Invariants:
+    def test_hard_negatives_never_share_label(self, spark):
+        from fantasy_premier_league_spark.catalog import load
+        from fantasy_premier_league_spark.operators.similarity import hard_negative_topk
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        out = hard_negative_topk(emb, queries, k=5)
+        labels = {r["vec_id"]: r["label"] for r in queries.collect()}
+        for r in out.collect():
+            assert r["neg_label"] != labels[r["query_id"]]
+            assert -1.0 <= r["cosine"] <= 1.0
+
+    def test_ann_recall_bounded_and_consistent(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries
+
+        rows = all_queries()["q96_ann_recall_eval"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert 0 <= r["n_hits"] <= 3
+            assert r["recall_at_3"] == pytest.approx(r["n_hits"] / 3.0, abs=1e-6)
+
+    def test_zipf_slope_negative_on_real_text(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries
+
+        row = all_queries()["q97_token_zipf"].fn(spark, "/root/testdata/sf0.001").first()
+        # frequency must fall with rank; intercept = ln(freq) at rank 1
+        assert row["zipf_slope"] < 0
+        assert row["log_intercept"] > 0
+        assert row["n_points"] == 31  # the synthetic corpus vocab size
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def payloads(self, spark):

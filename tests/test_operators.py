@@ -278,6 +278,26 @@ class TestRrfFusion:
         assert got[(1, 11)][1] == 1 and got[(1, 10)][1] == 2 and got[(1, 13)][1] == 3
 
 
+class TestRound5EmptyInputs:
+    def test_rrf_with_empty_lexical_list_is_sem_only(self, spark):
+        from fantasy_premier_league_spark.operators.retrieval import rrf_fuse_topk
+
+        sem = spark.createDataFrame([(1, 10, 1)], "query_id long, doc_id long, rank int")
+        lex = spark.createDataFrame([], "doc_id long, rank int")
+        rows = rrf_fuse_topk(sem, lex, k=5).collect()
+        assert len(rows) == 1
+        assert rows[0]["rrf"] == pytest.approx(round(1 / 61, 6))
+
+    def test_hard_negatives_empty_when_all_labels_match(self, spark):
+        from fantasy_premier_league_spark.operators.similarity import hard_negative_topk
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0], 7) for i in range(5)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        assert hard_negative_topk(emb, emb.limit(2), k=3).count() == 0
+
+
 class TestRound5Invariants:
     def test_hard_negatives_never_share_label(self, spark):
         from fantasy_premier_league_spark.catalog import load

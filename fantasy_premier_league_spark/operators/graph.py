@@ -66,12 +66,12 @@ def pagerank(
         e.withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
     )
     out_deg = ed.groupBy("src").agg(F.first("deg").alias("deg"))
-    # complete node set; deg stays null for dangling nodes (sink-only)
-    node_set = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(out_deg.withColumnRenamed("src", "node"), "node", "left")
+    # complete node set = sources (out_deg, a partial agg over the cached
+    # edges) FULL OUTER sink-only ids; deg stays null for dangling nodes.
+    # One distinct over the dst column — cheaper than distinct over the
+    # unioned src+dst stream
+    node_set = out_deg.withColumnRenamed("src", "node").join(
+        e.select(F.col("dst").alias("node")).distinct(), "node", "full_outer"
     )
     n_total = node_set.agg(F.count(F.lit(1)).alias("__n"))
     # nodes-sized and reused by three consumers every round → persist

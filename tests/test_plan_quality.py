@@ -169,6 +169,17 @@ class TestCurationPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_q97_zipf_topk_is_distributed_take_ordered(self, spark):
+        # the top-100 must compile to TakeOrderedAndProject (per-partition
+        # partial top-k + k-row merge), never a global single-partition sort
+        plan = plan_of(spark, "q97_token_zipf")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q96_recall_eval_no_cartesian_all_jvm(self, spark):
+        plan = plan_of(spark, "q96_ann_recall_eval")
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_q88_hybrid_rrf_all_jvm_no_cartesian(self, spark):
         # the fusion stage joins two top-k-sized frames: everything stays
         # JVM-side and the only nested-loop is the bounded query x lex-20

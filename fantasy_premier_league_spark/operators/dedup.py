@@ -60,20 +60,23 @@ def _cap_band_buckets(
     """
     if max_bucket_size is None:
         return banded
-    w = W.partitionBy("band_idx", "band_sig")
-    capped = (
-        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bucket_n") <= max_bucket_size)
-        .drop("__bucket_n")
+    # ONE pass pays for both the accounting and the filter: bucket counts
+    # aggregate once (cached for the two consumers below), the oversized
+    # key list is tiny-by-construction (only degenerate buckets) and
+    # eagerly checkpointed, and the guard itself becomes a broadcast
+    # anti-join — when no bucket is oversized the returned plan is the
+    # input untouched, so the sane-corpus fast path costs only the
+    # counts job
+    counts = (
+        banded.groupBy("band_idx", "band_sig").agg(F.count(F.lit(1)).alias("__n")).persist()
     )
-    stats = (
-        banded.groupBy("band_idx", "band_sig")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket_size)
-        .agg(F.count(F.lit(1)).alias("buckets"), F.sum("__n").alias("rows"))
-        .first()
-    )
-    if stats["buckets"]:
+    try:
+        oversized = counts.filter(F.col("__n") > max_bucket_size)
+        stats = oversized.agg(
+            F.count(F.lit(1)).alias("buckets"), F.sum("__n").alias("rows")
+        ).first()
+        if not stats["buckets"]:
+            return banded
         _LOG.warning(
             "%s: dropped %d oversized LSH band buckets (> %d members, %d member "
             "rows) before candidate pairing — their pairs are NOT generated",
@@ -82,7 +85,10 @@ def _cap_band_buckets(
             max_bucket_size,
             stats["rows"],
         )
-    return capped
+        drop_keys = oversized.select("band_idx", "band_sig").localCheckpoint()
+        return banded.join(F.broadcast(drop_keys), ["band_idx", "band_sig"], "left_anti")
+    finally:
+        counts.unpersist()
 
 
 def portable_hash32(col: F.Column) -> F.Column:

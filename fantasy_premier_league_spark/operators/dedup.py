@@ -40,7 +40,11 @@ _LOG = logging.getLogger(__name__)
 
 
 def _cap_band_buckets(
-    banded: DataFrame, max_bucket_size: int | None, *, context: str
+    banded: DataFrame,
+    max_bucket_size: int | None,
+    *,
+    context: str,
+    key_cols: tuple[str, str] = ("band_idx", "band_sig"),
 ) -> DataFrame:
     """Drop band buckets with more than ``max_bucket_size`` members.
 
@@ -68,7 +72,7 @@ def _cap_band_buckets(
     # input untouched, so the sane-corpus fast path costs only the
     # counts job
     counts = (
-        banded.groupBy("band_idx", "band_sig").agg(F.count(F.lit(1)).alias("__n")).persist()
+        banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n")).persist()
     )
     try:
         oversized = counts.filter(F.col("__n") > max_bucket_size)
@@ -85,8 +89,8 @@ def _cap_band_buckets(
             max_bucket_size,
             stats["rows"],
         )
-        drop_keys = oversized.select("band_idx", "band_sig").localCheckpoint()
-        return banded.join(F.broadcast(drop_keys), ["band_idx", "band_sig"], "left_anti")
+        drop_keys = oversized.select(*key_cols).localCheckpoint()
+        return banded.join(F.broadcast(drop_keys), list(key_cols), "left_anti")
     finally:
         counts.unpersist()
 
@@ -514,8 +518,11 @@ def minhash_incremental_pairs_indexed(
         context="minhash_incremental_pairs_indexed[new]",
     ).withColumn("band_pk", _band_pk(band_buckets))
     touched = sorted(r["band_pk"] for r in nb.select("band_pk").distinct().collect())
-    store = spark.read.parquet(f"{index_path}/bands").filter(
-        F.col("band_pk").isin(touched)
+    store = _cap_band_buckets(
+        spark.read.parquet(f"{index_path}/bands").filter(F.col("band_pk").isin(touched)),
+        max_bucket_size,
+        context="minhash_incremental_pairs_indexed[store]",
+        key_cols=("band_pk", "band_sig"),
     )
     cand = (
         nb.select("band_pk", "band_sig", F.col("id").alias("new_id"))

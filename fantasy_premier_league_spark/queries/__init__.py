@@ -47,6 +47,15 @@ def query(name: str, oracle: str | None, *, doc: str = "", tags: tuple[str, ...]
 
 def all_queries() -> dict[str, Query]:
     # import side-effect registers every module's queries exactly once
-    from . import advanced, curation, dedup, relational, sampling_text, similarity, text  # noqa: F401
+    from . import (  # noqa: F401
+        advanced,
+        curation,
+        dedup,
+        relational,
+        sampling_text,
+        selection,
+        similarity,
+        text,
+    )
 
     return dict(REGISTRY)

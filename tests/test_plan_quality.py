@@ -221,3 +221,28 @@ class TestRound4OperatorPlans:
         # join), never a shuffle of the grouped frame against itself
         plan = plan_of(spark, "q95_temperature_mix")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestRound5ExtensionPlans:
+    def test_r01_dsir_ratio_table_broadcasts(self, spark):
+        # the bucket→log-ratio model is 256 rows — it must reach the token
+        # stream as a broadcast, never a shuffle of the corpus on bucket
+        plan = plan_of(spark, "r01_dsir_weights")
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
+
+    def test_r02_quantize_single_stats_exchange(self, spark):
+        # pass 1 (per-dim min/max) is the only shuffle; the encode/measure
+        # pass is pure zip_with/aggregate codegen over a broadcast stats row
+        import re
+
+        plan = plan_of(spark, "r02_int8_quantize")
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "Python" not in plan
+
+    def test_r04_ccnet_single_doc_level_window(self, spark):
+        # the ntile window runs over doc-level aggregates (one row per doc),
+        # never the exploded token stream
+        plan = plan_of(spark, "r04_ccnet_buckets")
+        assert "Python" not in plan

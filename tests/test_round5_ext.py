@@ -1,0 +1,169 @@
+"""DSIR selection, int8 quantization, BPE training, CCNet bucketing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.operators.bpe import bpe_apply, bpe_train_merges
+from fantasy_premier_league_spark.operators.quantize import int8_quantize
+from fantasy_premier_league_spark.operators.selection import dsir_weights
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+
+
+class TestDsirWeights:
+    def test_target_like_pool_doc_scores_higher(self, spark):
+        # target vocabulary {alpha, beta}; background vocabulary {gamma, delta}
+        rows = (
+            [(i, "alpha beta alpha beta", True) for i in range(5)]
+            + [(10 + i, "gamma delta gamma delta", False) for i in range(5)]
+            + [(100, "alpha beta alpha beta", False)]  # target-like pool doc
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dsir_weights(
+                _docs(spark, rows), "doc_id", "text", "is_t", n_buckets=64
+            ).collect()
+        }
+        assert out[100]["dsir_score"] > 0 > out[10]["dsir_score"]
+        assert out[100]["selected"] == 1 and out[10]["selected"] == 0
+
+    def test_target_docs_never_selected(self, spark):
+        rows = [(1, "alpha beta", True), (2, "alpha beta", False)]
+        out = {r["doc_id"]: r for r in dsir_weights(
+            _docs(spark, rows), "doc_id", "text", "is_t", threshold=-100.0
+        ).collect()}
+        assert out[1]["selected"] == 0  # target slice is never resampled
+        assert out[2]["selected"] == 1  # pool doc above a floor threshold
+        assert out[2]["n_tokens"] == 2
+
+    def test_empty_pool(self, spark):
+        rows = [(1, "alpha beta", True)]
+        got = dsir_weights(_docs(spark, rows), "doc_id", "text", "is_t").collect()
+        assert len(got) == 1 and got[0]["is_target"] == 1
+
+
+class TestInt8Quantize:
+    def test_endpoints_reconstruct_exactly(self, spark):
+        # every value sits on a grid endpoint (per-dim min or max)
+        emb = spark.createDataFrame(
+            [(1, [0.0, 10.0]), (2, [10.0, 0.0])], "vec_id long, v array<double>"
+        )
+        got = {r["vec_id"]: r for r in int8_quantize(emb, "vec_id", "v").collect()}
+        assert got[1]["rmse"] == 0.0 and got[1]["cos_sim"] == 1.0
+        assert got[2]["n_dims"] == 2
+
+    def test_constant_dim_is_lossless(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [3.0, 1.0]), (2, [3.0, 2.0])], "vec_id long, v array<double>"
+        )
+        got = {r["vec_id"]: r for r in int8_quantize(emb, "vec_id", "v").collect()}
+        # dim 1 constant → reconstructs exactly; dim 2 endpoints → exact too
+        assert got[1]["rmse"] == 0.0 and got[2]["rmse"] == 0.0
+
+    def test_interior_error_bounded_by_half_step(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [255.0, 255.0]), (3, [1.4, 100.2])],
+            "vec_id long, v array<double>",
+        )
+        got = {r["vec_id"]: r for r in int8_quantize(emb, "vec_id", "v").collect()}
+        # step = 255/255 = 1.0 → per-dim error <= 0.5 → rmse <= 0.5
+        assert 0 < got[3]["rmse"] <= 0.5
+        assert got[3]["cos_sim"] == pytest.approx(1.0, abs=1e-3)
+
+
+BPE_SCHEMA = "doc_id long, text string"
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Independent word-frequency BPE (Sennrich alg. 1) for cross-checking."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+class TestBpeTrain:
+    def test_matches_reference_algorithm(self, spark):
+        texts = ["low low low low low", "lower lower newer newer newer newer",
+                 "newest newest newest wider wider new new new new"]
+        docs = spark.createDataFrame(list(enumerate(texts)), BPE_SCHEMA)
+        got = [
+            (r["left_tok"], r["right_tok"], r["merged"], r["pair_count"])
+            for r in bpe_train_merges(docs, "doc_id", "text", n_merges=4)
+            .orderBy("merge_idx")
+            .collect()
+        ]
+        wc: dict[str, int] = {}
+        for t in texts:
+            for w in t.split():
+                wc[w] = wc.get(w, 0) + 1
+        assert got == _reference_bpe(wc, 4)
+
+    def test_greedy_overlap_left_to_right(self, spark):
+        docs = spark.createDataFrame([(1, "aaa aaa")], BPE_SCHEMA)
+        rows = bpe_train_merges(docs, "doc_id", "text", n_merges=2).orderBy(
+            "merge_idx"
+        ).collect()
+        # "aaa" → pairs (a,a)x2, weight 2 → merge "aa"; then "(aa)(a)" → (aa,a)
+        assert (rows[0]["merged"], rows[0]["pair_count"]) == ("aa", 4)
+        assert (rows[1]["left_tok"], rows[1]["right_tok"]) == ("aa", "a")
+
+    def test_runs_out_of_pairs(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")], BPE_SCHEMA)
+        rows = bpe_train_merges(docs, "doc_id", "text", n_merges=5).collect()
+        assert rows == []  # single-char words have no adjacent pairs
+
+    def test_apply_counts_shrink_with_merges(self, spark):
+        docs = spark.createDataFrame([(1, "banana bandana")], BPE_SCHEMA)
+        merges = [
+            (r["left_tok"], r["right_tok"])
+            for r in bpe_train_merges(docs, "doc_id", "text", n_merges=3)
+            .orderBy("merge_idx")
+            .collect()
+        ]
+        base = docs.select(bpe_apply(docs, "text", []).alias("n")).first()["n"]
+        merged = docs.select(bpe_apply(docs, "text", merges).alias("n")).first()["n"]
+        assert base == len("banana") + len("bandana")
+        assert merged < base
+
+
+class TestCcnetBuckets:
+    def test_partition_and_ordering_invariants(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries
+
+        q = all_queries()["r04_ccnet_buckets"]
+        rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+        by_lang: dict[str, dict[str, object]] = {}
+        for r in rows:
+            by_lang.setdefault(r["lang_pred"], {})[r["bucket"]] = r
+        for lang, buckets in by_lang.items():
+            assert set(buckets) <= {"head", "middle", "tail"}
+            if "head" in buckets and "tail" in buckets:
+                assert buckets["head"]["avg_bpt"] <= buckets["tail"]["avg_bpt"]
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert sum(r["n_docs"] for r in rows) == docs.count()

@@ -48,22 +48,9 @@ def _dim_stats(e: DataFrame) -> DataFrame:
     )
 
 
-def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Quantize ``vec_col`` to int8 codes and measure reconstruction loss.
-
-    Returns one row per vector::
-
-        vec_id, n_dims, rmse, cos_sim
-
-    ``rmse`` is the per-vector reconstruction root-mean-square error and
-    ``cos_sim`` the cosine between the original and its reconstruction —
-    the two numbers that decide whether int8 is safe for a given corpus.
-    Constant dimensions (max == min) quantize to code 0 and reconstruct
-    exactly.
-    """
-    e = df.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+def _with_reconstruction(e: DataFrame) -> DataFrame:
+    """Attach quantization columns to ``(vec_id, v)``: codes ``q`` and
+    dequantized reconstruction ``r`` (array<double> each)."""
     stats = _dim_stats(e)
     x = e.crossJoin(F.broadcast(stats))
 
@@ -82,7 +69,36 @@ def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         "mins",
         lambda s, mn: s + mn,
     )
-    x = x.withColumn("r", recon)
+    return x.withColumn("r", recon)
+
+
+def int8_reconstruct(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """``(vec_id, r)`` — the corpus as it would be served from the int8
+    store (quantize → dequantize). Feeding this to the ANN operators
+    measures end-to-end retrieval quality under quantization."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return _with_reconstruction(e).select("vec_id", "r")
+
+
+def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Quantize ``vec_col`` to int8 codes and measure reconstruction loss.
+
+    Returns one row per vector::
+
+        vec_id, n_dims, rmse, cos_sim
+
+    ``rmse`` is the per-vector reconstruction root-mean-square error and
+    ``cos_sim`` the cosine between the original and its reconstruction —
+    the two numbers that decide whether int8 is safe for a given corpus.
+    Constant dimensions (max == min) quantize to code 0 and reconstruct
+    exactly.
+    """
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    x = _with_reconstruction(e)
 
     sq_err = F.aggregate(
         F.zip_with("v", "r", lambda a, b: (a - b) * (a - b)),

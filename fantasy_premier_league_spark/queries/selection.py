@@ -280,3 +280,167 @@ def r04_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bpt",
         )
     )
+
+
+_BPE_TRAIN_CTES = f"""wc AS (
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest({_WORDS}) AS word FROM documents)
+        GROUP BY word
+    ),
+    r0 AS (SELECT word, n, regexp_replace(word, '(.)', '(\\1)', 'g') AS sym FROM wc),
+    {_bpe_round('r0', 1)},
+    {_bpe_round('r1', 2)},
+    {_bpe_round('r2', 3)}"""
+
+
+def _merge_pat(k: int) -> str:
+    return (
+        f"(SELECT '(' || split_part(pair, ' ', 1) || ')('"
+        f" || split_part(pair, ' ', 2) || ')' FROM a{k})"
+    )
+
+
+def _merge_rep(k: int) -> str:
+    return f"(SELECT '(' || replace(pair, ' ', '') || ')' FROM a{k})"
+
+
+@query(
+    "r05_bpe_apply",
+    f"""
+    WITH {_BPE_TRAIN_CTES},
+    enc AS (
+        SELECT doc_id, word, regexp_replace(word, '(.)', '(\\1)', 'g') AS sym
+        FROM (SELECT doc_id, unnest({_WORDS}) AS word FROM documents)
+    ),
+    ap AS (
+        SELECT doc_id, word,
+               replace(replace(replace(sym,
+                   {_merge_pat(1)}, {_merge_rep(1)}),
+                   {_merge_pat(2)}, {_merge_rep(2)}),
+                   {_merge_pat(3)}, {_merge_rep(3)}) AS sym
+        FROM enc
+    )
+    SELECT doc_id,
+           sum(length(word))::BIGINT AS n_chars,
+           sum(len(regexp_extract_all(sym, '\\(([^)]*)\\)', 1)))::BIGINT AS n_tokens_bpe,
+           CASE WHEN sum(length(word)) = 0 THEN NULL
+                ELSE round(sum(len(regexp_extract_all(sym, '\\(([^)]*)\\)', 1)))::DOUBLE
+                           / sum(length(word)), 6)
+           END AS compression
+    FROM ap GROUP BY doc_id
+    """,
+    doc="Train-then-apply BPE end to end: the 3 merges learned by r03 are "
+    "applied (in learned order) to every document and the per-document "
+    "token count and compression vs character-level tokenization come "
+    "back. The learned merge table is the only driver state (3 rows — "
+    "the tokenizer artifact); application is a narrow string projection "
+    "at scan speed. The oracle chains the full training CTEs into the "
+    "application, so the ENTIRE tokenizer lifecycle is value-hash "
+    "checked.",
+    tags=("text", "tokenizer", "llm-pipeline"),
+)
+def r05_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r["left_tok"], r["right_tok"])
+        for r in B.bpe_train_merges(docs, "doc_id", "text", n_merges=3)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    from ..operators.dedup import words as _words
+
+    w = _words(F.col("text"))
+    n_chars = F.aggregate(
+        F.transform(w, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    n_bpe = B.bpe_apply(docs, "text", merges).cast("long")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_bpe.alias("n_tokens_bpe"),
+        F.when(n_chars == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(n_bpe.cast("double") / n_chars, 6))
+        .alias("compression"),
+    )
+
+
+_RECON_CTES = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dim AS (
+        SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+            SELECT unnest(v) AS val,
+                   unnest(generate_series(1, len(v))) AS pos
+            FROM e
+        ) GROUP BY pos
+    ),
+    st AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM dim),
+    x AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, len(v)), i ->
+                   CASE WHEN maxs[i] = mins[i] THEN mins[i]
+                        ELSE floor((v[i] - mins[i]) * 255.0 / (maxs[i] - mins[i]) + 0.5)
+                             * (maxs[i] - mins[i]) / 255.0 + mins[i]
+                   END) AS r
+        FROM e CROSS JOIN st
+    )"""
+
+
+def _topk_cte(src: str, vec: str) -> str:
+    return f"""
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.{vec}, c.{vec})
+                                / (sqrt(list_dot_product(q.{vec}, q.{vec}))
+                                   * sqrt(list_dot_product(c.{vec}, c.{vec}))), 4) DESC,
+                                c.vec_id) AS rank
+            FROM {src} q, {src} c
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ) WHERE rank <= 3"""
+
+
+@query(
+    "r06_quantized_recall",
+    f"""
+    WITH {_RECON_CTES},
+    brute AS ({_topk_cte('e', 'v')}),
+    qtop AS ({_topk_cte('x', 'r')})
+    SELECT b.query_id,
+           sum((l.neighbor_id IS NOT NULL)::INT)::BIGINT AS n_hits,
+           round(sum((l.neighbor_id IS NOT NULL)::INT) / 3.0, 6) AS recall_at_3
+    FROM brute b
+    LEFT JOIN qtop l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    """,
+    doc="Retrieval quality ON the int8 store: top-3 cosine retrieval over "
+    "the quantize-dequantize corpus (r02) evaluated against float brute "
+    "force (q50) with the q96 join-and-count recall eval — the go/no-go "
+    "check before serving ANN from quantized shards. Both rankings are "
+    "engine-deterministic (portable floor(x+0.5) grid, rounded cosine, "
+    "id tie-breaks), so retrieval AND evaluation replay in the oracle.",
+    tags=("similarity", "ann", "quantization", "eval", "llm-pipeline"),
+)
+def r06_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = S.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    recon = QZ.int8_reconstruct(emb, "vec_id", "embedding")
+    qtop = (
+        S.cosine_topk(recon, recon.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="r", k=3)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        brute.join(qtop, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(3.0), 6
+            ).alias("recall_at_3"),
+        )
+    )

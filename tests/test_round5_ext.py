@@ -167,3 +167,38 @@ class TestCcnetBuckets:
                 assert buckets["head"]["avg_bpt"] <= buckets["tail"]["avg_bpt"]
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+class TestInt8Reconstruct:
+    def test_reconstruction_within_half_step(self, spark):
+        from fantasy_premier_league_spark.operators.quantize import int8_reconstruct
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        lo = [min(v[i] for v in orig.values()) for i in range(64)]
+        hi = [max(v[i] for v in orig.values()) for i in range(64)]
+        rec = {r["vec_id"]: r["r"] for r in int8_reconstruct(emb, "vec_id", "embedding").collect()}
+        for vid, v in list(orig.items())[:20]:
+            for i, (a, b) in enumerate(zip(v, rec[vid])):
+                step = (hi[i] - lo[i]) / 255.0
+                assert abs(a - b) <= step / 2 + 1e-9
+
+
+class TestTrainApplyAndRecall:
+    def test_r05_apply_invariants(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries
+
+        rows = all_queries()["r05_bpe_apply"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            assert 0 < r["n_tokens_bpe"] <= r["n_chars"]
+            assert 0 < r["compression"] <= 1.0
+
+    def test_r06_recall_high_under_int8(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries
+
+        rows = all_queries()["r06_quantized_recall"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 10
+        avg = sum(r["recall_at_3"] for r in rows) / len(rows)
+        # int8 must not meaningfully perturb top-3 neighbours
+        assert avg >= 0.8

@@ -43,6 +43,13 @@ DATA_FACTOR = {
     "q53_embedding_near_dups": 4.0,
     "q39_ivf_pq_topk": 4.0,
     "q48_part_pagerank": 10.0,
+    # round-5 extensions: documents-bound = 10x, embeddings-bound = 4x
+    "r01_dsir_weights": 10.0,
+    "r02_int8_quantize": 4.0,
+    "r03_bpe_merges": 10.0,
+    "r04_ccnet_buckets": 10.0,
+    "r05_bpe_apply": 10.0,
+    "r06_quantized_recall": 4.0,
 }
 
 

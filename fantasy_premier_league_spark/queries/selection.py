@@ -20,7 +20,7 @@ from ..operators import quantize as QZ
 from ..operators import selection as SEL
 from ..operators import textstats as T
 from . import query
-from .dedup import _WORDS
+from .dedup import _NORM, _WORDS
 
 _TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 _TGT_SQL = "('" + "', '".join(_TARGET_SOURCES) + "')"
@@ -443,4 +443,157 @@ def r06_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(3.0), 6
             ).alias("recall_at_3"),
         )
+    )
+
+
+@query(
+    "r07_corpus_report",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, {_WORDS} AS w, md5({_NORM}) AS fp FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, fp,
+               len(w) AS n_toks,
+               round(0.4 * (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 1.0
+                                 WHEN len(w) < 20 THEN len(w) / 20.0
+                                 ELSE 1000.0 / len(w) END)
+                   + 0.3 * (len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) / len(w))
+                   + 0.3 * (len(list_distinct(w)) / len(w)), 6) AS quality,
+               len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS score_en,
+               len(list_filter(w, x -> list_contains(['le','la','et','les','des'], x))) AS score_fr,
+               len(list_filter(w, x -> list_contains(['el','los','y','las','por'], x))) AS score_es,
+               len(list_filter(w, x -> list_contains(['der','die','und','das','ein'], x))) AS score_de
+        FROM t
+    ),
+    d AS (
+        SELECT *,
+               (count(*) OVER (PARTITION BY fp) > 1)::INT AS is_dup,
+               CASE WHEN score_en >= greatest(score_fr, score_es, score_de, 1) THEN 'en'
+                    WHEN score_fr >= greatest(score_es, score_de, 1) THEN 'fr'
+                    WHEN score_es >= greatest(score_de, 1) THEN 'es'
+                    WHEN score_de >= 1 THEN 'de'
+                    ELSE 'und' END AS lang_pred
+        FROM q
+    ),
+    base AS (
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(n_toks)::BIGINT AS n_tokens,
+               round(avg(quality), 6) AS avg_quality,
+               sum(is_dup)::BIGINT AS n_exact_dup_docs
+        FROM d GROUP BY source
+    ),
+    lc AS (SELECT source, lang_pred, count(*) AS c FROM d GROUP BY source, lang_pred),
+    top AS (
+        SELECT source, lang_pred AS top_lang FROM (
+            SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang_pred) AS rn
+            FROM lc
+        ) WHERE rn = 1
+    )
+    SELECT base.source, n_docs, n_tokens, avg_quality, n_exact_dup_docs, top_lang
+    FROM base JOIN top USING (source)
+    """,
+    doc="Per-source data card for a corpus release: document and token "
+    "counts, mean quality score, exact-duplicate exposure (corpus-wide "
+    "fingerprint collisions), and dominant language (deterministic mode: "
+    "count desc, lang asc) — the summary table published next to every "
+    "training-data drop. Composes the q31/q32/q33 operators; everything "
+    "aggregates to one row per source, so the report frame is "
+    "sources-sized no matter the corpus.",
+    tags=("curation", "report", "llm-pipeline"),
+)
+def r07_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = T.fingerprint(docs, "doc_id", "text").select("doc_id", "content_md5")
+    dup = fp.select(
+        "doc_id",
+        (F.count(F.lit(1)).over(Window.partitionBy("content_md5")) > 1)
+        .cast("int")
+        .alias("is_dup"),
+    )
+    q = T.quality_score(docs, "doc_id", "text")
+    lang = T.langid(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(dup, "doc_id")
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum("is_dup").cast("long").alias("n_exact_dup_docs"),
+    )
+    lc = per_doc.groupBy("source", "lang_pred").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        lc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang_pred"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang_pred").alias("top_lang"))
+    )
+    return base.join(top, "source")
+
+
+def _cluster_split_oracle() -> str:
+    from .dedup import _simhash_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+        {_simhash_oracle(8)}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.v AS id, r.label FROM reach r JOIN edges e ON r.id = e.u
+    ),
+    cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(cc.cluster_id, d.doc_id)::BIGINT AS group_id,
+           CASE WHEN ('0x' || substr(md5(coalesce(cc.cluster_id, d.doc_id)::VARCHAR), 1, 8))::BIGINT % 10 < 8
+                THEN 'train' ELSE 'valid' END AS split
+    FROM documents d LEFT JOIN cc USING (doc_id)
+    """
+
+
+@query(
+    "r08_cluster_safe_split",
+    _cluster_split_oracle(),
+    doc="Contamination-safe train/valid split: near-duplicate documents "
+    "must never straddle the split (a valid doc with a train near-dup "
+    "leaks), so the split key is the q29 dedup CLUSTER, not the "
+    "document — SimHash pairs -> connected components, singletons fall "
+    "back to their own id, then a portable hash of the group id sends "
+    "~80% of GROUPS to train. The oracle replays pair generation, the "
+    "recursive component closure, and the hash split, so the whole "
+    "leakage-safety property is value-hash checked.",
+    tags=("dedup", "split", "llm-pipeline"),
+)
+def r08_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from ..operators.dedup import portable_hash32
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
+    cc = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    out = docs.select("doc_id").join(cc, "doc_id", "left")
+    group = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = portable_hash32(group.cast("string")) % 10
+    return out.select(
+        "doc_id",
+        group.cast("long").alias("group_id"),
+        F.when(bucket < 8, F.lit("train")).otherwise(F.lit("valid")).alias("split"),
     )

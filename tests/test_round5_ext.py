@@ -202,3 +202,38 @@ class TestTrainApplyAndRecall:
         avg = sum(r["recall_at_3"] for r in rows) / len(rows)
         # int8 must not meaningfully perturb top-3 neighbours
         assert avg >= 0.8
+
+
+class TestCorpusReport:
+    def test_report_invariants(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries
+
+        rows = all_queries()["r07_corpus_report"].fn(spark, "/root/testdata/sf0.001").collect()
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert sum(r["n_docs"] for r in rows) == docs.count()
+        for r in rows:
+            assert 0 <= r["n_exact_dup_docs"] <= r["n_docs"]
+            assert 0 < r["avg_quality"] <= 1.0
+            assert r["top_lang"] in {"en", "fr", "es", "de", "und"}
+
+
+class TestClusterSafeSplit:
+    def test_near_dups_never_straddle_the_split(self, spark):
+        from fantasy_premier_league_spark.operators import dedup as D
+        from fantasy_premier_league_spark.queries import all_queries
+
+        sf = "/root/testdata/sf0.001"
+        split = {
+            r["doc_id"]: r["split"]
+            for r in all_queries()["r08_cluster_safe_split"].fn(spark, sf).collect()
+        }
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        assert len(split) == docs.count()
+        pairs = D.simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=8, portable=True
+        ).collect()
+        assert pairs  # the fixture corpus has implanted near-dups
+        for p in pairs:
+            assert split[p["id_a"]] == split[p["id_b"]]
+        frac = sum(1 for v in split.values() if v == "train") / len(split)
+        assert 0.6 < frac < 0.95

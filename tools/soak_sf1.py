@@ -50,6 +50,8 @@ DATA_FACTOR = {
     "r04_ccnet_buckets": 10.0,
     "r05_bpe_apply": 10.0,
     "r06_quantized_recall": 4.0,
+    "r07_corpus_report": 10.0,
+    "r08_cluster_safe_split": 10.0,
 }
 
 

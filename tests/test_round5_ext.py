@@ -237,3 +237,18 @@ class TestClusterSafeSplit:
             assert split[p["id_a"]] == split[p["id_b"]]
         frac = sum(1 for v in split.values() if v == "train") / len(split)
         assert 0.6 < frac < 0.95
+
+
+class TestEmptyInputs:
+    def test_all_new_operators_accept_empty_frames(self, spark):
+        from fantasy_premier_league_spark.operators.quantize import (
+            int8_quantize,
+            int8_reconstruct,
+        )
+
+        empty_docs = spark.createDataFrame([], "doc_id long, text string, is_t boolean")
+        empty_emb = spark.createDataFrame([], "vec_id long, v array<double>")
+        assert dsir_weights(empty_docs, "doc_id", "text", "is_t").collect() == []
+        assert int8_quantize(empty_emb, "vec_id", "v").collect() == []
+        assert int8_reconstruct(empty_emb, "vec_id", "v").collect() == []
+        assert bpe_train_merges(empty_docs, "doc_id", "text").collect() == []

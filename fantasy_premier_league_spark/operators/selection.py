@@ -11,15 +11,16 @@ n-gram counts and two categorical distributions:
 with add-alpha smoothing over ``n_buckets`` hash buckets. Documents with
 high weight are the ones importance resampling keeps for pre-training.
 
-Dataflow (the 100 TB shape):
-- pass 1: explode tokens, bucket with the portable 32-bit md5 hash, one
-  groupBy(bucket) building BOTH distributions in a single shuffle whose
-  key space is ``n_buckets`` — the model state is bucket-sized, never
-  corpus-sized, and partial aggregation collapses the token stream
-  map-side;
-- pass 2: re-join the token stream to the bucket→log-ratio table (a
-  broadcast: ``n_buckets`` rows) and average per document — one
-  groupBy(doc) with partial agg.
+Split into the two halves a production pipeline deploys separately:
+
+- :func:`dsir_bucket_model` — TRAIN: one bucket-keyed groupBy builds
+  both distributions in a single shuffle whose key space is
+  ``n_buckets``; the returned model is a 256-row frame, persistable
+  like any other tokenizer-sized artifact;
+- :func:`dsir_score` — APPLY: re-join a token stream to the broadcast
+  model and average per document — one groupBy(doc) with partial agg.
+  The same call scores a batch corpus or a ``foreachBatch`` micro-batch
+  (streaming/quality.py).
 
 Nothing is collected to the driver; both passes are linear scans. The
 portable hash keeps the whole computation replayable in ANSI SQL, so the
@@ -38,6 +39,75 @@ from pyspark.sql import functions as F
 from .dedup import portable_hash32, words
 
 
+def _bucketed_tokens(df: DataFrame, text_col: str, n_buckets: int, *extra_cols: str) -> DataFrame:
+    return df.select(
+        *extra_cols, F.explode(words(F.col(text_col))).alias("word")
+    ).withColumn("bucket", portable_hash32(F.col("word")) % n_buckets)
+
+
+def dsir_bucket_model(
+    df: DataFrame,
+    text_col: str,
+    is_target_col: str,
+    *,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train the DSIR model: ``(bucket, log_ratio)`` with add-alpha
+    smoothing. ``is_target_col`` is a boolean column marking the target
+    (reference) slice; everything else is background. The output is
+    ``n_buckets`` rows — artifact-sized, broadcastable, persistable."""
+    toks = _bucketed_tokens(
+        df.withColumn("__is_t", F.col(is_target_col).cast("boolean")),
+        text_col,
+        n_buckets,
+        "__is_t",
+    )
+    buckets = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__is_t"), 1).otherwise(0)).alias("cb"),
+    )
+    totals = buckets.agg(F.sum("ct").alias("tt"), F.sum("cb").alias("tb"))
+    a = F.lit(float(alpha))
+    b = F.lit(float(n_buckets))
+    return buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + a) / (F.col("tt") + a * b))
+            - F.log((F.col("cb") + a) / (F.col("tb") + a * b))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    *,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Apply a trained model: ``(doc_id, n_tokens, dsir_score)`` — the
+    mean per-token log-likelihood ratio, rounded to 6 places. Documents
+    with no tokens produce no row (nothing to average); callers routing
+    accept/reject streams should left-join and treat null as reject.
+    ``n_buckets`` must match the model's training value."""
+    toks = _bucketed_tokens(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "__text",
+        n_buckets,
+        "doc_id",
+    )
+    return (
+        toks.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("log_ratio"), 6).alias("dsir_score"),
+        )
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     id_col: str,
@@ -48,60 +118,33 @@ def dsir_weights(
     alpha: float = 1.0,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Per-document DSIR importance weights against a target slice.
+    """Train-and-score in one call (the r01 query form).
 
-    ``is_target_col`` is a boolean column on ``df`` marking the target
-    (reference) documents; everything else is the raw pool being scored.
-    Returns one row per document::
+    Returns one row per document with tokens::
 
         doc_id, is_target, n_tokens, dsir_score, selected
 
-    ``dsir_score`` is the mean per-token log-likelihood ratio (rounded to
-    6 places); ``selected`` flags pool documents whose rounded score
-    clears ``threshold`` — thresholding on the rounded value keeps the
-    flag bit-stable across engines.
+    ``selected`` flags pool documents whose rounded score clears
+    ``threshold`` — thresholding on the rounded value keeps the flag
+    bit-stable across engines.
     """
-    toks = df.select(
+    model = dsir_bucket_model(
+        df, text_col, is_target_col, n_buckets=n_buckets, alpha=alpha
+    )
+    scores = dsir_score(df, id_col, text_col, model, n_buckets=n_buckets)
+    flags = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(is_target_col).cast("boolean").alias("is_target"),
-        F.explode(words(F.col(text_col))).alias("word"),
-    ).withColumn("bucket", portable_hash32(F.col("word")) % n_buckets)
-
-    buckets = toks.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cb"),
     )
-    totals = buckets.agg(
-        F.sum("ct").alias("tt"), F.sum("cb").alias("tb")
-    )
-    a = F.lit(float(alpha))
-    b = F.lit(float(n_buckets))
-    ratio = buckets.crossJoin(F.broadcast(totals)).select(
-        "bucket",
+    return scores.join(flags, "doc_id").select(
+        "doc_id",
+        F.col("is_target").cast("int").alias("is_target"),
+        "n_tokens",
+        "dsir_score",
         (
-            F.log((F.col("ct") + a) / (F.col("tt") + a * b))
-            - F.log((F.col("cb") + a) / (F.col("tb") + a * b))
-        ).alias("log_ratio"),
-    )
-
-    score = F.round(F.avg("log_ratio"), 6)
-    return (
-        toks.join(F.broadcast(ratio), "bucket")
-        .groupBy("doc_id", "is_target")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            score.alias("dsir_score"),
+            (~F.col("is_target"))
+            & (F.col("dsir_score") >= F.lit(float(threshold)))
         )
-        .select(
-            "doc_id",
-            F.col("is_target").cast("int").alias("is_target"),
-            "n_tokens",
-            "dsir_score",
-            (
-                (~F.col("is_target").cast("boolean"))
-                & (F.col("dsir_score") >= F.lit(float(threshold)))
-            )
-            .cast("int")
-            .alias("selected"),
-        )
+        .cast("int")
+        .alias("selected"),
     )

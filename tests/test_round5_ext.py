@@ -252,3 +252,76 @@ class TestEmptyInputs:
         assert int8_quantize(empty_emb, "vec_id", "v").collect() == []
         assert int8_reconstruct(empty_emb, "vec_id", "v").collect() == []
         assert bpe_train_merges(empty_docs, "doc_id", "text").collect() == []
+
+
+class TestStreamingDsirGate:
+    def test_stream_routing_matches_batch_scoring(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fantasy_premier_league_spark.operators.selection import (
+            dsir_bucket_model,
+            dsir_score,
+        )
+        from fantasy_premier_league_spark.streaming.quality import run_dsir_gate
+
+        # offline: train the model on a static reference corpus
+        ref = _docs(
+            spark,
+            [(i, "alpha beta alpha beta", True) for i in range(5)]
+            + [(10 + i, "gamma delta gamma delta", False) for i in range(5)],
+        )
+        model = dsir_bucket_model(ref, "text", "is_t", n_buckets=64)
+
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def write_batch(name, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": pa.array([r[1] for r in rows]),
+                    }
+                ),
+                str(src / name),
+            )
+
+        def run_once():
+            stream = spark.readStream.schema("doc_id long, text string").parquet(
+                str(src)
+            )
+            q = run_dsir_gate(
+                stream,
+                model,
+                accept_path=str(tmp_path / "acc"),
+                reject_path=str(tmp_path / "rej"),
+                checkpoint=str(tmp_path / "ck"),
+                n_buckets=64,
+            )
+            q.awaitTermination(180)
+
+        batches = [
+            [(100, "alpha beta alpha"), (101, "gamma delta gamma")],
+            [(102, "beta beta alpha"), (103, "")],  # 103 has no tokens → reject
+        ]
+        write_batch("b1.parquet", batches[0])
+        run_once()
+        write_batch("b2.parquet", batches[1])
+        run_once()
+
+        acc = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "acc")).collect()}
+        rej = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "rej")).collect()}
+        assert acc | rej == {100, 101, 102, 103} and not (acc & rej)
+
+        # the stream's routing must equal batch scoring on the union
+        all_docs = spark.createDataFrame(
+            [r for b in batches for r in b], "doc_id long, text string"
+        )
+        scores = {
+            r["doc_id"]: r["dsir_score"]
+            for r in dsir_score(all_docs, "doc_id", "text", model, n_buckets=64).collect()
+        }
+        expect_acc = {d for d, s in scores.items() if s >= 0.0}
+        assert acc == expect_acc
+        assert 103 in rej  # token-less doc scored null → rejected

@@ -325,3 +325,40 @@ class TestStreamingDsirGate:
         expect_acc = {d for d, s in scores.items() if s >= 0.0}
         assert acc == expect_acc
         assert 103 in rej  # token-less doc scored null → rejected
+
+
+class TestArtifactRoundtrip:
+    def test_dsir_model_and_bpe_merges_survive_parquet(self, spark, tmp_path):
+        """Both round-5 model artifacts (the 256-row DSIR bucket model and
+        the 3-row merge table) persist like any warehouse table and score
+        identically after reload — the deploy path for the streaming gate
+        and bpe_apply."""
+        from fantasy_premier_league_spark.operators.selection import (
+            dsir_bucket_model,
+            dsir_score,
+        )
+
+        ref = _docs(
+            spark,
+            [(1, "alpha beta alpha", True), (2, "gamma delta gamma", False)],
+        )
+        model = dsir_bucket_model(ref, "text", "is_t", n_buckets=32)
+        model.write.parquet(str(tmp_path / "dsir_model"))
+        reloaded = spark.read.parquet(str(tmp_path / "dsir_model"))
+        pool = _docs(spark, [(9, "alpha gamma beta", False)])
+        a = dsir_score(pool, "doc_id", "text", model, n_buckets=32).collect()
+        b = dsir_score(pool, "doc_id", "text", reloaded, n_buckets=32).collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+        docs = spark.createDataFrame([(1, "banana bandana")], BPE_SCHEMA)
+        merges = bpe_train_merges(docs, "doc_id", "text", n_merges=2)
+        merges.write.parquet(str(tmp_path / "merges"))
+        back = spark.read.parquet(str(tmp_path / "merges")).orderBy("merge_idx")
+        pairs = [(r["left_tok"], r["right_tok"]) for r in back.collect()]
+        n1 = docs.select(bpe_apply(docs, "text", pairs).alias("n")).first()["n"]
+        orig = [
+            (r["left_tok"], r["right_tok"])
+            for r in merges.orderBy("merge_idx").collect()
+        ]
+        n2 = docs.select(bpe_apply(docs, "text", orig).alias("n")).first()["n"]
+        assert n1 == n2

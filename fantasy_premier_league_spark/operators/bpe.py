@@ -115,6 +115,12 @@ def bpe_apply(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> F.
     :func:`bpe_train_merges` (driver-side, tokenizer-artifact-sized).
     Counting is a pure narrow expression: encode each word, apply each
     merge as a string replace in learned order, count remaining symbols.
+
+    The expression nests one ``replace`` per merge, so this inline form
+    is for merge lists up to the low hundreds (codegen depth); a full
+    32k-merge production vocabulary belongs in an Arrow-batched pandas
+    UDF wrapping a real tokenizer, with this as its oracle-checkable
+    reference semantics.
     """
     w = words(F.col(text_col))
     sym = lambda t: F.regexp_replace(t, "(.)", r"($1)")  # noqa: E731

@@ -246,3 +246,16 @@ class TestRound5ExtensionPlans:
         # never the exploded token stream
         plan = plan_of(spark, "r04_ccnet_buckets")
         assert "Python" not in plan
+
+    def test_r05_apply_pass_is_narrow(self, spark):
+        # training happens at plan-build time (bounded readbacks); the
+        # returned tokenize-the-corpus pass must be a pure narrow scan —
+        # an Exchange here means the apply stage acquired a shuffle
+        plan = plan_of(spark, "r05_bpe_apply")
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_r08_split_no_cartesian(self, spark):
+        plan = plan_of(spark, "r08_cluster_safe_split")
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan

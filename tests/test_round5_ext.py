@@ -362,3 +362,31 @@ class TestArtifactRoundtrip:
         ]
         n2 = docs.select(bpe_apply(docs, "text", orig).alias("n")).first()["n"]
         assert n1 == n2
+
+
+class TestBpeDeepMerges:
+    def test_eight_rounds_match_reference(self, spark):
+        """Deeper chain: learned tokens must themselves merge (l+o→lo,
+        lo+w→low, ...), which exercises repeated re-encoding of the same
+        words across rounds."""
+        texts = [
+            "low low low low low low lowest lowest lower lower lower",
+            "slow slow slow slower slowest glow glow glowing",
+            "newer newer newer new new new newest wider wide wide",
+        ]
+        docs = spark.createDataFrame(list(enumerate(texts)), BPE_SCHEMA)
+        got = [
+            (r["left_tok"], r["right_tok"], r["merged"], r["pair_count"])
+            for r in bpe_train_merges(docs, "doc_id", "text", n_merges=8)
+            .orderBy("merge_idx")
+            .collect()
+        ]
+        wc: dict[str, int] = {}
+        for t in texts:
+            for w in t.split():
+                wc[w] = wc.get(w, 0) + 1
+        ref = _reference_bpe(wc, 8)
+        assert got == ref
+        # at least one learned merge must consume a previously-merged token
+        merged_tokens = {m[2] for m in ref}
+        assert any(m[0] in merged_tokens or m[1] in merged_tokens for m in ref)

@@ -78,3 +78,103 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
     return s.groupBy(key_col, "session_seq").agg(*aggs)
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: list[str],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel: stage k counts users whose earliest
+    stage-k event lies STRICTLY after their stage-(k-1) time.
+
+    Returns ``(stage_idx, stage, n_users, conversion)`` with conversion
+    relative to stage 1. The strict ordering is the part plain
+    per-stage filters get wrong: a purchase that precedes the click must
+    not convert. Each stage is one key-keyed aggregation joined to the
+    previous stage's (shrinking) frame — shuffles stay on the user key,
+    stage frames shrink monotonically, output is stages-sized.
+    """
+    prev: DataFrame | None = None
+    stage_frames: list[DataFrame] = []
+    for stage in stages:
+        cur = df.filter(F.col(type_col) == stage)
+        if prev is not None:
+            cur = cur.join(prev, key_col).filter(F.col(ts_col) > F.col("__t"))
+        cur = cur.groupBy(key_col).agg(F.min(ts_col).alias("__t"))
+        stage_frames.append(cur)
+        prev = cur
+    counted = [
+        frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("stage_idx"), F.lit(name).alias("stage"), "n_users"
+        )
+        for i, (name, frame) in enumerate(zip(stages, stage_frames))
+    ]
+    s = counted[0]
+    for extra in counted[1:]:
+        s = s.unionByName(extra)
+    base = s.filter(F.col("stage_idx") == 1).select(F.col("n_users").alias("__base"))
+    return s.crossJoin(F.broadcast(base)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("__base"), 6).alias(
+            "conversion"
+        ),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+    period_days: int = 7,
+) -> DataFrame:
+    """Retention triangle: users cohorted by the period of their first
+    event; each (cohort, period-offset) cell counts distinct active
+    users and its retention rate vs the cohort size (offset 0).
+
+    Periods index off a fixed ``epoch`` via the engine-portable datediff
+    idiom (q18), so cohort boundaries are deterministic across engines
+    and timezones. Two key-keyed aggregations + one distinct; all
+    shuffles on bounded keys.
+    """
+
+    def period(col: str) -> F.Column:
+        return F.floor(
+            F.datediff(col, F.lit(epoch).cast("timestamp")) / period_days
+        ).cast("int")
+
+    f = df.groupBy(key_col).agg(F.min(ts_col).alias("__first"))
+    a = (
+        df.join(f, key_col)
+        .select(
+            key_col,
+            period("__first").alias("cohort_week"),
+            (period(ts_col) - period("__first")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = (
+        a.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.countDistinct(key_col).alias("__size"))
+    )
+    return (
+        a.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active").cast("double") / F.col("__size"), 6).alias(
+                "retention"
+            ),
+        )
+    )

@@ -597,3 +597,88 @@ def r08_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         group.cast("long").alias("group_id"),
         F.when(bucket < 8, F.lit("train")).otherwise(F.lit("valid")).alias("split"),
     )
+
+
+# --- event-sequence analytics additions (funnel / retention) ---
+
+
+@query(
+    "r09_event_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    ),
+    s AS (
+        SELECT 1 AS stage_idx, 'view' AS stage, count(*)::BIGINT AS n_users FROM v
+        UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM c
+        UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM p
+    ),
+    n0 AS (SELECT n_users AS base FROM s WHERE stage_idx = 1)
+    SELECT stage_idx, stage, n_users,
+           round(n_users::DOUBLE / base, 6) AS conversion
+    FROM s CROSS JOIN n0
+    """,
+    doc="Ordered-sequence funnel (view -> click-after-view -> "
+    "purchase-after-click): each stage is the min event time strictly "
+    "after the previous stage's time, per user — the canonical product "
+    "analytics query that plain filters get wrong (a purchase BEFORE "
+    "the click must not count). Three user-keyed aggregations chained "
+    "by user-keyed joins — every shuffle is on user_id so AQE can "
+    "coalesce, and stage frames shrink monotonically; the scalar stage "
+    "table cross-joins a 1-row base for conversion rates.",
+    tags=("events", "funnel", "analytics"),
+)
+def r09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import funnel_counts
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "r10_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    w AS (
+        SELECT e.user_id,
+               floor(date_diff('day', TIMESTAMP '2024-01-01', f.first_ts) / 7)::INT AS cohort_week,
+               floor(date_diff('day', TIMESTAMP '2024-01-01', e.ts) / 7)::INT AS event_week
+        FROM events e JOIN f USING (user_id)
+    ),
+    a AS (
+        SELECT DISTINCT user_id, cohort_week,
+               event_week - cohort_week AS week_offset
+        FROM w
+    ),
+    sizes AS (
+        SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+        FROM a WHERE week_offset = 0 GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset, count(*)::BIGINT AS n_active,
+           round(count(*)::DOUBLE / any_value(sizes.cohort_size), 6) AS retention
+    FROM a JOIN sizes USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset
+    """,
+    doc="Weekly retention cohorts: users grouped by the week of their "
+    "first event, activity counted per (cohort, week-offset) cell, "
+    "retention = active / cohort size — the triangle matrix behind "
+    "every growth dashboard. Week index derives from the q18 day-offset "
+    "idiom (engine-portable datediff), offset 0 is the cohort size by "
+    "construction. Two user-keyed aggregations + one distinct — all "
+    "shuffles on bounded keys (user, then cohort x offset).",
+    tags=("events", "retention", "analytics"),
+)
+def r10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import retention_cohorts
+
+    ev = load(spark, sf_dir, "events")
+    return retention_cohorts(ev)

@@ -390,3 +390,59 @@ class TestBpeDeepMerges:
         # at least one learned merge must consume a previously-merged token
         merged_tokens = {m[2] for m in ref}
         assert any(m[0] in merged_tokens or m[1] in merged_tokens for m in ref)
+
+
+class TestFunnelAndRetention:
+    def test_funnel_strict_ordering(self, spark):
+        from datetime import datetime
+
+        from fantasy_premier_league_spark.operators.sessionize import funnel_counts
+
+        t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            # user 1: full ordered funnel
+            (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+            # user 2: purchase BEFORE click — must stop at click
+            (2, t(1), "view"), (2, t(3), "click"), (2, t(2), "purchase"),
+            # user 3: view only
+            (3, t(1), "view"),
+            # user 4: click with no prior view — must not count anywhere
+            (4, t(1), "click"), (4, t(2), "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            r["stage"]: (r["n_users"], r["conversion"])
+            for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+        }
+        assert got["view"] == (3, 1.0)
+        assert got["click"] == (2, pytest.approx(0.666667))
+        assert got["purchase"] == (1, pytest.approx(0.333333))
+
+    def test_retention_triangle(self, spark):
+        from datetime import datetime
+
+        from fantasy_premier_league_spark.operators.sessionize import (
+            retention_cohorts,
+        )
+
+        d = lambda day, hh=0: datetime(2024, 1, day, hh)  # noqa: E731
+        rows = [
+            # user 1: first in week 0, active weeks 0 and 1
+            (1, d(2)), (1, d(9)),
+            # user 2: first in week 0, active week 0 only
+            (2, d(3)),
+            # user 3: first in week 1, active weeks 1 and 2 (offsets 0, 1)
+            (3, d(10)), (3, d(16)),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r["cohort_week"], r["week_offset"]): (r["n_active"], r["retention"])
+            for r in retention_cohorts(ev).collect()
+        }
+        assert got[(0, 0)] == (2, 1.0)
+        assert got[(0, 1)] == (1, 0.5)
+        assert got[(1, 0)] == (1, 1.0)
+        assert got[(1, 1)] == (1, 1.0)
+        assert (0, 2) not in got

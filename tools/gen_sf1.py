@@ -50,6 +50,23 @@ def gen_lineitem(con: duckdb.DuckDBPyConnection) -> None:
     )
 
 
+def gen_events(con: duckdb.DuckDBPyConnection) -> None:
+    """events tiled 10x with per-tile user/event offsets and a per-tile
+    +7h stagger so per-user timelines grow denser (the funnel/retention
+    stress) while first-event cohorts stay spread across weeks."""
+    con.execute(
+        f"""
+        COPY (
+            SELECT event_id + t.i * 1000000 AS event_id,
+                   ts + INTERVAL (t.i * 7) HOUR AS ts,
+                   user_id + (t.i % 5) * 1000 AS user_id,
+                   event_type, value, props
+            FROM '{SRC}/events.parquet', (SELECT unnest(generate_series(0, 9)) AS i) t
+        ) TO '{OUT}/events.parquet' (FORMAT parquet)
+        """
+    )
+
+
 def gen_documents(rng: np.random.Generator) -> None:
     src = duckdb.sql(
         f"SELECT text, len(string_split(text, ' ')) AS n_words FROM '{SRC}/documents.parquet'"
@@ -118,9 +135,10 @@ def main() -> None:
     rng = np.random.Generator(np.random.PCG64(42))
     con = duckdb.connect()
     gen_lineitem(con)
+    gen_events(con)
     gen_documents(rng)
     gen_embeddings(rng)
-    for t in ("lineitem", "documents", "embeddings"):
+    for t in ("lineitem", "events", "documents", "embeddings"):
         n = duckdb.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows", file=sys.stderr)
 

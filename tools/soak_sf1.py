@@ -52,6 +52,8 @@ DATA_FACTOR = {
     "r06_quantized_recall": 4.0,
     "r07_corpus_report": 10.0,
     "r08_cluster_safe_split": 10.0,
+    "r09_event_funnel": 10.0,
+    "r10_retention_cohorts": 10.0,
 }
 
 

@@ -682,3 +682,63 @@ def r10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return retention_cohorts(ev)
+
+
+@query(
+    "r11_triangle_stats",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+    raw AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM li a JOIN li b ON a.g = b.g AND a.p != b.p
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM raw),
+    deg AS (
+        SELECT node, count(*)::BIGINT AS d
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node
+    ),
+    e2 AS (
+        SELECT u, v, du.d AS du, dv.d AS dv
+        FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+    ),
+    o AS (
+        SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS a,
+               CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS b,
+               CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS deg_b
+        FROM e2
+    ),
+    w AS (
+        SELECT o1.b AS b1, o2.b AS b2 FROM o o1 JOIN o o2 ON o1.a = o2.a
+        WHERE (o1.deg_b, o1.b) < (o2.deg_b, o2.b)
+    ),
+    tri AS (
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM w JOIN o ON o.a = w.b1 AND o.b = w.b2
+    ),
+    stats AS (
+        SELECT count(*)::BIGINT AS n_nodes,
+               (SELECT count(*) FROM und)::BIGINT AS n_edges,
+               (sum(d * (d - 1)) / 2)::BIGINT AS n_wedges
+        FROM deg
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges = 0 THEN NULL
+                ELSE round(3.0 * n_triangles / n_wedges, 6) END AS clustering
+    FROM stats CROSS JOIN tri
+    """,
+    doc="Exact triangle count + global clustering coefficient of the part "
+    "co-purchase graph, by degree-ordered orientation "
+    "(operators/graph.py::triangle_stats): each edge points from its "
+    "(degree,id)-smaller endpoint, every triangle appears as exactly one "
+    "closed wedge, and wedge fan-out is keyed on the LOW-degree endpoint "
+    "so hubs cost arboricity-bounded work instead of degree-squared — "
+    "the distributed-graph-analytics companion to q48 PageRank and the "
+    "q29 component closure.",
+    tags=("graph", "analytics"),
+)
+def r11_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import co_occurrence_edges, triangle_stats
+
+    li = load(spark, sf_dir, "lineitem")
+    return triangle_stats(co_occurrence_edges(li, "l_orderkey", "l_partkey"))

@@ -446,3 +446,35 @@ class TestFunnelAndRetention:
         assert got[(1, 0)] == (1, 1.0)
         assert got[(1, 1)] == (1, 1.0)
         assert (0, 2) not in got
+
+
+class TestTriangleStats:
+    def test_known_graphs(self, spark):
+        from fantasy_premier_league_spark.operators.graph import triangle_stats
+
+        def stats(pairs):
+            e = spark.createDataFrame(pairs, "src long, dst long")
+            return triangle_stats(e).first()
+
+        # K4: 4 triangles, 6 edges, clustering 1.0
+        k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+        r = stats(k4)
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+        assert r["clustering"] == 1.0
+        # path 0-1-2-3: no triangles, 2 wedges, clustering 0
+        r = stats([(0, 1), (1, 2), (2, 3)])
+        assert (r["n_triangles"], r["n_wedges"], r["clustering"]) == (0, 2, 0.0)
+        # triangle + pendant: 1 triangle; wedges = 1+1+3 = 5
+        r = stats([(0, 1), (1, 2), (0, 2), (2, 3)])
+        assert (r["n_triangles"], r["n_wedges"]) == (1, 5)
+        assert r["clustering"] == 0.6
+        # duplicate / reversed / self edges normalize away
+        r = stats([(0, 1), (1, 0), (0, 0), (1, 2), (0, 2), (2, 1)])
+        assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+    def test_single_edge_has_null_clustering(self, spark):
+        from fantasy_premier_league_spark.operators.graph import triangle_stats
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        r = triangle_stats(e).first()
+        assert r["n_wedges"] == 0 and r["clustering"] is None

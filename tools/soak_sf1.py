@@ -54,6 +54,7 @@ DATA_FACTOR = {
     "r08_cluster_safe_split": 10.0,
     "r09_event_funnel": 10.0,
     "r10_retention_cohorts": 10.0,
+    "r11_triangle_stats": 10.0,
 }
 
 

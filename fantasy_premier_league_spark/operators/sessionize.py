@@ -121,9 +121,11 @@ def funnel_counts(
         "stage_idx",
         "stage",
         "n_users",
-        F.round(F.col("n_users").cast("double") / F.col("__base"), 6).alias(
-            "conversion"
-        ),
+        # an empty stage-1 cohort has no conversion to speak of — null,
+        # not an ANSI divide-by-zero
+        F.when(F.col("__base") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_users").cast("double") / F.col("__base"), 6))
+        .alias("conversion"),
     )
 
 

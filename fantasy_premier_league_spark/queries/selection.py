@@ -624,7 +624,8 @@ def r08_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n0 AS (SELECT n_users AS base FROM s WHERE stage_idx = 1)
     SELECT stage_idx, stage, n_users,
-           round(n_users::DOUBLE / base, 6) AS conversion
+           CASE WHEN base = 0 THEN NULL
+                ELSE round(n_users::DOUBLE / base, 6) END AS conversion
     FROM s CROSS JOIN n0
     """,
     doc="Ordered-sequence funnel (view -> click-after-view -> "

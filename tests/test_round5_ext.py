@@ -478,3 +478,19 @@ class TestTriangleStats:
         e = spark.createDataFrame([(1, 2)], "src long, dst long")
         r = triangle_stats(e).first()
         assert r["n_wedges"] == 0 and r["clustering"] is None
+
+
+class TestFunnelEmptyStageOne:
+    def test_empty_first_stage_yields_null_conversion(self, spark):
+        from datetime import datetime
+
+        from fantasy_premier_league_spark.operators.sessionize import funnel_counts
+
+        ev = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), "click")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        rows = {r["stage"]: r for r in funnel_counts(ev, ["view", "click"]).collect()}
+        assert rows["view"]["n_users"] == 0
+        assert rows["view"]["conversion"] is None
+        assert rows["click"]["n_users"] == 0  # no view → no click-after-view

@@ -148,3 +148,42 @@ def dsir_weights(
         .cast("int")
         .alias("selected"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k winners.
+
+    Efraimidis–Spirakis exponential race: each row draws an Exp(weight)
+    arrival time ``-ln(u) / w`` and the k earliest arrivals win — the
+    inclusion probabilities match sequential weighted draws without
+    replacement. ``u`` comes from the portable md5 hash of the id
+    (uniform in (0,1], identical in any engine), so the "random" sample
+    is reproducible across runs, partitionings, and engines — the only
+    kind of sample a correctness-gated pipeline can ship.
+
+    One narrow pass computes keys; the top-k is a TakeOrdered (per-
+    partition heads + k-row merge), never a full sort. Weights must be
+    strictly positive. Returns ``(id, weight, sample_key, rank)`` with
+    sample_key rounded to 6 (ranking happens on the rounded key + id so
+    rank order is engine-stable).
+    """
+    u = (portable_hash32(F.col(id_col).cast("string")) + 1) / F.lit(4294967296.0)
+    key = F.round(-F.log(u) / F.col(weight_col), 6)
+    keyed = df.select(
+        F.col(id_col), F.col(weight_col), key.alias("sample_key")
+    ).orderBy("sample_key", id_col).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("sample_key", id_col)
+    return keyed.select(
+        id_col,
+        weight_col,
+        "sample_key",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -743,3 +743,41 @@ def r11_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return triangle_stats(co_occurrence_edges(li, "l_orderkey", "l_partkey"))
+
+
+_QUALITY_EXPR = """round(0.4 * (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 1.0
+                     WHEN len(w) < 20 THEN len(w) / 20.0
+                     ELSE 1000.0 / len(w) END)
+       + 0.3 * (len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) / len(w))
+       + 0.3 * (len(list_distinct(w)) / len(w)), 6)"""
+
+
+@query(
+    "r12_weighted_sample",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM t),
+    keyed AS (
+        SELECT doc_id, quality,
+               round(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                         / 4294967296.0) / quality, 6) AS sample_key
+        FROM q
+    )
+    SELECT doc_id, quality, sample_key, rank FROM (
+        SELECT *, (row_number() OVER (ORDER BY sample_key, doc_id))::INT AS rank
+        FROM keyed
+    ) WHERE rank <= 100
+    """,
+    doc="Quality-weighted corpus sampling without replacement (Efraimidis-"
+    "Spirakis exponential race, k=100): each doc draws an Exp(quality) "
+    "arrival time from a portable-hash uniform and the earliest arrivals "
+    "win — inclusion odds proportional to quality, yet fully "
+    "deterministic across runs, partitionings, and engines. One narrow "
+    "key pass + TakeOrdered top-k, no full sort — the reproducible form "
+    "of the weighted subsample every curation pipeline draws.",
+    tags=("selection", "sampling", "llm-pipeline"),
+)
+def r12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    q = T.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    return SEL.weighted_sample(q, "doc_id", "quality", k=100)

@@ -494,3 +494,21 @@ class TestFunnelEmptyStageOne:
         assert rows["view"]["n_users"] == 0
         assert rows["view"]["conversion"] is None
         assert rows["click"]["n_users"] == 0  # no view → no click-after-view
+
+
+class TestWeightedSample:
+    def test_heavy_weights_dominate_and_ranks_are_dense(self, spark):
+        from fantasy_premier_league_spark.operators.selection import weighted_sample
+
+        rows = [(i, 10.0) for i in range(50)] + [(100 + i, 0.001) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, quality double")
+        got = weighted_sample(df, "doc_id", "quality", k=40).collect()
+        assert len(got) == 40
+        assert sorted(r["rank"] for r in got) == list(range(1, 41))
+        assert len({r["doc_id"] for r in got}) == 40  # without replacement
+        heavy = sum(1 for r in got if r["quality"] == 10.0)
+        # Exp(10) arrivals beat Exp(0.001) arrivals ~always
+        assert heavy >= 35
+        # deterministic: a second run returns the identical sample
+        again = weighted_sample(df, "doc_id", "quality", k=40).collect()
+        assert [r.asDict() for r in again] == [r.asDict() for r in got]

@@ -55,6 +55,7 @@ DATA_FACTOR = {
     "r09_event_funnel": 10.0,
     "r10_retention_cohorts": 10.0,
     "r11_triangle_stats": 10.0,
+    "r12_weighted_sample": 10.0,
 }
 
 

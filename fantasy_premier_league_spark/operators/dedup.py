@@ -748,3 +748,96 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select(F.col("u").alias("id"), F.col("label").alias("cluster_id"))
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via PREFIX FILTERING (All-Pairs /
+    PPJoin candidate generation, Bayardo et al. WWW'07) — same output as
+    :func:`ngram_jaccard_pairs`, a fraction of the candidate pairs.
+
+    The inverted-index self-join in ngram_jaccard_pairs indexes EVERY
+    (doc, shingle): one boilerplate shingle shared by k docs fans out
+    k^2/2 candidate rows even when none of those pairs can pass the
+    threshold. Prefix filtering is the lossless fix: order shingles by a
+    global total order (document frequency ascending — rarest first —
+    then shingle), and index each doc only on its first
+    ``|S| - floor(t*|S|) + 1`` shingles. Any pair with Jaccard >= t has
+    overlap >= ceil(t*max(|A|,|B|)), and by the prefix-filter lemma two
+    sets with that much overlap MUST collide inside these prefixes — so
+    candidate recall is exactly 1.0 while frequent shingles (which sort
+    last) mostly vanish from the index. floor() (not ceil) keeps the
+    prefix on the safe long side under float rounding of t*|S|.
+
+    Verification then computes the EXACT Jaccard per surviving candidate
+    from per-doc sorted shingle arrays (array_intersect, JVM codegen) —
+    bounded by document length, no second corpus-wide self-join.
+
+    Scale: the index shrinks by the prefix ratio (~1-t), and high-
+    frequency shingles leave the join entirely — the same failure mode
+    _cap_band_buckets guards in LSH, solved here WITHOUT losing recall.
+    Shuffles: shingle-frequency agg, per-doc window (id-keyed), the
+    prefix self-join (shingle-keyed), candidate distinct, and two
+    id-keyed joins against the docs-sized array table.
+
+    Returns (id_a, id_b, n_common, jaccard) — identical to
+    ngram_jaccard_pairs at the same (n, threshold); the oracle for both
+    is the naive all-sharing-pairs SQL.
+    """
+    sh = tracked_persist(doc_shingles(df, id_col, text_col, n))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    prefix_len = (
+        F.col("n_shingles")
+        - F.floor(F.lit(float(threshold)) * F.col("n_shingles"))
+        + 1
+    )
+    pre = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
+            ),
+        )
+        .join(sizes, "id")
+        .filter(F.col("__pos") <= prefix_len)
+        .select("id", "shingle")
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    docsets = tracked_persist(
+        sh.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("__set"))
+    )
+    joined = (
+        cand.join(
+            docsets.select(F.col("id").alias("id_a"), F.col("__set").alias("__sa")), "id_a"
+        )
+        .join(
+            docsets.select(F.col("id").alias("id_b"), F.col("__set").alias("__sb")), "id_b"
+        )
+        .withColumn("n_common", F.size(F.array_intersect("__sa", "__sb")).cast("long"))
+        .withColumn("n_a", F.size("__sa"))
+        .withColumn("n_b", F.size("__sb"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return joined.select(
+        "id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -204,3 +204,69 @@ def triangle_stats(
         )
         .alias("clustering"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over a directed
+    edge list, with a fully deterministic tie-break.
+
+    Standard LPA is notoriously non-deterministic (random visit order,
+    random tie-breaks); this is the *reproducible* formulation suitable
+    for an oracle-checked pipeline: every node starts with its own id as
+    its label, and each round simultaneously adopts the most frequent
+    label among its in-neighbors, ties broken by the SMALLEST label.
+    Nodes with no in-neighbors keep their current label (the node set is
+    sources ∪ sinks, so asymmetric edge lists don't silently drop the
+    rank of no-in-edge nodes — same contract as :func:`pagerank`).
+
+    Plan shape per round — the same fixed-point skeleton as pagerank:
+    the edge list shuffles once onto dst and is persisted (tracked;
+    release via operators.cache.release_operator_caches); each round is
+    one hash join of edges x labels (nodes-sized), one partial-agg
+    groupBy on (node, label), one node-keyed window for the argmax, and
+    one left join back onto the persisted node set. Iteration count is
+    fixed (the plan is a finite unrolled chain); deep runs cut lineage
+    with localCheckpoint every ``checkpoint_every`` rounds. A 100 TB
+    edge list distributes on dst; hub skew salts cleanly because the
+    per-label count is a sum (operators/skew.py).
+
+    Returns (node, label). Reference analogue: community grouping of the
+    co-occurrence graphs the reference builds pairwise in pandas.
+    """
+    from pyspark.sql import Window as W
+
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    nodes = tracked_persist(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(int(iterations)):
+        nbr = e.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        )
+        counts = nbr.groupBy(F.col("dst").alias("node"), "label").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        w = W.partitionBy("node").orderBy(F.col("__n").desc(), F.col("label").asc())
+        picked = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = labels.join(picked, "node", "left").select(
+            "node", F.coalesce(F.col("__new"), F.col("label")).alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < int(iterations):
+            labels = labels.localCheckpoint()
+    return labels

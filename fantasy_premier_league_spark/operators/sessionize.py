@@ -180,3 +180,67 @@ def retention_cohorts(
             ),
         )
     )
+
+
+def decayed_activity(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+    halflife_days: float = 7.0,
+    lookback_days: int = 28,
+) -> DataFrame:
+    """Exponentially-decayed activity score per entity — the recency-
+    weighted engagement feature behind churn/propensity models.
+
+    score(u, t) = sum over u's events in [t - lookback, t] of
+    0.5 ** ((t - t_event) / halflife), evaluated at u's LAST event; one
+    row per entity: (key, last_day, decayed_score).
+
+    A true EWMA is a recurrence (state_t = a*state_{t-1} + x_t) that SQL
+    window frames can't express; the truncated form is expressible AND
+    is what you actually want at scale — the >lookback tail is below
+    2^-(lookback/halflife) and its state would otherwise be unbounded.
+    The trick: a RANGE window frame on integer day offsets (deterministic
+    under timestamp ties, unlike ROWS frames) collects the in-range event
+    days into an array, and ``F.aggregate`` folds the decay sum JVM-side
+    with the anchor row's own day in scope. Decay weights depend only on
+    day VALUES, not array order, so the float sum is stable to 6 dp
+    across engines and partitionings.
+
+    One entity-keyed window shuffle + one entity-keyed argmax window —
+    both on the same key, so Catalyst reuses the exchange. State per row
+    is bounded by the entity's events inside the lookback, not history.
+    """
+    day = F.datediff(F.col(ts_col), F.lit(epoch).cast("date"))
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("__day")
+        .rangeBetween(-int(lookback_days), 0)
+    )
+    scored = (
+        events.select(F.col(key_col), day.alias("__day"))
+        .withColumn("__days", F.collect_list("__day").over(w))
+        .withColumn(
+            "decayed_score",
+            F.round(
+                F.aggregate(
+                    "__days",
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + F.pow(
+                        F.lit(0.5),
+                        (F.col("__day") - x) / F.lit(float(halflife_days)),
+                    ),
+                ),
+                6,
+            ),
+        )
+    )
+    pick = W.partitionBy(key_col).orderBy(F.col("__day").desc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(key_col), F.col("__day").alias("last_day"), "decayed_score")
+    )

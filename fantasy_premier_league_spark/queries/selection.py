@@ -781,3 +781,204 @@ def r12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     q = T.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
     return SEL.weighted_sample(q, "doc_id", "quality", k=100)
+
+
+# --- round-5 second wave: lossless prefix filtering, communities,
+#     incremental rollup maintenance, decayed engagement features ---
+
+
+@query(
+    "r13_prefix_jaccard",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT doc_id AS id,
+                   unnest(CASE WHEN len(w) >= 3
+                               THEN list_transform(generate_series(1, len(w) - 2),
+                                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                               ELSE []::VARCHAR[] END) AS shingle
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        )
+    ),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3
+    """,
+    doc="Exact Jaccard >= 0.3 pairs via PREFIX FILTERING (All-Pairs/PPJoin "
+    "candidate generation): shingles globally ordered by document "
+    "frequency (rarest first), each doc indexed only on its first "
+    "|S| - floor(t|S|) + 1 shingles, candidates verified with exact "
+    "array_intersect against per-doc sorted shingle sets. The candidate "
+    "filter is LOSSLESS (prefix-filter lemma), so the oracle is the "
+    "NAIVE all-sharing-pairs join (q41's SQL at t=0.3) — the value-hash "
+    "proves the optimized plan returns byte-identical results while "
+    "indexing a fraction of the postings; frequent boilerplate shingles "
+    "(which sort last) leave the self-join entirely, killing the k^2 "
+    "bucket blow-up WITHOUT the recall loss of max_doc_freq blocking.",
+    tags=("dedup", "jaccard", "prefix-filter", "llm-pipeline"),
+)
+def r13_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    return D.prefix_filtered_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+
+
+_LPA_ITER = """c{t} AS (
+        SELECT e.dst AS node, l.label, count(*) AS n
+        FROM e JOIN l{p} l ON l.node = e.src GROUP BY e.dst, l.label
+    ),
+    p{t} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+            FROM c{t}
+        ) WHERE rn = 1
+    ),
+    l{t} AS (
+        SELECT n0.node, coalesce(p{t}.label, n0.node) AS label
+        FROM n0 LEFT JOIN p{t} USING (node)
+    )"""
+
+
+@query(
+    "r14_label_communities",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM li a JOIN li b ON a.g = b.g AND a.p != b.p
+    ),
+    n0 AS (SELECT DISTINCT src AS node FROM e),
+    l0 AS (SELECT node, node AS label FROM n0),
+    {_LPA_ITER.format(t=1, p=0)},
+    {_LPA_ITER.format(t=2, p=1)}
+    SELECT node::BIGINT AS node, label::BIGINT AS label FROM l2
+    """,
+    doc="Deterministic synchronous label propagation (2 rounds) over the "
+    "part co-purchase graph — community detection as the third member of "
+    "the iterative-graph family (q48 PageRank, q29/q46 connected "
+    "components, r11 triangles). Standard LPA is randomized; this is the "
+    "reproducible formulation (most-frequent in-neighbor label, ties -> "
+    "smallest), so the oracle can unroll both rounds as CTEs and "
+    "value-hash every node's label. Same fixed-point plan skeleton as "
+    "pagerank: edges shuffle once and persist, each round is one "
+    "edges x labels hash join + one partial-agg groupBy + one node-keyed "
+    "argmax window; nodes with no in-neighbors keep their label via the "
+    "persisted node set (asymmetric lists are safe).",
+    tags=("graph", "iterative", "communities"),
+)
+def r14_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import co_occurrence_edges, label_propagation
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    out = label_propagation(edges, iterations=2)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+@query(
+    "r15_incremental_rollup",
+    """
+    SELECT o_orderpriority,
+           count(o_totalprice)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(max(o_totalprice) - min(o_totalprice), 2) AS price_range
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Incrementally-maintained rollup: orders are split into a "
+    "'historical' batch (< 1998-01-01) and a 'delta' batch, each reduced "
+    "to per-priority ALGEBRAIC state (count/sum/min/max — "
+    "operators/incremental.py), and the two states are merged with a "
+    "state-sized union+groupBy; avg and range are derived at read time "
+    "(finalize). The oracle is the FULL single-pass recompute — the "
+    "value-hash proves merge(partial(A), partial(B)) == agg(A ∪ B), the "
+    "algebraic-decomposition law that makes O(|delta|) materialized-view "
+    "maintenance sound at 100 TB (history's raw rows are never "
+    "re-scanned; maintenance reads only the delta and the key-sized "
+    "state).",
+    tags=("agg", "incremental", "warehouse"),
+)
+def r15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import incremental as INC
+
+    od = load(spark, sf_dir, "orders").withColumn(
+        "__price", F.col("o_totalprice").cast("double")
+    )
+    split = F.lit("1998-01-01").cast("timestamp")
+    hist = INC.partial_aggs(
+        od.filter(F.col("o_orderdate") < split), ["o_orderpriority"], "__price"
+    )
+    delta = INC.partial_aggs(
+        od.filter(F.col("o_orderdate") >= split), ["o_orderpriority"], "__price"
+    )
+    merged = INC.finalize_aggs(INC.merge_partial_aggs(hist, delta), round_avg=4)
+    return merged.select(
+        "o_orderpriority",
+        F.col("cnt").alias("n_orders"),
+        F.round("sum_v", 2).alias("sum_price"),
+        F.round("min_v", 2).alias("min_price"),
+        F.round("max_v", 2).alias("max_price"),
+        F.col("avg_v").alias("avg_price"),
+        F.round("range_v", 2).alias("price_range"),
+    )
+
+
+@query(
+    "r16_decayed_activity",
+    """
+    WITH d AS (
+        SELECT user_id,
+               date_diff('day', TIMESTAMP '2024-01-01', ts)::INT AS day
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, day,
+               list(day) OVER (PARTITION BY user_id ORDER BY day
+                               RANGE BETWEEN 28 PRECEDING AND CURRENT ROW) AS ds
+        FROM d
+    ),
+    s AS (
+        SELECT user_id, day,
+               round(list_sum(list_transform(ds, x -> pow(0.5, (day - x) / 7.0))), 6)
+                   AS decayed_score
+        FROM w
+    )
+    SELECT user_id, day AS last_day, decayed_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+        FROM s
+    ) WHERE rn = 1
+    """,
+    doc="Exponentially-decayed activity score per user (halflife 7 days, "
+    "28-day lookback), evaluated at each user's last event — the "
+    "recency-weighted engagement feature behind churn models "
+    "(operators/sessionize.py::decayed_activity). A true EWMA is a "
+    "recurrence no SQL window expresses; the truncated form uses a RANGE "
+    "frame on integer day offsets (deterministic under timestamp ties, "
+    "unlike ROWS frames) + F.aggregate folding the decay sum JVM-side. "
+    "Weights depend only on day values, never array order, so the float "
+    "sum is engine-stable at 6 dp. Both windows share the user key — one "
+    "exchange, reused.",
+    tags=("events", "features", "window"),
+)
+def r16_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import decayed_activity
+
+    ev = load(spark, sf_dir, "events")
+    return decayed_activity(ev)

@@ -1,0 +1,196 @@
+"""Second-wave round-5 extensions: prefix-filtered Jaccard (PPJoin-style),
+deterministic label propagation, incremental aggregate maintenance, and
+decayed-activity features."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.operators.cache import release_operator_caches
+from fantasy_premier_league_spark.operators.dedup import (
+    doc_shingles,
+    ngram_jaccard_pairs,
+    prefix_filtered_jaccard_pairs,
+)
+from fantasy_premier_league_spark.operators.graph import label_propagation
+from fantasy_premier_league_spark.operators.incremental import (
+    finalize_aggs,
+    merge_partial_aggs,
+    partial_aggs,
+)
+from fantasy_premier_league_spark.operators.sessionize import decayed_activity
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestPrefixFilteredJaccard:
+    def _corpus(self, spark):
+        # shared boilerplate sentence (a high-frequency shingle run) plus
+        # genuine near-dups — exactly the shape where the naive inverted
+        # index blows up on the boilerplate and prefix filtering must not
+        # lose the true pairs.
+        boiler = "terms of service apply to all users of this site"
+        rows = [
+            (1, boiler + " alpha beta gamma delta epsilon zeta"),
+            (2, boiler + " alpha beta gamma delta epsilon eta"),
+            (3, boiler + " completely different payload words here now"),
+            (4, "an unrelated document about spark aggregation plans"),
+            (5, "an unrelated document about spark aggregation plans"),
+            (6, boiler),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+    def test_equals_naive_inverted_index(self, spark, threshold):
+        docs = self._corpus(spark)
+        try:
+            fast = _rows(
+                prefix_filtered_jaccard_pairs(docs, "doc_id", "text", threshold=threshold)
+            )
+            naive = _rows(
+                ngram_jaccard_pairs(docs, "doc_id", "text", threshold=threshold)
+            )
+            assert fast == naive and len(naive) > 0
+        finally:
+            release_operator_caches(blocking=True)
+
+    def test_prefix_index_is_smaller(self, spark):
+        docs = self._corpus(spark)
+        try:
+            full = doc_shingles(docs, "doc_id", "text", 3).count()
+            # rebuild the prefix index exactly as the operator does
+            sh = doc_shingles(docs, "doc_id", "text", 3)
+            from pyspark.sql import Window as W
+
+            freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+            t = 0.5
+            pre = (
+                sh.join(freq, "shingle")
+                .withColumn(
+                    "pos",
+                    F.row_number().over(
+                        W.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+                    ),
+                )
+                .join(sizes, "id")
+                .filter(F.col("pos") <= F.col("n") - F.floor(F.lit(t) * F.col("n")) + 1)
+                .count()
+            )
+            assert pre < full
+        finally:
+            release_operator_caches(blocking=True)
+
+    def test_empty_and_short_docs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "one two"), (3, None)], "doc_id long, text string"
+        )
+        try:
+            assert (
+                prefix_filtered_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
+                == 0
+            )
+        finally:
+            release_operator_caches(blocking=True)
+
+
+class TestLabelPropagation:
+    def test_two_triangles_with_bridge(self, spark):
+        und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src long, dst long"
+        )
+        try:
+            out = {r["node"]: r["label"] for r in label_propagation(edges, iterations=2).collect()}
+            # hand-run of 2 synchronous rounds with (count desc, label asc):
+            # round 1 -> {1:2, 2:1, 3:1, 4:3, 5:4, 6:4}
+            # round 2 -> {1:1, 2:1, 3:1, 4:4, 5:3, 6:3}
+            assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+        finally:
+            release_operator_caches(blocking=True)
+
+    def test_asymmetric_keeps_source_only_nodes(self, spark):
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        try:
+            out = {r["node"]: r["label"] for r in label_propagation(edges, iterations=3).collect()}
+            # node 1 has no in-neighbors: keeps its own label every round
+            assert out == {1: 1, 2: 1}
+        finally:
+            release_operator_caches(blocking=True)
+
+    def test_caches_released(self, spark):
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        label_propagation(edges, iterations=1).collect()
+        released = release_operator_caches(blocking=True)
+        assert released >= 2  # edge list + node set
+        assert not spark.sparkContext._jsc.getPersistentRDDs()
+
+
+class TestIncrementalAggs:
+    def _orders(self, spark, seed_rows):
+        return spark.createDataFrame(seed_rows, "k string, v double")
+
+    def test_merge_equals_full_recompute(self, spark):
+        rows = [(f"k{i % 3}", float(i * 7 % 13)) for i in range(50)]
+        df = self._orders(spark, rows)
+        a, b = df.filter("v < 6"), df.filter("v >= 6")
+        merged = _rows(
+            merge_partial_aggs(
+                partial_aggs(a, ["k"], "v"), partial_aggs(b, ["k"], "v")
+            )
+        )
+        full = _rows(partial_aggs(df, ["k"], "v"))
+        assert merged == full
+
+    def test_merge_is_associative(self, spark):
+        rows = [(f"k{i % 2}", float(i)) for i in range(30)]
+        df = self._orders(spark, rows)
+        p = [
+            partial_aggs(df.filter(f"v % 3 = {i}"), ["k"], "v") for i in range(3)
+        ]
+        flat = _rows(merge_partial_aggs(*p))
+        nested = _rows(merge_partial_aggs(merge_partial_aggs(p[0], p[1]), p[2]))
+        assert flat == nested
+
+    def test_finalize_derives_avg_and_range(self, spark):
+        df = self._orders(spark, [("a", 1.0), ("a", 3.0)])
+        out = finalize_aggs(partial_aggs(df, ["k"], "v")).collect()[0]
+        assert out["avg_v"] == 2.0 and out["range_v"] == 2.0 and out["cnt"] == 2
+
+    def test_empty_delta_is_identity(self, spark):
+        df = self._orders(spark, [("a", 1.0), ("b", 2.0)])
+        state = partial_aggs(df, ["k"], "v")
+        empty = partial_aggs(df.filter("v > 99"), ["k"], "v")
+        assert _rows(merge_partial_aggs(state, empty)) == _rows(state)
+
+
+class TestDecayedActivity:
+    def _events(self, spark, rows):
+        epoch = dt.datetime(2024, 1, 1)
+        data = [(u, epoch + dt.timedelta(days=d)) for u, d in rows]
+        return spark.createDataFrame(data, "user_id long, ts timestamp")
+
+    def test_hand_computed_decay(self, spark):
+        ev = self._events(spark, [(1, 0), (1, 7), (1, 14)])
+        out = decayed_activity(ev).collect()[0]
+        # 0.5^0 + 0.5^(7/7) + 0.5^(14/7) = 1 + 0.5 + 0.25
+        assert out["last_day"] == 14 and out["decayed_score"] == pytest.approx(1.75)
+
+    def test_lookback_truncates_old_events(self, spark):
+        ev = self._events(spark, [(1, 0), (1, 40)])
+        out = decayed_activity(ev).collect()[0]
+        assert out["last_day"] == 40 and out["decayed_score"] == 1.0
+
+    def test_same_day_ties_are_deterministic(self, spark):
+        ev = self._events(spark, [(1, 5), (1, 5)])
+        out = decayed_activity(ev).collect()[0]
+        assert out["decayed_score"] == 2.0
+
+    def test_empty_input(self, spark):
+        ev = self._events(spark, []).filter("user_id is not null")
+        assert decayed_activity(ev).count() == 0

@@ -259,3 +259,31 @@ class TestRound5ExtensionPlans:
         plan = plan_of(spark, "r08_cluster_safe_split")
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
+
+    def test_r13_prefix_filter_no_cartesian_all_jvm(self, spark):
+        # candidate generation is an equi-join on the prefix postings and
+        # verification is array_intersect codegen — no quadratic node, no
+        # Python anywhere
+        plan = plan_of(spark, "r13_prefix_jaccard")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
+
+    def test_r15_merge_is_state_sized_no_join(self, spark):
+        # algebraic maintenance: two batch partial-aggs + one state-sized
+        # merge groupBy — never a join, and no more than 3 shuffles total
+        import re
+
+        plan = plan_of(spark, "r15_incremental_rollup")
+        assert "Join" not in plan
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 3
+
+    def test_r16_decay_windows_share_one_exchange(self, spark):
+        # the RANGE-frame fold and the last-event argmax partition on the
+        # same key: exactly ONE hashpartitioning exchange, no join
+        import re
+
+        plan = plan_of(spark, "r16_decayed_activity")
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
+        assert "Join" not in plan
+        assert "Python" not in plan

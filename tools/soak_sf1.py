@@ -56,6 +56,10 @@ DATA_FACTOR = {
     "r10_retention_cohorts": 10.0,
     "r11_triangle_stats": 10.0,
     "r12_weighted_sample": 10.0,
+    "r13_prefix_jaccard": 10.0,
+    "r14_label_communities": 10.0,
+    "r15_incremental_rollup": 10.0,
+    "r16_decayed_activity": 10.0,
 }
 
 

@@ -187,3 +187,59 @@ def weighted_sample(
         "sample_key",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def frequent_keys(
+    df: DataFrame,
+    key_col: str,
+    *,
+    min_share: float = 0.001,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with count >= min_share * N) via a
+    lossless bucket prefilter — the two-pass answer to "top tokens over
+    100 TB" when the key space is too large to shuffle.
+
+    A plain ``groupBy(key).count().filter(cnt >= sN)`` shuffles one
+    partial-count record per DISTINCT key — at n-gram/token cardinality
+    that shuffle dwarfs the answer. Instead:
+
+    pass 1 — count hash BUCKETS (bounded state: ``n_buckets`` rows reach
+    the shuffle regardless of key cardinality; map-side combine does the
+    heavy lifting). Since count(key) <= count(bucket(key)), any bucket
+    below the threshold cannot contain a frequent key — dropping it is
+    LOSSLESS (the same pigeonhole that makes prefix filtering exact).
+
+    pass 2 — exact counts for keys in surviving buckets only (a semi
+    join against the tiny frequent-bucket list, broadcast), then the
+    real HAVING. False positives from bucket collisions cost only
+    second-pass work, never correctness.
+
+    Everything stays lazy: N and the threshold are 1-row aggregates
+    cross-joined as broadcasts, no driver readback. Returns
+    (key, cnt, share) with share rounded to 6 dp. Oracle: the naive
+    GROUP BY ... HAVING — the value-hash proves the two-pass plan is
+    exactly the one-pass answer.
+    """
+    keyed = df.select(F.col(key_col).alias("key")).withColumn(
+        "__bucket", portable_hash32(F.col("key").cast("string")) % n_buckets
+    )
+    total = keyed.agg(F.count(F.lit(1)).alias("__n"))
+    bucket_counts = keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bc"))
+    frequent_buckets = (
+        bucket_counts.crossJoin(F.broadcast(total))
+        .filter(F.col("__bc") >= F.lit(float(min_share)) * F.col("__n"))
+        .select("__bucket")
+    )
+    survivors = keyed.join(F.broadcast(frequent_buckets), "__bucket", "semi")
+    return (
+        survivors.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(float(min_share)) * F.col("__n"))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__n"), 6).alias("share"),
+        )
+    )

@@ -244,3 +244,94 @@ def decayed_activity(
         .filter(F.col("__rn") == 1)
         .select(F.col(key_col), F.col("__day").alias("last_day"), "decayed_score")
     )
+
+
+def rolling_zscore_outliers(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch: str = "2024-01-01",
+    lookback_days: int = 28,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags per entity: each event's value is
+    standardized against the entity's own trailing window — the
+    monitoring primitive behind spend-spike / metric-drift alerts.
+
+    Same determinism discipline as :func:`decayed_activity`: the frame
+    is a RANGE window on integer day offsets (all timestamp ties are
+    peers — a ROWS frame would make the window contents partition-order
+    dependent), and mean/stddev are frame-value functions, so the result
+    is stable across engines and partitionings at 4 dp. A window with
+    fewer than 2 observations (or zero variance) yields a null z and a
+    0 flag rather than a division blow-up.
+
+    One entity-keyed exchange; both aggregates share the single window.
+    """
+    day = F.datediff(F.col(ts_col), F.lit(epoch).cast("date"))
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("__day")
+        .rangeBetween(-int(lookback_days), 0)
+    )
+    base = events.select(
+        F.col(key_col), day.alias("__day"), F.col(value_col).alias("value")
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.when(
+        sd.isNull() | (sd == 0), F.lit(None).cast("double")
+    ).otherwise(F.round((F.col("value") - mu) / sd, 4))
+    return base.select(
+        F.col(key_col),
+        F.col("__day").alias("day"),
+        "value",
+        z.alias("zscore"),
+        F.when(F.abs(z) >= z_threshold, F.lit(1)).otherwise(F.lit(0)).alias("is_outlier"),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("event_id",),
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: P(next state | state), from lead() pairs — the path
+    model behind "what do users do after X" product analytics and
+    next-event baselines.
+
+    Ordering inside an entity is (ts, *order_cols) — the extra unique
+    tie-break columns make lead() deterministic when timestamps collide
+    (a bare ts ORDER BY silently depends on partition order). Terminal
+    events (no successor) are dropped, matching the standard estimator.
+
+    One entity-keyed window shuffle + one (state, next) groupBy; the
+    per-state totals fold in via a second small aggregation joined back
+    broadcast (states are low-cardinality).
+    """
+    w = W.partitionBy(key_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    pairs = (
+        events.withColumn("__next", F.lead(state_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(F.col(state_col).alias("from_state"), F.col("__next").alias("to_state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__t"))
+    return (
+        pairs.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n",
+            F.round(F.col("n") / F.col("__t"), round_to).alias("prob"),
+        )
+    )

@@ -982,3 +982,114 @@ def r16_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return decayed_activity(ev)
+
+
+@query(
+    "r17_frequent_tokens",
+    f"""
+    WITH t AS (
+        SELECT key FROM (SELECT unnest({_WORDS}) AS key FROM documents)
+        WHERE key != ''
+    ),
+    n AS (SELECT count(*)::BIGINT AS n FROM t)
+    SELECT key, count(*)::BIGINT AS cnt,
+           round(count(*) / (SELECT n FROM n), 6) AS share
+    FROM t GROUP BY key
+    HAVING count(*) >= 0.002 * (SELECT n FROM n)
+    """,
+    doc="EXACT heavy hitters over the token stream (share >= 0.2%) via a "
+    "lossless bucket prefilter (operators/selection.py::frequent_keys): "
+    "pass 1 counts 4096 hash buckets (bounded shuffle state regardless "
+    "of vocabulary size — count(key) <= count(bucket) makes dropping "
+    "cold buckets pigeonhole-lossless), pass 2 exact-counts only the "
+    "surviving buckets' keys. The oracle is the naive GROUP BY ... "
+    "HAVING — the value-hash proves the two-pass plan IS the one-pass "
+    "answer. At n-gram cardinality the plain groupBy shuffles a partial "
+    "count per distinct key; the prefilter caps pass-1 shuffle rows at "
+    "n_buckets per mapper.",
+    tags=("text", "frequency", "llm-pipeline"),
+)
+def r17_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import words
+    from ..operators.selection import frequent_keys
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words(F.col("text"))).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return frequent_keys(toks, "word", min_share=0.002, n_buckets=4096)
+
+
+@query(
+    "r18_rolling_outliers",
+    """
+    WITH d AS (
+        SELECT user_id,
+               date_diff('day', TIMESTAMP '2024-01-01', ts)::INT AS day,
+               value
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, day, value,
+               avg(value) OVER win AS mu,
+               stddev_samp(value) OVER win AS sd
+        FROM d
+        WINDOW win AS (PARTITION BY user_id ORDER BY day
+                       RANGE BETWEEN 28 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, value,
+           CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                ELSE round((value - mu) / sd, 4) END AS zscore,
+           CASE WHEN abs(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                              ELSE round((value - mu) / sd, 4) END) >= 2.0
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM w
+    """,
+    doc="Rolling z-score anomaly flags: each event's value standardized "
+    "against the user's own trailing 28-day window (RANGE frame on day "
+    "offsets — deterministic under timestamp ties), |z| >= 2 flagged — "
+    "the metric-drift/spend-spike monitoring primitive "
+    "(operators/sessionize.py::rolling_zscore_outliers). Windows with "
+    "<2 observations or zero variance yield null z and flag 0 instead "
+    "of dividing by zero. Both aggregates share one entity-keyed "
+    "exchange.",
+    tags=("events", "anomaly", "window"),
+)
+def r18_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import rolling_zscore_outliers
+
+    ev = load(spark, sf_dir, "events")
+    return rolling_zscore_outliers(ev)
+
+
+@query(
+    "r19_event_transitions",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS nxt
+        FROM events
+    ),
+    p AS (
+        SELECT event_type AS from_state, nxt AS to_state, count(*)::BIGINT AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_state, sum(n) AS tt FROM p GROUP BY 1)
+    SELECT from_state, to_state, n, round(n / tt, 6) AS prob
+    FROM p JOIN t USING (from_state)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (operators/sessionize.py::transition_matrix): lead() "
+    "pairs ordered by (ts, event_id) — the unique tie-break makes the "
+    "successor deterministic when timestamps collide — then P(next | "
+    "state) from pair counts over per-state totals (joined back as a "
+    "broadcast; states are low-cardinality). The 'what happens after X' "
+    "path model and next-event baseline.",
+    tags=("events", "markov", "analytics"),
+)
+def r19_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import transition_matrix
+
+    ev = load(spark, sf_dir, "events")
+    return transition_matrix(ev)

@@ -194,3 +194,121 @@ class TestDecayedActivity:
     def test_empty_input(self, spark):
         ev = self._events(spark, []).filter("user_id is not null")
         assert decayed_activity(ev).count() == 0
+
+
+class TestFrequentKeys:
+    def _keys(self, spark, counts: dict[str, int]):
+        rows = [(k,) for k, n in counts.items() for _ in range(n)]
+        return spark.createDataFrame(rows, "k string")
+
+    def test_equals_naive_group_by_having(self, spark):
+        from fantasy_premier_league_spark.operators.selection import frequent_keys
+
+        df = self._keys(spark, {"a": 50, "b": 30, "c": 15, "d": 4, "e": 1})
+        # N=100, min_share 0.1 -> keys with count >= 10
+        out = _rows(frequent_keys(df, "k", min_share=0.1, n_buckets=8))
+        naive = _rows(
+            df.groupBy(F.col("k").alias("key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter("cnt >= 10")
+            .withColumn("share", F.round(F.col("cnt") / 100.0, 6))
+        )
+        assert out == naive and len(out) == 3
+
+    def test_bucket_collisions_stay_lossless(self, spark):
+        from fantasy_premier_league_spark.operators.selection import frequent_keys
+
+        # n_buckets=1 forces every key into one hot bucket: the prefilter
+        # keeps everything and the second pass must still be exact
+        df = self._keys(spark, {"x": 9, "y": 2, "z": 1})
+        out = _rows(frequent_keys(df, "k", min_share=0.5, n_buckets=1))
+        assert [(r[0], r[1]) for r in out] == [("x", 9)]
+
+    def test_empty_input(self, spark):
+        from fantasy_premier_league_spark.operators.selection import frequent_keys
+
+        df = self._keys(spark, {"a": 1}).filter("k = 'nope'")
+        assert frequent_keys(df, "k", min_share=0.5).count() == 0
+
+
+class TestRollingZscore:
+    def _ev(self, spark, rows):
+        epoch = dt.datetime(2024, 1, 1)
+        data = [(u, epoch + dt.timedelta(days=d), v) for u, d, v in rows]
+        return spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+
+    def test_hand_computed_z(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import (
+            rolling_zscore_outliers,
+        )
+
+        ev = self._ev(spark, [(1, 0, 1.0), (1, 1, 3.0)])
+        out = {r["day"]: r for r in rolling_zscore_outliers(ev).collect()}
+        # day 1 window = {1,3}: mu=2, sd=sqrt(2) -> z = 1/sqrt(2) = 0.7071
+        assert out[1]["zscore"] == pytest.approx(0.7071)
+        assert out[1]["is_outlier"] == 0
+        # singleton window: stddev_samp undefined -> null z, flag 0
+        assert out[0]["zscore"] is None and out[0]["is_outlier"] == 0
+
+    def test_zero_variance_yields_null_not_inf(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import (
+            rolling_zscore_outliers,
+        )
+
+        ev = self._ev(spark, [(1, 0, 5.0), (1, 1, 5.0), (1, 2, 5.0)])
+        assert all(
+            r["zscore"] is None and r["is_outlier"] == 0
+            for r in rolling_zscore_outliers(ev).collect()
+        )
+
+    def test_outlier_flagged_beyond_threshold(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import (
+            rolling_zscore_outliers,
+        )
+
+        base = [(1, d, 10.0 + (d % 2)) for d in range(10)]
+        ev = self._ev(spark, base + [(1, 10, 100.0)])
+        out = {r["day"]: r for r in rolling_zscore_outliers(ev).collect()}
+        assert out[10]["is_outlier"] == 1
+
+
+class TestTransitionMatrix:
+    def test_hand_sequence(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import transition_matrix
+
+        epoch = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, epoch + dt.timedelta(minutes=i), s, i)
+            for i, s in enumerate(["A", "B", "A", "C"])
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string, event_id long"
+        )
+        out = {
+            (r["from_state"], r["to_state"]): (r["n"], r["prob"])
+            for r in transition_matrix(ev).collect()
+        }
+        assert out == {("A", "B"): (1, 0.5), ("A", "C"): (1, 0.5), ("B", "A"): (1, 1.0)}
+
+    def test_timestamp_ties_break_on_event_id(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import transition_matrix
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(1, t0, "A", 2), (1, t0, "B", 1)],
+            "user_id long, ts timestamp, event_type string, event_id long",
+        )
+        out = [
+            (r["from_state"], r["to_state"]) for r in transition_matrix(ev).collect()
+        ]
+        assert out == [("B", "A")]  # event_id order, not insertion order
+
+    def test_single_event_users_drop_out(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import transition_matrix
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(1, t0, "A", 1)],
+            "user_id long, ts timestamp, event_type string, event_id long",
+        )
+        assert transition_matrix(ev).count() == 0

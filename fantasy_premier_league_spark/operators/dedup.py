@@ -782,6 +782,14 @@ def prefix_filtered_jaccard_pairs(
     Scale: the index shrinks by the prefix ratio (~1-t), and high-
     frequency shingles leave the join entirely — the same failure mode
     _cap_band_buckets guards in LSH, solved here WITHOUT losing recall.
+    A lossless length filter (t|A| <= |B| <= |A|/t) prunes size-
+    incompatible candidates at the join. Measured trade (SCALE.md): on
+    a UNIFORM corpus the naive join wins ~3-5x (verification hauls
+    per-doc shingle arrays; the posting join was never in danger), but
+    one 16k-doc boilerplate header drives the naive join to 1.3e9
+    candidate rows (560s) while this plan is unchanged (13s) — use the
+    naive form when posting lists are known-bounded, this form when the
+    corpus can contain boilerplate (i.e., always, at web scale).
     Shuffles: shingle-frequency agg, per-doc window (id-keyed), the
     prefix self-join (shingle-keyed), candidate distinct, and two
     id-keyed joins against the docs-sized array table.
@@ -808,13 +816,18 @@ def prefix_filtered_jaccard_pairs(
         )
         .join(sizes, "id")
         .filter(F.col("__pos") <= prefix_len)
-        .select("id", "shingle")
+        .select("id", "shingle", "n_shingles")
     )
+    # length filter (also lossless): J >= t forces t|A| <= |B| <= |A|/t,
+    # so size-incompatible pairs never reach verification
     cand = (
         pre.alias("a")
         .join(
             pre.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n_shingles") >= F.lit(float(threshold)) * F.col("a.n_shingles"))
+            & (F.col("b.n_shingles") * F.lit(float(threshold)) <= F.col("a.n_shingles")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

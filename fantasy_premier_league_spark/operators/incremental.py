@@ -75,3 +75,49 @@ def finalize_aggs(state: DataFrame, *, round_avg: int = 6) -> DataFrame:
         F.round(F.col("sum_v") / F.col("cnt"), round_avg).alias("avg_v"),
         (F.col("max_v") - F.col("min_v")).alias("range_v"),
     )
+
+
+def partial_distinct_state(
+    df: DataFrame, keys: list[str], value_col: str, *, lg_k: int = 12
+) -> DataFrame:
+    """Per-key mergeable DISTINCT-COUNT state (Apache DataSketches HLL via
+    ``hll_sketch_agg``) — the non-trivial member of the incremental
+    family: count/sum/min/max merge with arithmetic, COUNT DISTINCT does
+    not (|A ∪ B| != |A| + |B|), so an incrementally-maintained distinct
+    requires a sketch whose union is exact over its register state.
+
+    Binary sketch column ``hll_v`` is 2^lg_k registers (~4 KB at the
+    default): per-key state is constant-size no matter how many raw rows
+    fold in. Same one-shuffle shape as :func:`partial_aggs`.
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(int(lg_k))).alias("hll_v"),
+        F.count(value_col).alias("cnt"),
+    )
+
+
+def merge_distinct_state(*parts: DataFrame) -> DataFrame:
+    """Combine distinct-count states by key: HLL register union (exact —
+    union(sketch(A), sketch(B)) has the SAME registers as sketch(A ∪ B),
+    so estimates after any merge tree are identical, not just close) and
+    row counts add. State-sized union + groupBy, like merge_partial_aggs.
+    """
+    if not parts:
+        raise ValueError("merge_distinct_state needs at least one partial frame")
+    keys = [c for c in parts[0].columns if c not in ("hll_v", "cnt")]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    return unioned.groupBy(*keys).agg(
+        F.hll_union_agg("hll_v").alias("hll_v"),
+        F.sum("cnt").alias("cnt"),
+    )
+
+
+def estimate_distinct(state: DataFrame) -> DataFrame:
+    """Read-time estimate from merged state: (keys..., cnt,
+    approx_distinct). Relative error ~1.04/sqrt(2^lg_k) (~1.6% at the
+    default lg_k=12)."""
+    return state.select(
+        *[c for c in state.columns if c not in ("hll_v", "cnt")],
+        "cnt",
+        F.hll_sketch_estimate("hll_v").alias("approx_distinct"),
+    )

@@ -313,8 +313,9 @@ def transition_matrix(
     events (no successor) are dropped, matching the standard estimator.
 
     One entity-keyed window shuffle + one (state, next) groupBy; the
-    per-state totals fold in via a second small aggregation joined back
-    broadcast (states are low-cardinality).
+    per-state totals fold in via a window sum over the tiny pair-count
+    frame (a join against a separate totals aggregate would re-evaluate
+    the unpersisted pairs subtree and double every upstream shuffle).
     """
     w = W.partitionBy(key_col).orderBy(
         F.col(ts_col), *[F.col(c) for c in order_cols]
@@ -325,13 +326,13 @@ def transition_matrix(
         .groupBy(F.col(state_col).alias("from_state"), F.col("__next").alias("to_state"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__t"))
-    return (
-        pairs.join(F.broadcast(totals), "from_state")
-        .select(
-            "from_state",
-            "to_state",
-            "n",
-            F.round(F.col("n") / F.col("__t"), round_to).alias("prob"),
-        )
+    # per-state totals as a window over the (state, next) counts — NOT a
+    # separate aggregate joined back, which would evaluate the whole
+    # pairs subtree twice (no persist) and double every upstream shuffle
+    total = F.sum("n").over(W.partitionBy("from_state"))
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / total, round_to).alias("prob"),
     )

@@ -1093,3 +1093,34 @@ def r19_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return transition_matrix(ev)
+
+
+@query(
+    "r20_incremental_distinct",
+    None,  # DataSketches HLL state is engine-specific — rows-only by design,
+    # like q69; the exactness law (merge(sketch(A), sketch(B)) ==
+    # sketch(A ∪ B), register-for-register) is pinned by pytest instead
+    doc="Incrementally-maintained APPROX COUNT DISTINCT: per-priority "
+    "buyer counts kept as mergeable HLL sketch state "
+    "(operators/incremental.py::partial_distinct_state) over the same "
+    "historical/delta split as r15 — distinct is the aggregate the "
+    "algebraic family can't do with arithmetic (|A ∪ B| != |A|+|B|), so "
+    "the 100 TB form is a ~4 KB-per-key register union instead of a "
+    "re-scan. Sketch union is deterministic and register-exact, so "
+    "maintenance order never changes the estimate (pytest-pinned).",
+    tags=("agg", "incremental", "sketch"),
+)
+def r20_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import incremental as INC
+
+    od = load(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    hist = INC.partial_distinct_state(
+        od.filter(F.col("o_orderdate") < split), ["o_orderpriority"], "o_custkey"
+    )
+    delta = INC.partial_distinct_state(
+        od.filter(F.col("o_orderdate") >= split), ["o_orderpriority"], "o_custkey"
+    )
+    return INC.estimate_distinct(INC.merge_distinct_state(hist, delta)).orderBy(
+        "o_orderpriority"
+    )

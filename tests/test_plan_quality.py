@@ -287,3 +287,34 @@ class TestRound5ExtensionPlans:
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
         assert "Join" not in plan
         assert "Python" not in plan
+
+    def test_r17_prefilter_two_shuffles_broadcast_semi(self, spark):
+        # pass 1 (bucket counts) + pass 2 (surviving keys) are the only
+        # exchanges; the frequent-bucket list reaches the stream as a
+        # broadcast semi join, never a shuffle
+        import re
+
+        plan = plan_of(spark, "r17_frequent_tokens")
+        assert "LeftSemi" in plan
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 2
+        assert "SortMergeJoin" not in plan
+        assert "Python" not in plan
+
+    def test_r19_transitions_single_subtree(self, spark):
+        # per-state totals are a window sum over the pair counts — a
+        # totals-aggregate join would re-evaluate the pairs subtree and
+        # double the upstream shuffles (3 exchanges, not 5)
+        import re
+
+        plan = plan_of(spark, "r19_event_transitions")
+        assert "Join" not in plan
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 3
+
+    def test_r20_distinct_state_no_raw_rescan(self, spark):
+        # maintenance = two batch sketch-aggs + one state-sized merge;
+        # no join anywhere
+        import re
+
+        plan = plan_of(spark, "r20_incremental_distinct")
+        assert "Join" not in plan
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 3

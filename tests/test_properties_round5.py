@@ -74,3 +74,46 @@ class TestTokenSetRatioProperties:
         # (the intersection equals one side entirely)
         subset = ws[: min(k, len(ws))]
         assert token_set_ratio(" ".join(subset), " ".join(ws)) == 100.0
+
+
+class TestPrefixFilterLemma:
+    """The lossless claim of prefix_filtered_jaccard_pairs, attacked with
+    random corpora: every pair at/above the Jaccard threshold MUST share
+    a token inside both prefixes (same global order, same float-floor
+    prefix length, same length filter as the Spark operator) — including
+    the t*|S|-exactly-integer edge cases fixed examples miss."""
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+            min_size=2,
+            max_size=8,
+        ),
+        threshold=st.sampled_from([0.2, 0.25, 1 / 3, 0.5, 2 / 3, 0.75, 0.8]),
+    )
+    def test_true_pairs_always_survive_candidate_generation(self, corpus, threshold):
+        import math
+        from collections import Counter
+
+        df = Counter(tok for s in corpus for tok in s)
+        order = lambda tok: (df[tok], tok)
+
+        def prefix(s):
+            n = len(s)
+            plen = n - math.floor(threshold * n) + 1
+            return set(sorted(s, key=order)[: max(plen, 0)])
+
+        for i in range(len(corpus)):
+            for j in range(i + 1, len(corpus)):
+                a, b = corpus[i], corpus[j]
+                inter = len(a & b)
+                jac = inter / len(a | b)
+                if jac >= threshold:
+                    # length filter must not reject a true pair
+                    la, lb = len(a), len(b)
+                    assert threshold * la <= lb and threshold * lb <= la
+                    # prefix collision must exist (the pigeonhole lemma)
+                    assert prefix(a) & prefix(b), (
+                        f"true pair lost: {a} {b} jac={jac} t={threshold}"
+                    )

@@ -312,3 +312,50 @@ class TestTransitionMatrix:
             "user_id long, ts timestamp, event_type string, event_id long",
         )
         assert transition_matrix(ev).count() == 0
+
+
+class TestIncrementalDistinct:
+    def _df(self, spark):
+        rows = [(f"k{i % 2}", i % 37) for i in range(400)]
+        return spark.createDataFrame(rows, "k string, v long")
+
+    def test_merge_equals_single_pass_exactly(self, spark):
+        from fantasy_premier_league_spark.operators.incremental import (
+            estimate_distinct,
+            merge_distinct_state,
+            partial_distinct_state,
+        )
+
+        df = self._df(spark)
+        parts = [
+            partial_distinct_state(df.filter(f"v % 3 = {i}"), ["k"], "v")
+            for i in range(3)
+        ]
+        merged = _rows(estimate_distinct(merge_distinct_state(*parts)))
+        single = _rows(estimate_distinct(partial_distinct_state(df, ["k"], "v")))
+        assert merged == single  # register-exact union, not just "close"
+
+    def test_estimate_close_to_exact(self, spark):
+        from fantasy_premier_league_spark.operators.incremental import (
+            estimate_distinct,
+            partial_distinct_state,
+        )
+
+        rows = [("k", i) for i in range(5000)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        est = estimate_distinct(partial_distinct_state(df, ["k"], "v")).collect()[0]
+        assert abs(est["approx_distinct"] - 5000) / 5000 < 0.05
+        assert est["cnt"] == 5000
+
+    def test_merge_tree_order_invariant(self, spark):
+        from fantasy_premier_league_spark.operators.incremental import (
+            estimate_distinct,
+            merge_distinct_state,
+            partial_distinct_state,
+        )
+
+        df = self._df(spark)
+        a, b, c = (partial_distinct_state(df.filter(f"v % 3 = {i}"), ["k"], "v") for i in range(3))
+        left = _rows(estimate_distinct(merge_distinct_state(merge_distinct_state(a, b), c)))
+        right = _rows(estimate_distinct(merge_distinct_state(a, merge_distinct_state(b, c))))
+        assert left == right

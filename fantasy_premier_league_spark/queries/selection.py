@@ -1124,3 +1124,100 @@ def r20_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return INC.estimate_distinct(INC.merge_distinct_state(hist, delta)).orderBy(
         "o_orderpriority"
     )
+
+
+@query(
+    "r21_ab_conversion_test",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               ('0x' || substr(md5('exp1' || user_id::VARCHAR), 1, 8))::BIGINT % 2 AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS conv
+        FROM pu GROUP BY arm
+    ),
+    r AS (
+        SELECT a.n AS n_control, a.conv AS conv_control,
+               b.n AS n_treat, b.conv AS conv_treat
+        FROM (SELECT n, conv FROM arms WHERE arm = 0) a
+        CROSS JOIN (SELECT n, conv FROM arms WHERE arm = 1) b
+    ),
+    s AS (
+        SELECT *, sqrt(p * (1 - p) * (1.0 / n_control + 1.0 / n_treat)) AS se
+        FROM (SELECT *,
+                     (conv_control + conv_treat)::DOUBLE / (n_control + n_treat) AS p
+              FROM r)
+    ),
+    z AS (
+        SELECT *, CASE WHEN se > 0
+                       THEN round((conv_treat::DOUBLE / n_treat
+                                   - conv_control::DOUBLE / n_control) / se, 4)
+                       ELSE NULL END AS zstat
+        FROM s
+    )
+    SELECT n_control, conv_control,
+           round(conv_control::DOUBLE / n_control, 6) AS rate_control,
+           n_treat, conv_treat,
+           round(conv_treat::DOUBLE / n_treat, 6) AS rate_treat,
+           zstat,
+           CASE WHEN abs(zstat) >= 1.96 THEN 1 ELSE 0 END AS significant
+    FROM z
+    """,
+    doc="A/B conversion analysis end-to-end in-engine: deterministic "
+    "portable-hash arm assignment (operators/experiment.py::assign_arm "
+    "— md5-salted, replayable in any engine, no assignment table to "
+    "join), per-user conversion flags (one event-log aggregate), and "
+    "the two-proportion z-test in closed form over the 2-row arm table "
+    "(operators/experiment.py::ab_conversion_ztest). Degenerate pools "
+    "yield null z and flag 0. The event log is scanned exactly once.",
+    tags=("events", "experiment", "analytics"),
+)
+def r21_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.experiment import ab_conversion_ztest, assign_arm
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        ).alias("converted")
+    ).withColumn("arm", assign_arm(F.col("user_id")))
+    return ab_conversion_ztest(per_user)
+
+
+@query(
+    "r22_growth_accounting",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', TIMESTAMP '2024-01-01', ts)::INT AS day
+        FROM events
+    ),
+    f AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS fd FROM ud),
+    d AS (
+        SELECT day, count(*)::BIGINT AS active_users,
+               sum((day = fd)::INT)::BIGINT AS new_users
+        FROM f GROUP BY day
+    )
+    SELECT day, active_users, new_users,
+           active_users - new_users AS returning_users,
+           sum(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cumulative_users
+    FROM d
+    """,
+    doc="Daily growth accounting (operators/experiment.py::"
+    "growth_accounting): active users per day, new vs returning split "
+    "via a first-seen window flag, and the cumulative user curve — the "
+    "DAU decomposition behind every growth dashboard. The cumulative "
+    "running sum is a single-partition window ONLY over the days-sized "
+    "daily frame (bounded by the calendar, never by users or events).",
+    tags=("events", "growth", "analytics"),
+)
+def r22_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.experiment import growth_accounting
+
+    ev = load(spark, sf_dir, "events")
+    return growth_accounting(ev)

@@ -359,3 +359,60 @@ class TestIncrementalDistinct:
         left = _rows(estimate_distinct(merge_distinct_state(merge_distinct_state(a, b), c)))
         right = _rows(estimate_distinct(merge_distinct_state(a, merge_distinct_state(b, c))))
         assert left == right
+
+
+class TestExperimentOps:
+    def test_ztest_hand_computed(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            ab_conversion_ztest,
+        )
+
+        rows = [(0, 1 if i < 10 else 0) for i in range(100)] + [
+            (1, 1 if i < 20 else 0) for i in range(100)
+        ]
+        pu = spark.createDataFrame(rows, "arm int, converted int")
+        out = ab_conversion_ztest(pu).collect()[0]
+        # p=0.15 pooled, se=sqrt(.1275*.02)=0.0504975 -> z = .1/se = 1.9803
+        assert out["zstat"] == pytest.approx(1.9803)
+        assert out["significant"] == 1
+        assert out["rate_control"] == 0.1 and out["rate_treat"] == 0.2
+
+    def test_ztest_degenerate_zero_rate(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            ab_conversion_ztest,
+        )
+
+        pu = spark.createDataFrame(
+            [(0, 0)] * 5 + [(1, 0)] * 5, "arm int, converted int"
+        )
+        out = ab_conversion_ztest(pu).collect()[0]
+        assert out["zstat"] is None and out["significant"] == 0
+
+    def test_assign_arm_deterministic_and_binary(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import assign_arm
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "user_id long")
+        a1 = df.select("user_id", assign_arm(F.col("user_id")).alias("arm"))
+        a2 = df.select("user_id", assign_arm(F.col("user_id")).alias("arm"))
+        assert _rows(a1) == _rows(a2)
+        arms = {r["arm"] for r in a1.collect()}
+        assert arms == {0, 1}
+
+    def test_growth_accounting_hand_data(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            growth_accounting,
+        )
+
+        epoch = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (1, epoch),
+                (1, epoch + dt.timedelta(days=1)),
+                (1, epoch + dt.timedelta(days=1, hours=2)),  # same day dup
+                (2, epoch + dt.timedelta(days=1)),
+            ],
+            "user_id long, ts timestamp",
+        )
+        out = {r["day"]: r for r in growth_accounting(ev).collect()}
+        assert (out[0]["active_users"], out[0]["new_users"], out[0]["returning_users"], out[0]["cumulative_users"]) == (1, 1, 0, 1)
+        assert (out[1]["active_users"], out[1]["new_users"], out[1]["returning_users"], out[1]["cumulative_users"]) == (2, 1, 1, 2)

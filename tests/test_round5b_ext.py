@@ -416,3 +416,28 @@ class TestExperimentOps:
         out = {r["day"]: r for r in growth_accounting(ev).collect()}
         assert (out[0]["active_users"], out[0]["new_users"], out[0]["returning_users"], out[0]["cumulative_users"]) == (1, 1, 0, 1)
         assert (out[1]["active_users"], out[1]["new_users"], out[1]["returning_users"], out[1]["cumulative_users"]) == (2, 1, 1, 2)
+
+
+class TestEmptyInputsSecondWave:
+    def test_label_propagation_empty_edges(self, spark):
+        edges = spark.createDataFrame([], "src long, dst long")
+        try:
+            assert label_propagation(edges, iterations=2).count() == 0
+        finally:
+            release_operator_caches(blocking=True)
+
+    def test_growth_accounting_empty(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            growth_accounting,
+        )
+
+        ev = spark.createDataFrame([], "user_id long, ts timestamp")
+        assert growth_accounting(ev).count() == 0
+
+    def test_rolling_zscore_empty(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import (
+            rolling_zscore_outliers,
+        )
+
+        ev = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+        assert rolling_zscore_outliers(ev).count() == 0

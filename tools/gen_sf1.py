@@ -67,6 +67,24 @@ def gen_events(con: duckdb.DuckDBPyConnection) -> None:
     )
 
 
+def gen_orders(con: duckdb.DuckDBPyConnection) -> None:
+    """orders tiled 10x with per-tile key offsets and a per-tile +3 day
+    date stagger — keeps the priority mix and the historical/delta date
+    split shape for the incremental-maintenance soaks (r15/r20)."""
+    con.execute(
+        f"""
+        COPY (
+            SELECT o_orderkey + t.i * 150000 AS o_orderkey,
+                   o_custkey + (t.i % 5) * 15000 AS o_custkey,
+                   o_orderstatus, o_totalprice,
+                   o_orderdate + INTERVAL (t.i * 3) DAY AS o_orderdate,
+                   o_orderpriority
+            FROM '{SRC}/orders.parquet', (SELECT unnest(generate_series(0, 9)) AS i) t
+        ) TO '{OUT}/orders.parquet' (FORMAT parquet)
+        """
+    )
+
+
 def gen_documents(rng: np.random.Generator) -> None:
     src = duckdb.sql(
         f"SELECT text, len(string_split(text, ' ')) AS n_words FROM '{SRC}/documents.parquet'"
@@ -136,9 +154,10 @@ def main() -> None:
     con = duckdb.connect()
     gen_lineitem(con)
     gen_events(con)
+    gen_orders(con)
     gen_documents(rng)
     gen_embeddings(rng)
-    for t in ("lineitem", "events", "documents", "embeddings"):
+    for t in ("lineitem", "events", "orders", "documents", "embeddings"):
         n = duckdb.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows", file=sys.stderr)
 

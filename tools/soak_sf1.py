@@ -60,6 +60,12 @@ DATA_FACTOR = {
     "r14_label_communities": 10.0,
     "r15_incremental_rollup": 10.0,
     "r16_decayed_activity": 10.0,
+    "r17_frequent_tokens": 10.0,
+    "r18_rolling_outliers": 10.0,
+    "r19_event_transitions": 10.0,
+    "r20_incremental_distinct": 10.0,
+    "r21_ab_conversion_test": 10.0,
+    "r22_growth_accounting": 10.0,
 }
 
 

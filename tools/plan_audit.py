@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Physical-plan audit over the whole query inventory.
+
+For every registered query, compile (never execute) the plan at the
+given sf dir and tabulate the properties the 100 TB arguments rest on:
+shuffle count, join strategies, Python nodes, and cartesian products
+(codegen is decided at execution under AQE, so it is not tabulated
+here — test_plan_quality pins it where it matters). Writes PLANS.md (markdown table) so plan
+regressions are reviewable in diffs, and exits non-zero if any query
+acquires a CartesianProduct or a Python node outside the known set.
+
+Usage: python tools/plan_audit.py [sf_dir] [--write]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fantasy_premier_league_spark.queries import all_queries
+from fantasy_premier_league_spark.session import get_spark
+
+#: queries whose plan legitimately contains a Python node (the one pandas
+#: UDF family and the mapInPandas scans) — anything else is a regression
+KNOWN_PYTHON = {
+    "q26_pq_topk",  # ADC scan: mapInPandas over the encoded corpus
+    "q51_cosine_topk_block",  # blocked-BLAS pair grid: applyInPandas
+    "q61_multimodal_features",  # image decode UDF stage
+    "q80_frame_samples",  # frame-sampling UDF stage
+}
+
+
+def audit(sf_dir: str) -> tuple[list[dict], list[str]]:
+    spark = get_spark("plan-audit")
+    rows, violations = [], []
+    for name, q in sorted(all_queries().items()):
+        try:
+            plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover - audit robustness
+            violations.append(f"{name}: plan build failed: {e}")
+            continue
+        row = {
+            "query": name,
+            "exchanges": len(re.findall(r"Exchange (hash|range|SinglePartition)", plan)),
+            "bhj": plan.count("BroadcastHashJoin"),
+            "smj": plan.count("SortMergeJoin"),
+            "bnlj": plan.count("BroadcastNestedLoopJoin"),
+            "cartesian": plan.count("CartesianProduct"),
+            "python": int("Python" in plan or "ArrowEval" in plan or "MapInPandas" in plan),
+        }
+        rows.append(row)
+        if row["cartesian"]:
+            violations.append(f"{name}: CartesianProduct in plan")
+        if row["python"] and name not in KNOWN_PYTHON:
+            violations.append(f"{name}: unexpected Python node")
+    return rows, violations
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.001"
+    rows, violations = audit(sf_dir)
+    header = "| query | exchanges | BHJ | SMJ | BNLJ | python |"
+    lines = [
+        "# PLANS — physical-plan audit of the query inventory",
+        "",
+        f"Compiled (not executed) at `{sf_dir}`. Regenerate: "
+        "`python tools/plan_audit.py [sf_dir] --write`. BHJ/SMJ/BNLJ = "
+        "broadcast-hash / sort-merge / broadcast-nested-loop join counts; "
+        "`python` marks the four documented Arrow-UDF stages (PQ ADC scan, "
+        "blocked-BLAS pair grid, multimodal decode, frame sampling). "
+        "CartesianProduct anywhere fails the audit.",
+        "",
+        header,
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['query']} | {r['exchanges']} | {r['bhj']} | {r['smj']} | "
+            f"{r['bnlj']} | {'yes' if r['python'] else ''} |"
+        )
+    out = "\n".join(lines) + "\n"
+    if "--write" in sys.argv:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+        with open(path, "w") as f:
+            f.write(out)
+        print(f"wrote {path} ({len(rows)} queries)", file=sys.stderr)
+    else:
+        print(out)
+    for v in violations:
+        print(f"VIOLATION: {v}", file=sys.stderr)
+    sys.exit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -165,3 +165,46 @@ def tag_columns(df: DataFrame, *, col: str, max_tags: int = 64, prefix: str = "t
         "*", *[F.array_contains("__tags", t).cast("int").alias(f"{prefix}{t.replace(' ', '_')}") for t in vocab]
     ).drop("__tags")
     return out, vocab
+
+
+def loo_target_encode(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    target_col: str,
+    out_col: str = "loo_enc",
+    round_to: int = 4,
+    decimal_type: str | None = None,
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical is encoded
+    as the mean target of its group EXCLUDING the row itself —
+    (group_sum - own) / (group_cnt - 1) — the leakage-safe form of mean
+    encoding (plain group-mean lets every row see its own label; LOO is
+    the standard fix short of full fold splits, cf. ml/splits.py for
+    the fold machinery).
+
+    One category-keyed window computes both group sum and count — no
+    join, no second scan. Singleton groups have no leave-one-out sample
+    and encode as null (callers impute downstream).
+
+    ``decimal_type`` (e.g. "decimal(18,2)") accumulates the group sum in
+    EXACT decimal instead of float: a double sum over a large group
+    carries ~n*eps*|sum| error that depends on partition order, so two
+    engines (or two partitionings of the same engine) can disagree at
+    the rounding boundary — fixed-point money columns should always sum
+    in decimal. The decimal sum converts back to double exactly (cents
+    fit in 2^53) before the division.
+    """
+    w = W.partitionBy(cat_col)
+    t = (
+        F.col(target_col).cast(decimal_type)
+        if decimal_type
+        else F.col(target_col)
+    )
+    gsum = F.sum(t).over(w).cast("double")
+    own = t.cast("double")
+    gcnt = F.count(t).over(w)
+    enc = F.when(
+        gcnt > 1, F.round((gsum - own) / (gcnt - 1), round_to)
+    ).otherwise(F.lit(None).cast("double"))
+    return df.withColumn(out_col, enc)

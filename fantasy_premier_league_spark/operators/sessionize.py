@@ -336,3 +336,56 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / total, round_to).alias("prob"),
     )
+
+
+def calendar_fill(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Dense-calendar gap fill with forward carry: one row per (entity,
+    day) between the entity's first and last activity, daily totals
+    where observed, and the last observed total carried forward across
+    gap days — the resampling step every time-series feature pipeline
+    needs before window math, where a missing day must mean "carried
+    state", not "absent row".
+
+    Plan: one (entity, day) aggregate; one entity-sized min/max agg
+    whose ``sequence()`` explodes into the day spine (fan-out bounded by
+    the calendar span, generated — never shuffled in); a 1:1 left join
+    spine x daily on the composite key; and one entity-keyed ffill
+    window (``last(ignorenulls=True)`` over an unbounded-preceding ROWS
+    frame — safe here because (entity, day) is unique by construction,
+    the one place a ROWS frame is deterministic). Spine and daily share
+    the entity key, so AQE coalesces onto one exchange family.
+
+    Returns (key, day, daily_sum, observed, filled); sums rounded to
+    6 dp before the carry so both engines carry identical values.
+    """
+    day = F.datediff(F.col(ts_col), F.lit(epoch).cast("date"))
+    daily = (
+        events.select(F.col(key_col), day.alias("day"), F.col(value_col).alias("v"))
+        .groupBy(key_col, "day")
+        .agg(F.round(F.sum("v"), 6).alias("daily_sum"))
+    )
+    spine = (
+        daily.groupBy(key_col)
+        .agg(F.min("day").alias("__mn"), F.max("day").alias("__mx"))
+        .select(F.col(key_col), F.explode(F.sequence("__mn", "__mx")).alias("day"))
+    )
+    joined = spine.join(daily, [key_col, "day"], "left")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col(key_col),
+        "day",
+        "daily_sum",
+        F.col("daily_sum").isNotNull().cast("int").alias("observed"),
+        F.last("daily_sum", ignorenulls=True).over(w).alias("filled"),
+    )

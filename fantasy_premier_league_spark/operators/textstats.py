@@ -185,3 +185,74 @@ def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_ws.cast("long").alias("n_ws_tokens"),
         F.round(n_bpe / n_ws, 6).alias("fertility"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    word pairs — the classic "significant phrase" miner (PMI =
+    ln(p(ab) / (p(a)·p(b))), Church & Hanks 1990) a curation pipeline
+    uses to find multi-word expressions worth preserving in tokenization.
+
+    All state is vocabulary-sized: one bigram count aggregate, one
+    unigram count aggregate, two word-keyed joins to attach marginals,
+    and the scalar totals cross-joined as 1-row broadcasts. min_count
+    suppresses the low-frequency pairs whose PMI explodes (the standard
+    instability). The final top-k is a TakeOrdered under a TOTAL order
+    (pmi desc, then the pair) so the limit is deterministic; ln() is
+    applied to exact count ratios and rounded to 6 dp for cross-engine
+    stability.
+
+    Returns (w1, w2, n_pair, pmi), k rows.
+    """
+    from .dedup import words
+
+    w = words(F.col(text_col))
+    toks = df.select(F.explode(w).alias("word")).filter(F.col("word") != "")
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    n_tok = toks.agg(F.count(F.lit(1)).alias("__nt"))
+    arr = df.select(w.alias("__w")).select(
+        F.filter(F.col("__w"), lambda x: x != "").alias("__w")
+    )
+    length = F.greatest(F.size("__w") - 1, F.lit(0))
+    pairs = (
+        arr.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__w", 1, length).alias("w1"),
+                    F.slice("__w", 2, length).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    n_big = pairs.agg(F.count(F.lit(1)).alias("__nb"))
+    scored = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(uni.withColumnsRenamed({"word": "w1", "n_w": "n_w1"}), "w1")
+        .join(uni.withColumnsRenamed({"word": "w2", "n_w": "n_w2"}), "w2")
+        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(n_tok))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("__nb"))
+                    / ((F.col("n_w1") / F.col("__nt")) * (F.col("n_w2") / F.col("__nt")))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "n_pair", "pmi")
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

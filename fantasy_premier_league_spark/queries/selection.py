@@ -1221,3 +1221,136 @@ def r22_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return growth_accounting(ev)
+
+
+@query(
+    "r23_calendar_fill",
+    """
+    WITH d AS (
+        SELECT user_id,
+               date_diff('day', TIMESTAMP '2024-01-01', ts)::INT AS day,
+               value
+        FROM events
+    ),
+    daily AS (
+        SELECT user_id, day, round(sum(value), 6) AS daily_sum
+        FROM d GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+    spine AS (
+        SELECT user_id, unnest(generate_series(mn, mx))::INT AS day FROM b
+    ),
+    j AS (
+        SELECT s.user_id, s.day, daily.daily_sum
+        FROM spine s LEFT JOIN daily USING (user_id, day)
+    )
+    SELECT user_id, day, daily_sum,
+           (daily_sum IS NOT NULL)::INT AS observed,
+           last_value(daily_sum IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM j
+    """,
+    doc="Dense-calendar resampling with forward carry "
+    "(operators/sessionize.py::calendar_fill): one row per (user, day) "
+    "across each user's active span — daily totals where observed, the "
+    "last observed total carried across gap days via "
+    "last(ignorenulls=True) over the one place a ROWS frame is "
+    "deterministic ((user, day) is unique by construction). The spine "
+    "is GENERATED per entity with sequence()/explode — calendar-bounded "
+    "fan-out, nothing corpus-sized shuffles in.",
+    tags=("events", "timeseries", "window"),
+)
+def r23_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import calendar_fill
+
+    ev = load(spark, sf_dir, "events")
+    return calendar_fill(ev)
+
+
+@query(
+    "r24_pmi_collocations",
+    f"""
+    WITH tw AS (
+        SELECT list_filter({_WORDS}, x -> x != '') AS w FROM documents
+    ),
+    toks AS (SELECT unnest(w) AS word FROM tw),
+    uni AS (SELECT word, count(*)::BIGINT AS n_w FROM toks GROUP BY word),
+    nt AS (SELECT count(*)::BIGINT AS nt FROM toks),
+    pairs AS (
+        SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2
+        FROM (
+            SELECT unnest(CASE WHEN len(w) >= 2
+                          THEN list_transform(generate_series(1, len(w) - 1),
+                                              i -> w[i] || ' ' || w[i+1])
+                          ELSE []::VARCHAR[] END) AS pr
+            FROM tw
+        )
+    ),
+    big AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM pairs GROUP BY 1, 2),
+    nb AS (SELECT count(*)::BIGINT AS nb FROM pairs),
+    scored AS (
+        SELECT w1, w2, n_pair,
+               round(ln((n_pair / (SELECT nb FROM nb))
+                        / ((u1.n_w / (SELECT nt FROM nt))
+                           * (u2.n_w / (SELECT nt FROM nt)))), 6) AS pmi
+        FROM big
+        JOIN uni u1 ON u1.word = w1
+        JOIN uni u2 ON u2.word = w2
+        WHERE n_pair >= 5
+    )
+    SELECT w1, w2, n_pair, pmi FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    doc="Top-50 collocations by pointwise mutual information over "
+    "adjacent word pairs (operators/textstats.py::pmi_collocations) — "
+    "the significant-phrase miner (Church & Hanks) a tokenization "
+    "pipeline uses to find multi-word expressions. All state is "
+    "vocabulary-sized (bigram + unigram count aggregates, word-keyed "
+    "marginal joins, scalar totals broadcast); min_count=5 suppresses "
+    "the low-frequency PMI blow-up; the top-k is a TakeOrdered under a "
+    "TOTAL order (rounded pmi desc, then the pair) so the limit is "
+    "deterministic cross-engine.",
+    tags=("text", "collocation", "llm-pipeline"),
+)
+def r24_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import pmi_collocations
+
+    docs = load(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", min_count=5, k=50)
+
+
+@query(
+    "r25_loo_target_encoding",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN cnt > 1
+                THEN round((s - own) / (cnt - 1), 4)
+                ELSE NULL END AS loo_enc
+    FROM (
+        SELECT o_orderkey, o_orderpriority,
+               o_totalprice::DECIMAL(18,2)::DOUBLE AS own,
+               (sum(o_totalprice::DECIMAL(18,2))
+                   OVER (PARTITION BY o_orderpriority))::DOUBLE AS s,
+               count(o_totalprice) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM orders
+    )
+    """,
+    doc="Leave-one-out target encoding of order priority against order "
+    "value (functions/features.py::loo_target_encode): each row encodes "
+    "as its group's mean target EXCLUDING itself — (sum - own)/(cnt - 1) "
+    "— the leakage-safe form of mean encoding (plain group-mean lets a "
+    "row see its own label; cf. ml/splits.py for full fold machinery). "
+    "One category-keyed window computes sum and count together — no "
+    "join, no second scan; singleton groups encode null.",
+    tags=("features", "ml", "window"),
+)
+def r25_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.features import loo_target_encode
+
+    od = load(spark, sf_dir, "orders")
+    return loo_target_encode(
+        od,
+        cat_col="o_orderpriority",
+        target_col="o_totalprice",
+        decimal_type="decimal(18,2)",
+    ).select("o_orderkey", "o_orderpriority", "loo_enc")

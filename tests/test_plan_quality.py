@@ -318,3 +318,21 @@ class TestRound5ExtensionPlans:
         plan = plan_of(spark, "r20_incremental_distinct")
         assert "Join" not in plan
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 3
+
+    def test_r23_spine_shares_entity_exchange(self, spark):
+        # daily agg + spine agg + 1:1 join + ffill window all key on the
+        # entity: two exchanges total, one join, no Python
+        import re
+
+        plan = plan_of(spark, "r23_calendar_fill")
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 2
+        assert plan.count("Join") == 1
+        assert "Python" not in plan
+
+    def test_r25_loo_single_window_no_join(self, spark):
+        # sum and count share one category-keyed window: 1 exchange, 0 joins
+        import re
+
+        plan = plan_of(spark, "r25_loo_target_encoding")
+        assert "Join" not in plan
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1

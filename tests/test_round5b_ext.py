@@ -441,3 +441,84 @@ class TestEmptyInputsSecondWave:
 
         ev = spark.createDataFrame([], "user_id long, ts timestamp, value double")
         assert rolling_zscore_outliers(ev).count() == 0
+
+
+class TestCalendarFill:
+    def test_hand_built_spine_and_carry(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import calendar_fill
+
+        epoch = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (1, epoch, 1.0),
+                (1, epoch + dt.timedelta(days=3), 2.0),
+                (1, epoch + dt.timedelta(days=3, hours=4), 3.0),
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+        out = {r["day"]: r for r in calendar_fill(ev).collect()}
+        assert sorted(out) == [0, 1, 2, 3]  # dense spine across the gap
+        assert (out[0]["daily_sum"], out[0]["observed"], out[0]["filled"]) == (1.0, 1, 1.0)
+        assert (out[1]["daily_sum"], out[1]["observed"], out[1]["filled"]) == (None, 0, 1.0)
+        assert (out[2]["daily_sum"], out[2]["observed"], out[2]["filled"]) == (None, 0, 1.0)
+        assert (out[3]["daily_sum"], out[3]["observed"], out[3]["filled"]) == (5.0, 1, 5.0)
+
+    def test_single_event_user(self, spark):
+        from fantasy_premier_league_spark.operators.sessionize import calendar_fill
+
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 2, 1), 4.0)], "user_id long, ts timestamp, value double"
+        )
+        rows = calendar_fill(ev).collect()
+        assert len(rows) == 1 and rows[0]["filled"] == 4.0
+
+
+class TestPmiCollocations:
+    def test_hand_computed_pmi(self, spark):
+        from fantasy_premier_league_spark.operators.textstats import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [(i, "new york") for i in range(6)], "doc_id long, text string"
+        )
+        out = pmi_collocations(docs, "doc_id", "text", min_count=5, k=10).collect()
+        assert len(out) == 1
+        r = out[0]
+        # n_pair=6, nb=6, p(new)=p(york)=6/12 -> pmi = ln(4)
+        assert (r["w1"], r["w2"], r["n_pair"]) == ("new", "york", 6)
+        assert r["pmi"] == pytest.approx(1.386294, abs=1e-6)
+
+    def test_min_count_suppresses_rare_pairs(self, spark):
+        from fantasy_premier_league_spark.operators.textstats import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [(1, "rare pair"), (2, "some other words entirely")],
+            "doc_id long, text string",
+        )
+        assert pmi_collocations(docs, "doc_id", "text", min_count=5, k=10).count() == 0
+
+
+class TestLooTargetEncode:
+    def test_hand_computed(self, spark):
+        from fantasy_premier_league_spark.functions.features import loo_target_encode
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0)], "cat string, y double"
+        )
+        out = loo_target_encode(df, cat_col="cat", target_col="y").collect()
+        got = sorted((r["cat"], r["y"], r["loo_enc"]) for r in out)
+        assert got == [("a", 1.0, 2.5), ("a", 2.0, 2.0), ("a", 3.0, 1.5), ("b", 7.0, None)]
+
+    def test_decimal_mode_matches_plain_on_clean_data(self, spark):
+        from fantasy_premier_league_spark.functions.features import loo_target_encode
+
+        df = spark.createDataFrame(
+            [("a", 1.25), ("a", 2.75), ("a", 4.5)], "cat string, y double"
+        )
+        plain = sorted(r["loo_enc"] for r in loo_target_encode(df, cat_col="cat", target_col="y").collect())
+        dec = sorted(
+            r["loo_enc"]
+            for r in loo_target_encode(
+                df, cat_col="cat", target_col="y", decimal_type="decimal(18,2)"
+            ).collect()
+        )
+        assert plain == dec

@@ -270,3 +270,46 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < int(iterations):
             labels = labels.localCheckpoint()
     return labels
+
+
+def also_bought_topk(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Weighted co-visitation recommender: for every item, the top-k
+    other items most often sharing a group (order/basket/session),
+    ranked by shared-group count with a deterministic (count desc, item
+    asc) tie-break — "customers who bought X also bought Y", the
+    workhorse item-item candidate generator.
+
+    The co-occurrence self-join is keyed on the group (fan-out bounded
+    by per-group item count squared, like :func:`co_occurrence_edges`
+    but keeping the weight); the pair aggregate shuffles on the pair
+    key; the final top-k is one item-keyed window. A viral basket
+    (thousands of items in one group) is the quadratic hazard — the same
+    per-group cap discipline as the LSH bucket guard applies upstream
+    when baskets are unbounded.
+
+    Returns (item, rec, n_shared, rank), rank 1..k.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("item")
+    ).distinct()
+    other = base.select("__g", F.col("item").alias("rec"))
+    pairs = (
+        base.join(other, "__g")
+        .filter(F.col("item") != F.col("rec"))
+        .groupBy("item", "rec")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w = W.partitionBy("item").orderBy(F.col("n_shared").desc(), F.col("rec").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("item", "rec", "n_shared", "rank")
+    )

@@ -57,3 +57,54 @@ def rrf_fuse_topk(
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact phrase search via POSITIONAL postings — the inverted-index
+    counterpart to :func:`~..operators.textstats.bm25_scores`' bag of
+    words: BM25 ranks by term statistics, phrase search needs term
+    ADJACENCY, which is what search engines keep positions in their
+    postings for.
+
+    Plan: posexplode the normalized token stream, keep ONLY the phrase's
+    terms (the filter lands before the shuffle, so the postings that
+    move are phrase-term-sized, not corpus-sized), then chain equi-joins
+    aligning term i at offset i from the start position — a k-term
+    phrase is k-1 joins on (id, aligned position), each shrinking the
+    candidate starts. At 100 TB the postings table is the thing you
+    persist (sources/warehouse.py bucketed by term); the probe is then
+    partition-pruned exactly like the LSH signature index.
+
+    Returns (id, n_occurrences) for docs containing the phrase at least
+    once; oracle = the naive positional scan over the word arrays.
+    """
+    from .dedup import words
+
+    terms = [t for t in phrase.strip().lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    postings = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(words(F.col(text_col))).alias("pos", "word"),
+        )
+        .filter(F.col("word").isin(terms))
+    )
+    starts = (
+        postings.filter(F.col("word") == terms[0])
+        .select("id", F.col("pos").alias("start"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("word") == t).select(
+            "id", (F.col("pos") - i).alias("start")
+        )
+        starts = starts.join(nxt, ["id", "start"])
+    return (
+        starts.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )

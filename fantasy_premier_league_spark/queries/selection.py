@@ -1354,3 +1354,109 @@ def r25_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_col="o_totalprice",
         decimal_type="decimal(18,2)",
     ).select("o_orderkey", "o_orderpriority", "loo_enc")
+
+
+@query(
+    "r26_phrase_search",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    occ AS (
+        SELECT doc_id,
+               len(list_filter(generate_series(1, len(w) - 1),
+                               i -> w[i] = 'hash' AND w[i+1] = 'join')) AS n
+        FROM t WHERE len(w) >= 2
+    )
+    SELECT doc_id AS id, n::BIGINT AS n_occurrences FROM occ WHERE n > 0
+    """,
+    doc="Exact phrase search ('hash join') via positional postings "
+    "(operators/retrieval.py::phrase_search) — the adjacency-aware "
+    "counterpart to q49's BM25 bag-of-words: posexplode keeps ONLY the "
+    "phrase's terms before anything shuffles, then one equi-join per "
+    "extra term aligns positions at offset i from the start. Oracle = "
+    "the naive positional scan over the word arrays; the value-hash "
+    "(per-doc occurrence counts) proves the postings plan exact. At "
+    "100 TB the postings persist term-bucketed (sources/warehouse.py) "
+    "and the probe partition-prunes like the LSH signature index.",
+    tags=("text", "retrieval", "phrase"),
+)
+def r26_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import phrase_search
+
+    docs = load(spark, sf_dir, "documents")
+    return phrase_search(docs, "doc_id", "text", "hash join")
+
+
+@query(
+    "r27_latency_bands",
+    """
+    WITH d AS (
+        SELECT date_diff('day', TIMESTAMP '2024-01-01', ts)::INT AS day, value
+        FROM events
+    )
+    SELECT day, count(value)::BIGINT AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM d GROUP BY day
+    """,
+    doc="Daily P50/P95/P99 bands over the event value — the percentile "
+    "dashboard every observability stack draws. EXACT percentiles "
+    "(linear interpolation, percentile_cont semantics in both engines, "
+    "F.percentile in Spark — not approx_percentile, whose sketch would "
+    "not value-hash) over a day-keyed aggregate; one shuffle, "
+    "calendar-bounded output. The exact form needs the per-group values "
+    "sorted within the aggregate — at 100 TB per-day cardinality that "
+    "is the documented trade against q69's mergeable KLL sketch.",
+    tags=("events", "percentile", "analytics"),
+)
+def r27_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date"))
+    return (
+        ev.select(day.alias("day"), "value")
+        .groupBy("day")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+@query(
+    "r28_also_bought",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+    pairs AS (
+        SELECT a.item AS item, b.item AS rec, count(*)::BIGINT AS n_shared
+        FROM li a JOIN li b ON a.g = b.g AND a.item != b.item
+        GROUP BY a.item, b.item
+    )
+    SELECT item, rec, n_shared, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY item
+                   ORDER BY n_shared DESC, rec ASC))::INT AS rank
+        FROM pairs
+    ) WHERE rank <= 3
+    """,
+    doc="Item-item co-visitation recommendations: for every part, the 3 "
+    "parts most often sharing an order, ranked by shared-order count "
+    "with a deterministic tie-break "
+    "(operators/graph.py::also_bought_topk) — the candidate generator "
+    "behind 'customers also bought'. Group-keyed self-join (fan-out "
+    "bounded by basket size squared), pair-keyed aggregate, one "
+    "item-keyed top-k window. The weighted sibling of q48/r11/r14's "
+    "unweighted co-occurrence graph.",
+    tags=("graph", "recommender", "analytics"),
+)
+def r28_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import also_bought_topk
+
+    li = load(spark, sf_dir, "lineitem")
+    out = also_bought_topk(li, "l_orderkey", "l_partkey", k=3)
+    return out.select(
+        F.col("item").cast("long").alias("item"),
+        F.col("rec").cast("long").alias("rec"),
+        "n_shared",
+        "rank",
+    )

@@ -522,3 +522,64 @@ class TestLooTargetEncode:
             ).collect()
         )
         assert plain == dec
+
+
+class TestPhraseSearch:
+    def test_counts_multiple_and_overlapping_occurrences(self, spark):
+        from fantasy_premier_league_spark.operators.retrieval import phrase_search
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the hash join beats the nested loop hash join here"),
+                (2, "hash then join but not adjacent"),
+                (3, "a a a"),  # overlapping self-phrase test below
+                (4, "no phrase at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r["n_occurrences"] for r in phrase_search(docs, "doc_id", "text", "hash join").collect()}
+        assert out == {1: 2}
+        # overlapping occurrences of a repeated-word phrase all count
+        rep = {r["id"]: r["n_occurrences"] for r in phrase_search(docs, "doc_id", "text", "a a").collect()}
+        assert rep == {3: 2}
+
+    def test_three_term_phrase(self, spark):
+        from fantasy_premier_league_spark.operators.retrieval import phrase_search
+
+        docs = spark.createDataFrame(
+            [(1, "one two three four"), (2, "one three two")],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r["n_occurrences"] for r in phrase_search(docs, "doc_id", "text", "one two three").collect()}
+        assert out == {1: 1}
+
+    def test_empty_phrase_rejected(self, spark):
+        from fantasy_premier_league_spark.operators.retrieval import phrase_search
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            phrase_search(docs, "doc_id", "text", "   ")
+
+
+class TestAlsoBought:
+    def test_hand_built_baskets(self, spark):
+        from fantasy_premier_league_spark.operators.graph import also_bought_topk
+
+        # baskets: {1,2,3}, {1,2}, {1,4}
+        rows = [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2), (30, 1), (30, 4)]
+        df = spark.createDataFrame(rows, "g long, item long")
+        out = {
+            (r["item"], r["rank"]): (r["rec"], r["n_shared"])
+            for r in also_bought_topk(df, "g", "item", k=2).collect()
+        }
+        assert out[(1, 1)] == (2, 2)  # item 1 co-occurs with 2 twice
+        assert out[(1, 2)] == (3, 1)  # tie between 3 and 4 -> smaller id
+        assert out[(3, 1)] == (1, 1)
+
+    def test_duplicate_lines_do_not_inflate_counts(self, spark):
+        from fantasy_premier_league_spark.operators.graph import also_bought_topk
+
+        rows = [(10, 1), (10, 1), (10, 2)]  # same item twice in one basket
+        df = spark.createDataFrame(rows, "g long, item long")
+        out = also_bought_topk(df, "g", "item", k=1).collect()
+        assert all(r["n_shared"] == 1 for r in out)

@@ -66,6 +66,12 @@ DATA_FACTOR = {
     "r20_incremental_distinct": 10.0,
     "r21_ab_conversion_test": 10.0,
     "r22_growth_accounting": 10.0,
+    "r23_calendar_fill": 10.0,
+    "r24_pmi_collocations": 10.0,
+    "r25_loo_target_encoding": 10.0,
+    "r26_phrase_search": 10.0,
+    "r27_latency_bands": 10.0,
+    "r28_also_bought": 10.0,
 }
 
 

@@ -106,3 +106,102 @@ class TestGlobalRankProperty:
         expected_order = sorted(rows, key=lambda t: (-t[1], t[0]))
         for rank0, (rid, _) in enumerate(expected_order):
             assert ranked[rid] == rank0 + 1
+
+
+class TestSecondWaveInvariants:
+    """Cross-operator invariants on the REAL sf0.001 corpus — relations
+    that must hold between independently-implemented operators."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_prefix_jaccard_equals_naive_on_real_corpus(self, spark):
+        from fantasy_premier_league_spark.catalog import load
+        from fantasy_premier_league_spark.operators import dedup as D
+        from fantasy_premier_league_spark.operators.cache import (
+            release_operator_caches,
+        )
+
+        docs = load(spark, self.SF, "documents")
+        try:
+            fast = sorted(
+                map(tuple, D.prefix_filtered_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect())
+            )
+            naive = sorted(
+                map(tuple, D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect())
+            )
+            assert fast == naive and len(naive) > 0
+        finally:
+            release_operator_caches(blocking=True)
+
+    def test_transition_probs_sum_to_one_per_state(self, spark):
+        from fantasy_premier_league_spark.catalog import load
+        from fantasy_premier_league_spark.operators.sessionize import (
+            transition_matrix,
+        )
+        from pyspark.sql import functions as F
+
+        ev = load(spark, self.SF, "events")
+        sums = (
+            transition_matrix(ev)
+            .groupBy("from_state")
+            .agg(F.sum("prob").alias("s"))
+            .collect()
+        )
+        assert sums and all(abs(r["s"] - 1.0) < 1e-4 for r in sums)
+
+    def test_growth_new_users_sum_to_distinct_users(self, spark):
+        from fantasy_premier_league_spark.catalog import load
+        from fantasy_premier_league_spark.operators.experiment import (
+            growth_accounting,
+        )
+        from pyspark.sql import functions as F
+
+        ev = load(spark, self.SF, "events")
+        g = growth_accounting(ev)
+        total_new = g.agg(F.sum("new_users")).collect()[0][0]
+        distinct_users = ev.select("user_id").distinct().count()
+        assert total_new == distinct_users
+        last_cum = g.orderBy(F.col("day").desc()).first()["cumulative_users"]
+        assert last_cum == distinct_users
+
+    def test_also_bought_pairs_match_co_occurrence_edges(self, spark):
+        from fantasy_premier_league_spark.catalog import load
+        from fantasy_premier_league_spark.operators.graph import (
+            also_bought_topk,
+            co_occurrence_edges,
+        )
+
+        li = load(spark, self.SF, "lineitem")
+        # every recommended pair must be a co-occurrence edge
+        recs = also_bought_topk(li, "l_orderkey", "l_partkey", k=3).select(
+            "item", "rec"
+        )
+        edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+        missing = recs.join(
+            edges.withColumnsRenamed({"src": "item", "dst": "rec"}),
+            ["item", "rec"],
+            "left_anti",
+        ).count()
+        assert missing == 0
+
+    def test_frequent_tokens_subset_of_value_counts(self, spark):
+        from fantasy_premier_league_spark.catalog import load
+        from fantasy_premier_league_spark.operators.dedup import words
+        from fantasy_premier_league_spark.operators.selection import frequent_keys
+        from pyspark.sql import functions as F
+
+        docs = load(spark, self.SF, "documents")
+        toks = docs.select(F.explode(words(F.col("text"))).alias("w")).filter(
+            F.col("w") != ""
+        )
+        heavy = {
+            r["key"]: r["cnt"]
+            for r in frequent_keys(toks, "w", min_share=0.005).collect()
+        }
+        exact = {
+            r["w"]: r["cnt"]
+            for r in toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        n = sum(exact.values())
+        expect = {k: c for k, c in exact.items() if c >= 0.005 * n}
+        assert heavy == expect

@@ -109,3 +109,71 @@ def growth_accounting(
         (F.col("active_users") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(cum).alias("cumulative_users"),
     )
+
+
+def cuped_adjusted_ab(
+    per_user: DataFrame,
+    *,
+    arm_col: str = "arm",
+    metric_col: str = "y",
+    covariate_col: str = "x",
+) -> DataFrame:
+    """CUPED variance reduction for an A/B comparison (Deng et al.,
+    WSDM'13): adjust each user's metric with a pre-experiment covariate
+    — y_adj = y - θ·(x - x̄), θ = cov(x,y)/var(x) — shrinking metric
+    variance by the squared correlation without biasing the treatment
+    difference (θ is fit on the pooled population, and E[x] is arm-
+    independent under randomization).
+
+    Everything reduces to INTEGER sufficient statistics (n, Σx, Σy,
+    Σx², Σxy — exact in doubles for any realistic count scale), so θ
+    and the adjusted means are bit-deterministic across engines and
+    partitionings — no float-sum ordering anywhere. Two tiny
+    aggregates: pooled stats (1 row, broadcast) and per-arm sums; the
+    per-user frame is scanned twice but is users-sized.
+
+    Returns ONE row: theta, adjusted control/treatment means, their
+    difference, and the variance-reduction percentage (100·ρ²); null
+    theta (and unadjusted means) when var(x) = 0.
+    """
+    x, y = F.col(covariate_col), F.col(metric_col)
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    arms = per_user.groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(x).alias("sx_a"),
+        F.sum(y).alias("sy_a"),
+    )
+    a = arms.filter(F.col(arm_col) == 0).select(
+        F.col("n_a").alias("n_c"), F.col("sx_a").alias("sx_c"), F.col("sy_a").alias("sy_c")
+    )
+    b = arms.filter(F.col(arm_col) == 1).select(
+        F.col("n_a").alias("n_t"), F.col("sx_a").alias("sx_t"), F.col("sy_a").alias("sy_t")
+    )
+    row = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(pooled))
+    varx_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov_n2 = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta = F.when(varx_n2 > 0, cov_n2 / varx_n2).otherwise(F.lit(None).cast("double"))
+    xbar = F.col("sx") / F.col("n")
+    adj = lambda sy_a, n_a, sx_a: (  # noqa: E731 - local formula
+        sy_a / n_a - F.coalesce(theta, F.lit(0.0)) * (sx_a / n_a - xbar)
+    )
+    mean_c = adj(F.col("sy_c"), F.col("n_c"), F.col("sx_c"))
+    mean_t = adj(F.col("sy_t"), F.col("n_t"), F.col("sx_t"))
+    rho2 = F.when(
+        (varx_n2 > 0) & (vary_n2 > 0), (cov_n2 * cov_n2) / (varx_n2 * vary_n2)
+    ).otherwise(F.lit(0.0))
+    return row.select(
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_c, 6).alias("adj_rate_control"),
+        F.round(mean_t, 6).alias("adj_rate_treat"),
+        F.round(mean_t - mean_c, 6).alias("adj_diff"),
+        F.round(100.0 * rho2, 2).alias("var_reduction_pct"),
+    )

@@ -601,3 +601,73 @@ def q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_batch, index_sigs, "doc_id", "text",
         n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True,
     )
+
+
+_NAIVE_T03 = f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3
+"""
+
+
+@query(
+    "r30_lsh_recall_eval",
+    f"""
+    WITH lsh AS (
+        SELECT id_a, id_b FROM ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42)})
+    ),
+    ex AS (
+        SELECT id_a, id_b FROM ({_NAIVE_T03})
+    ),
+    c AS (
+        SELECT (SELECT count(*) FROM lsh)::BIGINT AS lsh_pairs,
+               (SELECT count(*) FROM ex)::BIGINT AS exact_pairs,
+               (SELECT count(*) FROM lsh JOIN ex USING (id_a, id_b))::BIGINT AS hits
+    )
+    SELECT lsh_pairs, exact_pairs, hits,
+           CASE WHEN lsh_pairs > 0
+                THEN round(hits / lsh_pairs::DOUBLE, 6) END AS prec,
+           CASE WHEN exact_pairs > 0
+                THEN round(hits / exact_pairs::DOUBLE, 6) END AS recall
+    FROM c
+    """,
+    doc="In-engine evaluation of the MinHash-LSH dedup path against "
+    "ground truth: the sketch's candidate pairs (q42's operator, "
+    "portable hashing) joined against the exact Jaccard >= 0.3 pairs "
+    "(q41's operator) to yield pair-level precision and recall — the "
+    "dedup sibling of q96's ANN recall eval, answering 'how much does "
+    "the sketch miss?' as a query instead of a notebook. The oracle "
+    "replays BOTH pipelines (full sketch replay + naive join) and the "
+    "evaluation join value-for-value. Empty sides yield null metrics.",
+    tags=("dedup", "minhash", "evaluation", "llm-pipeline"),
+)
+def r30_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lsh = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True
+    ).select("id_a", "id_b")
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("lsh_pairs"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
+    n_hit = lsh.join(exact, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("hits"))
+    row = n_lsh.crossJoin(F.broadcast(n_exact)).crossJoin(F.broadcast(n_hit))
+    prec = F.when(
+        F.col("lsh_pairs") > 0, F.round(F.col("hits") / F.col("lsh_pairs"), 6)
+    ).otherwise(F.lit(None).cast("double"))
+    rec = F.when(
+        F.col("exact_pairs") > 0, F.round(F.col("hits") / F.col("exact_pairs"), 6)
+    ).otherwise(F.lit(None).cast("double"))
+    return row.select(
+        "lsh_pairs", "exact_pairs", "hits", prec.alias("prec"), rec.alias("recall")
+    )

@@ -1460,3 +1460,93 @@ def r28_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         "rank",
     )
+
+
+@query(
+    "r29_cuped_ab_test",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               ('0x' || substr(md5('exp1' || user_id::VARCHAR), 1, 8))::BIGINT % 2 AS arm,
+               sum((date_diff('day', TIMESTAMP '2024-01-01', ts) < 28)::INT)::BIGINT AS x,
+               max(CASE WHEN event_type = 'purchase'
+                         AND date_diff('day', TIMESTAMP '2024-01-01', ts) >= 28
+                        THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+               sum(y * y)::BIGINT AS syy
+        FROM pu
+    ),
+    ar AS (
+        SELECT arm, count(*)::BIGINT AS n_a, sum(x)::BIGINT AS sx_a,
+               sum(y)::BIGINT AS sy_a
+        FROM pu GROUP BY arm
+    ),
+    r AS (
+        SELECT a.n_a AS n_c, a.sx_a AS sx_c, a.sy_a AS sy_c,
+               b.n_a AS n_t, b.sx_a AS sx_t, b.sy_a AS sy_t,
+               s.n, s.sx, s.sy, s.sxx, s.sxy, s.syy
+        FROM (SELECT * FROM ar WHERE arm = 0) a
+        CROSS JOIN (SELECT * FROM ar WHERE arm = 1) b
+        CROSS JOIN s
+    ),
+    t AS (
+        SELECT *,
+               (n * sxx - sx * sx) AS vx,
+               (n * syy - sy * sy) AS vy,
+               (n * sxy - sx * sy) AS cv
+        FROM r
+    ),
+    th AS (
+        SELECT *,
+               CASE WHEN vx > 0 THEN cv / vx::DOUBLE ELSE NULL END AS theta
+        FROM t
+    )
+    SELECT round(theta, 6) AS theta,
+           round(sy_c / n_c::DOUBLE
+                 - coalesce(theta, 0) * (sx_c / n_c::DOUBLE - sx / n::DOUBLE), 6)
+               AS adj_rate_control,
+           round(sy_t / n_t::DOUBLE
+                 - coalesce(theta, 0) * (sx_t / n_t::DOUBLE - sx / n::DOUBLE), 6)
+               AS adj_rate_treat,
+           round((sy_t / n_t::DOUBLE
+                  - coalesce(theta, 0) * (sx_t / n_t::DOUBLE - sx / n::DOUBLE))
+                 - (sy_c / n_c::DOUBLE
+                    - coalesce(theta, 0) * (sx_c / n_c::DOUBLE - sx / n::DOUBLE)), 6)
+               AS adj_diff,
+           round(CASE WHEN vx > 0 AND vy > 0
+                      THEN 100.0 * (cv * cv) / (vx::DOUBLE * vy::DOUBLE)
+                      ELSE 0 END, 2) AS var_reduction_pct
+    FROM th
+    """,
+    doc="CUPED variance-reduced A/B comparison (Deng et al. WSDM'13; "
+    "operators/experiment.py::cuped_adjusted_ab): each user's "
+    "experiment-period conversion (day >= 28) is adjusted by their "
+    "PRE-period activity count (day < 28) — y - θ(x - x̄), θ = "
+    "cov/var fit on the pooled population — the modern experimentation "
+    "stack's sensitivity lever on top of r21's plain z-test. The whole "
+    "computation reduces to integer sufficient statistics (exact in "
+    "doubles), so both engines agree bit-for-bit before rounding.",
+    tags=("events", "experiment", "cuped", "analytics"),
+)
+def r29_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.experiment import assign_arm, cuped_adjusted_ab
+
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum((day < 28).cast("int")).alias("x"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (day >= 28), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+        .withColumn("arm", assign_arm(F.col("user_id")))
+    )
+    return cuped_adjusted_ab(per_user, metric_col="y", covariate_col="x")

@@ -583,3 +583,49 @@ class TestAlsoBought:
         df = spark.createDataFrame(rows, "g long, item long")
         out = also_bought_topk(df, "g", "item", k=1).collect()
         assert all(r["n_shared"] == 1 for r in out)
+
+
+class TestCupedAdjustedAb:
+    def test_hand_computed_adjustment(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            cuped_adjusted_ab,
+        )
+
+        # n=4, sx=8, sy=3, sxx=24, sxy=8 -> theta=0.25, xbar=2
+        pu = spark.createDataFrame(
+            [(0, 0, 0), (0, 2, 1), (1, 2, 1), (1, 4, 1)], "arm int, x long, y long"
+        )
+        out = cuped_adjusted_ab(pu).collect()[0]
+        assert out["theta"] == 0.25
+        # arm0: 0.5 - 0.25*(1-2) = 0.75 ; arm1: 1 - 0.25*(3-2) = 0.75
+        assert out["adj_rate_control"] == 0.75 and out["adj_rate_treat"] == 0.75
+        assert out["adj_diff"] == 0.0
+        assert out["var_reduction_pct"] == pytest.approx(66.67)
+
+    def test_constant_covariate_yields_null_theta(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            cuped_adjusted_ab,
+        )
+
+        pu = spark.createDataFrame(
+            [(0, 5, 0), (0, 5, 1), (1, 5, 1), (1, 5, 0)], "arm int, x long, y long"
+        )
+        out = cuped_adjusted_ab(pu).collect()[0]
+        assert out["theta"] is None
+        assert out["adj_rate_control"] == 0.5 and out["adj_rate_treat"] == 0.5
+
+    def test_covariate_shift_invariance(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            cuped_adjusted_ab,
+        )
+
+        rows = [(i % 2, (i * 3) % 7, 1 if i % 3 == 0 else 0) for i in range(40)]
+        pu = spark.createDataFrame(rows, "arm int, x long, y long")
+        shifted = spark.createDataFrame(
+            [(a, x + 100, y) for a, x, y in rows], "arm int, x long, y long"
+        )
+        d1 = cuped_adjusted_ab(pu).collect()[0]
+        d2 = cuped_adjusted_ab(shifted).collect()[0]
+        # theta and the adjusted DIFFERENCE are shift-invariant
+        assert d1["theta"] == d2["theta"]
+        assert d1["adj_diff"] == pytest.approx(d2["adj_diff"], abs=1e-6)

@@ -72,6 +72,8 @@ DATA_FACTOR = {
     "r26_phrase_search": 10.0,
     "r27_latency_bands": 10.0,
     "r28_also_bought": 10.0,
+    "r29_cuped_ab_test": 10.0,
+    "r30_lsh_recall_eval": 10.0,
 }
 
 

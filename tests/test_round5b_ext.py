@@ -629,3 +629,30 @@ class TestCupedAdjustedAb:
         # theta and the adjusted DIFFERENCE are shift-invariant
         assert d1["theta"] == d2["theta"]
         assert d1["adj_diff"] == pytest.approx(d2["adj_diff"], abs=1e-6)
+
+
+class TestSchemaEvolutionIngest:
+    def test_merge_schema_plus_typed_alignment(self, spark, tmp_path):
+        """Snapshot v1 lacks a column v2 adds: mergeSchema unions the
+        parquet footers, align_columns pins the final order and types —
+        the schema-drift ingest path (S9's alignment applied to files)."""
+        from fantasy_premier_league_spark.sources.jdbc import align_columns
+
+        v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+        v2 = spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, name string, score double"
+        )
+        v1.write.parquet(str(tmp_path / "snap" / "d=1"))
+        v2.write.parquet(str(tmp_path / "snap" / "d=2"))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            str(tmp_path / "snap")
+        )
+        assert set(merged.columns) == {"id", "name", "score", "d"}
+        aligned = align_columns(
+            merged.drop("score", "d"),
+            ["id", "name", "score"],
+            types={"score": "double"},
+        )
+        rows = sorted(map(tuple, aligned.collect()))
+        assert rows == [(1, "a", None), (2, "b", None)]
+        assert dict(aligned.dtypes)["score"] == "double"

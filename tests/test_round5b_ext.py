@@ -124,11 +124,21 @@ class TestLabelPropagation:
             release_operator_caches(blocking=True)
 
     def test_caches_released(self, spark):
+        # id SETS, not counts (cf. test_guards_lifecycle._persistent_ids):
+        # the shared session's ContextCleaner may concurrently unpersist
+        # other tests' garbage, so only this test's delta is assertable
+        def ids():
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+
+        release_operator_caches(blocking=True)
+        before = ids()
         edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
         label_propagation(edges, iterations=1).collect()
-        released = release_operator_caches(blocking=True)
-        assert released >= 2  # edge list + node set
-        assert not spark.sparkContext._jsc.getPersistentRDDs()
+        ours = ids() - before
+        assert ours  # edge list + node set were persisted
+        release_operator_caches(blocking=True)
+        assert not (ids() & ours)
 
 
 class TestIncrementalAggs:

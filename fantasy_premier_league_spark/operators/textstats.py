@@ -256,3 +256,63 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    level: int = 6,
+    max_ratio: float = 0.3,
+) -> DataFrame:
+    """zlib compression ratio per document — the quality signal CCNet /
+    Gopher-style pipelines use to catch machine-generated and
+    template-stamped text: highly repetitive documents compress far
+    below natural prose (~0.3-0.4 compressed/raw for English).
+
+    This is a DELIBERATE Python stage — Spark SQL exposes no DEFLATE —
+    and the one new addition to the documented Arrow-UDF set: a
+    mapInPandas pass (zlib is C-speed per batch; Arrow moves the
+    columns), narrow, no shuffle, embarrassingly parallel — the UDF
+    cost model is per-row CPU, not dataflow. DEFLATE at a fixed level
+    is deterministic for fixed input bytes, so the output is stable
+    across runs/partitionings; there is still no SQL oracle (DuckDB has
+    no zlib), so the query is rows-only and the numerics are pinned by
+    pytest against direct zlib calls.
+
+    Returns (id, raw_bytes, compressed_bytes, ratio, too_repetitive)
+    with ratio = compressed/raw rounded to 6 dp (1.0 for empty docs —
+    never flagged).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, raw_bytes long, compressed_bytes long, "
+        "ratio double, too_repetitive int"
+    )
+    src = df.select(F.col(id_col), F.col(text_col))
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            raw_len = raw.str.len()
+            comp_len = raw.map(lambda b: len(zlib.compress(b, level)))
+            ratio = (comp_len / raw_len.where(raw_len > 0, 1)).where(
+                raw_len > 0, 1.0
+            ).round(6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raw_len,
+                    "compressed_bytes": comp_len,
+                    "ratio": ratio,
+                    "too_repetitive": ((raw_len > 0) & (ratio < max_ratio)).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return src.mapInPandas(batches, schema=out_schema)

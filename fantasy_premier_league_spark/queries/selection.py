@@ -1550,3 +1550,24 @@ def r29_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("arm", assign_arm(F.col("user_id")))
     )
     return cuped_adjusted_ab(per_user, metric_col="y", covariate_col="x")
+
+
+@query(
+    "r31_compression_quality",
+    None,  # DEFLATE has no SQL oracle — rows-only; numerics pinned by
+    # pytest against direct zlib calls on the same strings
+    doc="zlib compression-ratio quality signal per document "
+    "(operators/textstats.py::compression_ratio) — the repetitive-text "
+    "detector CCNet/Gopher-style curation uses: template-stamped or "
+    "machine-looped text compresses far below natural prose. A "
+    "DELIBERATE Arrow-UDF stage (Spark SQL has no DEFLATE): mapInPandas, "
+    "narrow, zero-shuffle, per-row CPU — the case the UDF budget exists "
+    "for. Deterministic (fixed zlib level on fixed bytes) across "
+    "runs and partitionings.",
+    tags=("text", "quality", "udf", "llm-pipeline"),
+)
+def r31_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import compression_ratio
+
+    docs = load(spark, sf_dir, "documents")
+    return compression_ratio(docs, "doc_id", "text")

@@ -666,3 +666,45 @@ class TestSchemaEvolutionIngest:
         rows = sorted(map(tuple, aligned.collect()))
         assert rows == [(1, "a", None), (2, "b", None)]
         assert dict(aligned.dtypes)["score"] == "double"
+
+
+class TestCompressionRatio:
+    def test_matches_direct_zlib(self, spark):
+        import zlib
+
+        from fantasy_premier_league_spark.operators.textstats import (
+            compression_ratio,
+        )
+
+        texts = [
+            (1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, "a" * 200),
+            (3, ""),
+            (4, None),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in compression_ratio(docs, "doc_id", "text").collect()}
+        for i, t in texts:
+            raw = (t or "").encode()
+            assert out[i]["raw_bytes"] == len(raw)
+            assert out[i]["compressed_bytes"] == len(zlib.compress(raw, 6))
+            if raw:
+                assert out[i]["ratio"] == pytest.approx(
+                    round(len(zlib.compress(raw, 6)) / len(raw), 6)
+                )
+            else:
+                assert out[i]["ratio"] == 1.0 and out[i]["too_repetitive"] == 0
+        # the all-'a' doc is the repetitive one
+        assert out[2]["too_repetitive"] == 1 and out[1]["too_repetitive"] == 0
+
+    def test_partitioning_invariant(self, spark):
+        from fantasy_premier_league_spark.operators.textstats import (
+            compression_ratio,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} " * (i + 1)) for i in range(20)], "doc_id long, text string"
+        )
+        a = sorted(map(tuple, compression_ratio(docs.repartition(1), "doc_id", "text").collect()))
+        b = sorted(map(tuple, compression_ratio(docs.repartition(7), "doc_id", "text").collect()))
+        assert a == b

@@ -30,6 +30,7 @@ KNOWN_PYTHON = {
     "q51_cosine_topk_block",  # blocked-BLAS pair grid: applyInPandas
     "q61_multimodal_features",  # image decode UDF stage
     "q80_frame_samples",  # frame-sampling UDF stage
+    "r31_compression_quality",  # zlib ratio: mapInPandas by necessity
 }
 
 
@@ -69,8 +70,9 @@ def main() -> None:
         f"Compiled (not executed) at `{sf_dir}`. Regenerate: "
         "`python tools/plan_audit.py [sf_dir] --write`. BHJ/SMJ/BNLJ = "
         "broadcast-hash / sort-merge / broadcast-nested-loop join counts; "
-        "`python` marks the four documented Arrow-UDF stages (PQ ADC scan, "
-        "blocked-BLAS pair grid, multimodal decode, frame sampling). "
+        "`python` marks the five documented Arrow-UDF stages (PQ ADC scan, "
+        "blocked-BLAS pair grid, multimodal decode, frame sampling, "
+        "zlib compression ratio). "
         "CartesianProduct anywhere fails the audit.",
         "",
         header,

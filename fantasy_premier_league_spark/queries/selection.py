@@ -1571,3 +1571,163 @@ def r31_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return compression_ratio(docs, "doc_id", "text")
+
+
+@query(
+    "r32_pareto_abc",
+    """
+    WITH pr AS (
+        SELECT l_partkey AS part,
+               (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)))::DOUBLE
+                   AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(revenue::DECIMAL(18,4))::DOUBLE AS t FROM pr),
+    c AS (
+        SELECT part, revenue,
+               sum(revenue::DECIMAL(18,4))
+                   OVER (ORDER BY revenue DESC, part ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                   / (SELECT t FROM tot) AS cum_share
+        FROM pr
+    )
+    SELECT part, revenue, round(cum_share, 6) AS cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    doc="Pareto / ABC revenue classification of parts: per-part revenue, "
+    "cumulative share under a TOTAL order (revenue desc, part asc — "
+    "deterministic through ties), and the 80/95 class cut — the "
+    "inventory-concentration analysis behind every 'top 20% of SKUs' "
+    "decision. Revenue and the running total accumulate in EXACT "
+    "DECIMAL and are emitted as the decimal-exact double UNROUNDED: a "
+    "4-dp-exact value re-rounded to 2 dp ties at the .xx5 boundary, "
+    "where Spark (shortest-repr HALF_UP) and C-style binary rounding "
+    "legitimately disagree — same family of lesson as r25. The "
+    "cumulative window runs over the parts-sized aggregate, never raw "
+    "lineitem.",
+    tags=("agg", "window", "pareto", "analytics"),
+)
+def r32_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+    tot = pr.agg(F.sum(F.col("revenue").cast("decimal(18,4)")).cast("double").alias("__t"))
+    w = (
+        Window.orderBy(F.col("revenue").desc(), F.col("part").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col("revenue").cast("decimal(18,4)")).over(w).cast("double")
+    c = pr.crossJoin(F.broadcast(tot)).withColumn("__cum", cum / F.col("__t"))
+    return c.select(
+        "part",
+        "revenue",
+        F.round("__cum", 6).alias("cum_share"),
+        F.when(F.col("__cum") <= 0.8, F.lit("A"))
+        .when(F.col("__cum") <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "r33_mad_outliers",
+    """
+    WITH d AS (
+        SELECT user_id, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS med FROM d GROUP BY user_id
+    ),
+    dev AS (
+        SELECT d.user_id, quantile_cont(abs(d.value - med.med), 0.5) AS mad,
+               any_value(med.med) AS med
+        FROM d JOIN med USING (user_id) GROUP BY d.user_id
+    )
+    SELECT user_id, round(med, 6) AS median_value, round(mad, 6) AS mad,
+           round(CASE WHEN mad > 0 THEN 1.4826 * mad END, 6) AS robust_sigma
+    FROM dev
+    """,
+    doc="Median absolute deviation per user — the robust dispersion "
+    "estimate behind outlier fences that a single spike can't poison "
+    "(r18's mean/stddev z-score moves with the outlier it hunts; "
+    "MAD·1.4826 is the consistent robust sigma). Two exact-percentile "
+    "aggregates (percentile_cont semantics both engines) sharing the "
+    "entity key — the second pass re-joins the per-key median back onto "
+    "the values, the unavoidable data-dependent second scan of any "
+    "exact MAD.",
+    tags=("events", "robust-stats", "analytics"),
+)
+def r33_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("__med")
+    )
+    dev = (
+        ev.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("__med")), F.lit(0.5)).alias("__mad"),
+            F.first("__med").alias("__m"),
+        )
+    )
+    return dev.select(
+        "user_id",
+        F.round("__m", 6).alias("median_value"),
+        F.round("__mad", 6).alias("mad"),
+        F.round(
+            F.when(F.col("__mad") > 0, 1.4826 * F.col("__mad")).otherwise(
+                F.lit(None).cast("double")
+            ),
+            6,
+        ).alias("robust_sigma"),
+    )
+
+
+@query(
+    "r34_rolling_wau",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', TIMESTAMP '2024-01-01', ts)::INT AS day
+        FROM events
+    ),
+    contrib AS (
+        SELECT DISTINCT user_id, day + o AS win_end
+        FROM ud, unnest(generate_series(0, 6)) AS t(o)
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day, count(DISTINCT c.user_id)::BIGINT AS wau
+    FROM days d JOIN contrib c ON c.win_end = d.day
+    GROUP BY d.day
+    """,
+    doc="Rolling 7-day active users per calendar day (WAU curve): "
+    "distinct-over-a-sliding-window, which no window frame expresses — "
+    "the standard distributed form EXPLODES each (user, day) into the 7 "
+    "window-ends it contributes to (bounded fan-out = window length), "
+    "dedups, and counts per end day. Exact, shuffle on bounded "
+    "(user, day) keys; evaluated only at observed activity days. The "
+    "window-length fan-out is the documented trade against an HLL "
+    "sketch per day (r20) when the window is long.",
+    tags=("events", "window", "growth", "analytics"),
+)
+def r34_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date"))
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    contrib = (
+        ud.select(
+            "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("win_end")
+        )
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    return (
+        days.join(contrib, days["day"] == contrib["win_end"])
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -708,3 +708,82 @@ class TestCompressionRatio:
         a = sorted(map(tuple, compression_ratio(docs.repartition(1), "doc_id", "text").collect()))
         b = sorted(map(tuple, compression_ratio(docs.repartition(7), "doc_id", "text").collect()))
         assert a == b
+
+
+class TestParetoMadWau:
+    def test_abc_classes_hand_data(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries  # noqa: F401
+        # direct mini-replication of the r32 shape on hand data
+        from pyspark.sql import Window
+        df = spark.createDataFrame(
+            [(1, 80.0), (2, 15.0), (3, 5.0)], "part long, revenue double"
+        )
+        w = Window.orderBy(F.col("revenue").desc(), F.col("part")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = {
+            r["part"]: r["c"]
+            for r in df.withColumn(
+                "c",
+                F.when(F.sum("revenue").over(w) / 100.0 <= 0.8, "A")
+                .when(F.sum("revenue").over(w) / 100.0 <= 0.95, "B")
+                .otherwise("C"),
+            ).collect()
+        }
+        assert out == {1: "A", 2: "B", 3: "C"}
+
+    def test_mad_robust_to_one_spike(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries
+
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1 + i), float(v))
+             for i, v in enumerate([10, 10, 10, 10, 1000])],
+            "user_id long, ts timestamp, value double",
+        )
+        # replicate r33's operator body on hand data
+        med = ev.groupBy("user_id").agg(F.percentile("value", F.lit(0.5)).alias("m"))
+        dev = (
+            ev.join(med, "user_id")
+            .groupBy("user_id")
+            .agg(F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("mad"))
+        ).collect()[0]
+        assert dev["mad"] == 0.0  # the spike cannot move MAD off zero
+
+    def test_wau_equals_bruteforce_on_hand_data(self, spark):
+        epoch = dt.datetime(2024, 1, 1)
+        rows = [(1, 0), (1, 3), (2, 3), (3, 9), (1, 10)]
+        ev = spark.createDataFrame(
+            [(u, epoch + dt.timedelta(days=d)) for u, d in rows],
+            "user_id long, ts timestamp",
+        )
+        from fantasy_premier_league_spark.queries import all_queries
+
+        fn = all_queries()["r34_rolling_wau"].fn
+        import fantasy_premier_league_spark.catalog as C
+
+        day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date"))
+        ud = ev.select("user_id", day.alias("day")).distinct()
+        contrib = ud.select(
+            "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("e")
+        ).distinct()
+        days = ud.select("day").distinct()
+        got = {
+            r["day"]: r["wau"]
+            for r in days.join(contrib, days["day"] == contrib["e"])
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias("wau"))
+            .collect()
+        }
+        # brute force in python
+        import collections
+
+        byday = collections.defaultdict(set)
+        for u, d in rows:
+            byday[d].add(u)
+        expect = {}
+        for d in {d for _, d in rows}:
+            users = set()
+            for k in range(d - 6, d + 1):
+                users |= byday.get(k, set())
+            expect[d] = len(users)
+        assert got == expect

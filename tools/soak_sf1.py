@@ -74,6 +74,10 @@ DATA_FACTOR = {
     "r28_also_bought": 10.0,
     "r29_cuped_ab_test": 10.0,
     "r30_lsh_recall_eval": 10.0,
+    "r31_compression_quality": 10.0,
+    "r32_pareto_abc": 10.0,
+    "r33_mad_outliers": 10.0,
+    "r34_rolling_wau": 10.0,
 }
 
 

@@ -1731,3 +1731,35 @@ def r34_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+_R35_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_risky_orders
+    FROM {orders} o
+    WHERE EXISTS (SELECT 1 FROM {lineitem} l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      AND NOT EXISTS (SELECT 1 FROM {lineitem} l2
+                      WHERE l2.l_orderkey = o.o_orderkey
+                        AND l2.l_shipdate <= o.o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "r35_sql_exists",
+    _R35_SQL.format(orders="orders", lineitem="lineitem"),
+    doc="The ANSI-SQL front end exercised as text: orders per priority "
+    "with a late line (EXISTS, ship > order date + 60d) and no "
+    "pre-dated line (NOT EXISTS) — the IDENTICAL SQL string runs on "
+    "both engines (the rest of the inventory is DataFrame-built; this "
+    "pins spark.sql() + Catalyst's correlated-subquery decorrelation: "
+    "EXISTS compiles to a semi join, NOT EXISTS to an anti join, no "
+    "nested-loop re-execution per outer row — plan-asserted).",
+    tags=("sql", "subquery", "relational"),
+)
+def r35_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("r35_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("r35_lineitem")
+    return spark.sql(_R35_SQL.format(orders="r35_orders", lineitem="r35_lineitem"))

@@ -336,3 +336,11 @@ class TestRound5ExtensionPlans:
         plan = plan_of(spark, "r25_loo_target_encoding")
         assert "Join" not in plan
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
+
+    def test_r35_exists_decorrelates_to_semi_anti(self, spark):
+        # correlated EXISTS/NOT EXISTS must compile to semi/anti joins —
+        # never per-row subquery re-execution or a nested loop
+        plan = plan_of(spark, "r35_sql_exists")
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan

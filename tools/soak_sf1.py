@@ -78,6 +78,7 @@ DATA_FACTOR = {
     "r32_pareto_abc": 10.0,
     "r33_mad_outliers": 10.0,
     "r34_rolling_wau": 10.0,
+    "r35_sql_exists": 10.0,
 }
 
 

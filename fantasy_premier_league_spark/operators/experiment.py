@@ -33,32 +33,33 @@ def ab_conversion_ztest(
     (treatment) over per-user conversion flags.
 
     Input: one row per user with an integer arm and a 0/1 conversion
-    flag. The whole test is two tiny aggregates: a per-arm groupBy
-    (2 rows) and closed-form math on the pooled rate — the event log is
-    touched exactly once upstream to build the per-user frame. Returns
-    ONE row: n/conversions/rate per arm, pooled z (4 dp — the rounding
-    absorbs float-sum ordering across engines), and a |z| >= 1.96
-    significance flag. Degenerate pools (pooled rate 0 or 1, or an
-    empty arm) yield a null z and flag 0 instead of dividing by zero.
+    flag. The whole test is ONE conditional aggregation over the
+    per-user frame plus closed-form math on the pooled rate — the event
+    log is touched exactly once upstream to build that frame. ALWAYS
+    returns one row: n/conversions/rate per arm, pooled z (4 dp — the
+    rounding absorbs float-sum ordering across engines), and a
+    |z| >= 1.96 significance flag. Degenerate pools (pooled rate 0 or
+    1, or an empty arm) yield null rate/z and flag 0 instead of
+    dividing by zero or returning an empty frame.
     """
-    arms = per_user.groupBy(arm_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(converted_col).alias("conv"),
+    # ONE conditional aggregation, not two filtered aggregates crossJoined:
+    # that shape returns ZERO rows when an arm is empty, breaking the
+    # one-row contract below (and costs an extra scan)
+    arm, conv = F.col(arm_col), F.col(converted_col)
+    row = per_user.agg(
+        F.coalesce(F.sum(F.when(arm == 0, 1).otherwise(0)), F.lit(0)).alias("n_control"),
+        F.coalesce(F.sum(F.when(arm == 0, conv).otherwise(0)), F.lit(0)).alias("conv_control"),
+        F.coalesce(F.sum(F.when(arm == 1, 1).otherwise(0)), F.lit(0)).alias("n_treat"),
+        F.coalesce(F.sum(F.when(arm == 1, conv).otherwise(0)), F.lit(0)).alias("conv_treat"),
     )
-    a = arms.filter(F.col(arm_col) == 0).select(
-        F.col("n").alias("n_control"), F.col("conv").alias("conv_control")
-    )
-    b = arms.filter(F.col(arm_col) == 1).select(
-        F.col("n").alias("n_treat"), F.col("conv").alias("conv_treat")
-    )
-    row = a.crossJoin(F.broadcast(b))
-    p_a = F.col("conv_control") / F.col("n_control")
-    p_b = F.col("conv_treat") / F.col("n_treat")
+    p_a = F.when(F.col("n_control") > 0, F.col("conv_control") / F.col("n_control"))
+    p_b = F.when(F.col("n_treat") > 0, F.col("conv_treat") / F.col("n_treat"))
     pooled = (F.col("conv_control") + F.col("conv_treat")) / (
         F.col("n_control") + F.col("n_treat")
     )
-    se = F.sqrt(
-        pooled * (1 - pooled) * (1 / F.col("n_control") + 1 / F.col("n_treat"))
+    se = F.when(
+        (F.col("n_control") > 0) & (F.col("n_treat") > 0),
+        F.sqrt(pooled * (1 - pooled) * (1 / F.col("n_control") + 1 / F.col("n_treat"))),
     )
     z = F.when(se > 0, F.round((p_b - p_a) / se, 4)).otherwise(
         F.lit(None).cast("double")
@@ -132,9 +133,13 @@ def cuped_adjusted_ab(
     aggregates: pooled stats (1 row, broadcast) and per-arm sums; the
     per-user frame is scanned twice but is users-sized.
 
-    Returns ONE row: theta, adjusted control/treatment means, their
-    difference, and the variance-reduction percentage (100·ρ²); null
-    theta (and unadjusted means) when var(x) = 0.
+    ALWAYS returns one row (conditional aggregation — an empty arm
+    yields null adjusted means, never an empty frame): theta, adjusted
+    control/treatment means, their difference, and the variance-
+    reduction percentage (100·ρ²); null theta (and unadjusted means)
+    when var(x) = 0. The ρ² numerator/denominator are converted to
+    double BEFORE multiplication — the n²-scale terms are exact int64
+    but their products overflow at ~30k users.
     """
     x, y = F.col(covariate_col), F.col(metric_col)
     pooled = per_user.agg(
@@ -145,25 +150,31 @@ def cuped_adjusted_ab(
         F.sum(x * y).alias("sxy"),
         F.sum(y * y).alias("syy"),
     )
-    arms = per_user.groupBy(arm_col).agg(
-        F.count(F.lit(1)).alias("n_a"),
-        F.sum(x).alias("sx_a"),
-        F.sum(y).alias("sy_a"),
+    arm = F.col(arm_col)
+    arms = per_user.agg(
+        F.coalesce(F.sum(F.when(arm == 0, 1).otherwise(0)), F.lit(0)).alias("n_c"),
+        F.coalesce(F.sum(F.when(arm == 0, x).otherwise(0)), F.lit(0)).alias("sx_c"),
+        F.coalesce(F.sum(F.when(arm == 0, y).otherwise(0)), F.lit(0)).alias("sy_c"),
+        F.coalesce(F.sum(F.when(arm == 1, 1).otherwise(0)), F.lit(0)).alias("n_t"),
+        F.coalesce(F.sum(F.when(arm == 1, x).otherwise(0)), F.lit(0)).alias("sx_t"),
+        F.coalesce(F.sum(F.when(arm == 1, y).otherwise(0)), F.lit(0)).alias("sy_t"),
     )
-    a = arms.filter(F.col(arm_col) == 0).select(
-        F.col("n_a").alias("n_c"), F.col("sx_a").alias("sx_c"), F.col("sy_a").alias("sy_c")
-    )
-    b = arms.filter(F.col(arm_col) == 1).select(
-        F.col("n_a").alias("n_t"), F.col("sx_a").alias("sx_t"), F.col("sy_a").alias("sy_t")
-    )
-    row = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(pooled))
-    varx_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary_n2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    cov_n2 = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    row = arms.crossJoin(F.broadcast(pooled))
+    # the n2 terms are exact int64; their PRODUCTS are not (n^4-scale —
+    # int64 overflow at ~30k users x per-user counts in the hundreds,
+    # a runtime ArithmeticException under ANSI mode). Convert to double
+    # BEFORE any product: rho2 is a ratio, precision is irrelevant, and
+    # the oracle converts at the same point so both engines round the
+    # same exact integers to double
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    varx_n2 = nd * F.col("sxx") - sxd * F.col("sx")
+    vary_n2 = nd * F.col("syy") - syd * F.col("sy")
+    cov_n2 = nd * F.col("sxy") - sxd * F.col("sy")
     theta = F.when(varx_n2 > 0, cov_n2 / varx_n2).otherwise(F.lit(None).cast("double"))
     xbar = F.col("sx") / F.col("n")
-    adj = lambda sy_a, n_a, sx_a: (  # noqa: E731 - local formula
-        sy_a / n_a - F.coalesce(theta, F.lit(0.0)) * (sx_a / n_a - xbar)
+    adj = lambda sy_a, n_a, sx_a: F.when(  # noqa: E731 - local formula
+        n_a > 0,
+        sy_a / n_a - F.coalesce(theta, F.lit(0.0)) * (sx_a / n_a - xbar),
     )
     mean_c = adj(F.col("sy_c"), F.col("n_c"), F.col("sx_c"))
     mean_t = adj(F.col("sy_t"), F.col("n_t"), F.col("sx_t"))

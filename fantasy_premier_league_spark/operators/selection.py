@@ -215,8 +215,10 @@ def frequent_keys(
     real HAVING. False positives from bucket collisions cost only
     second-pass work, never correctness.
 
-    Everything stays lazy: N and the threshold are 1-row aggregates
-    cross-joined as broadcasts, no driver readback. Returns
+    Everything stays lazy: N folds out of the bucket-sized counts (the
+    raw stream is scanned exactly twice — once per pass) and the
+    threshold is a 1-row aggregate cross-joined as a broadcast, no
+    driver readback. Returns
     (key, cnt, share) with share rounded to 6 dp. Oracle: the naive
     GROUP BY ... HAVING — the value-hash proves the two-pass plan is
     exactly the one-pass answer.
@@ -224,8 +226,10 @@ def frequent_keys(
     keyed = df.select(F.col(key_col).alias("key")).withColumn(
         "__bucket", portable_hash32(F.col("key").cast("string")) % n_buckets
     )
-    total = keyed.agg(F.count(F.lit(1)).alias("__n"))
     bucket_counts = keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bc"))
+    # N folds out of the bucket-sized frame — a separate count() over the
+    # raw stream would be a third full scan of the corpus
+    total = bucket_counts.agg(F.sum("__bc").alias("__n"))
     frequent_buckets = (
         bucket_counts.crossJoin(F.broadcast(total))
         .filter(F.col("__bc") >= F.lit(float(min_share)) * F.col("__n"))

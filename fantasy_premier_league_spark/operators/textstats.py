@@ -216,7 +216,9 @@ def pmi_collocations(
     w = words(F.col(text_col))
     toks = df.select(F.explode(w).alias("word")).filter(F.col("word") != "")
     uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
-    n_tok = toks.agg(F.count(F.lit(1)).alias("__nt"))
+    # totals fold out of the vocabulary-sized count frames — separate
+    # corpus-wide aggregates would double the exploded-stream scans
+    n_tok = uni.agg(F.sum("n_w").alias("__nt"))
     arr = df.select(w.alias("__w")).select(
         F.filter(F.col("__w"), lambda x: x != "").alias("__w")
     )
@@ -233,7 +235,7 @@ def pmi_collocations(
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    n_big = pairs.agg(F.count(F.lit(1)).alias("__nb"))
+    n_big = big.agg(F.sum("n_pair").alias("__nb"))
     scored = (
         big.filter(F.col("n_pair") >= min_count)
         .join(uni.withColumnsRenamed({"word": "w1", "n_w": "n_w1"}), "w1")

@@ -651,12 +651,21 @@ _NAIVE_T03 = f"""
     tags=("dedup", "minhash", "evaluation", "llm-pipeline"),
 )
 def r30_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import tracked_persist
+
     docs = load(spark, sf_dir, "documents")
-    lsh = D.minhash_dedup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True
-    ).select("id_a", "id_b")
-    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).select(
-        "id_a", "id_b"
+    # each pair frame feeds TWO consumers (its count + the hits join);
+    # unpersisted, Spark re-executes the full sketch / naive pipelines
+    # once per consumer — persist halves the query
+    lsh = tracked_persist(
+        D.minhash_dedup_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True
+        ).select("id_a", "id_b")
+    )
+    exact = tracked_persist(
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).select(
+            "id_a", "id_b"
+        )
     )
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("lsh_pairs"))
     n_exact = exact.agg(F.count(F.lit(1)).alias("exact_pairs"))

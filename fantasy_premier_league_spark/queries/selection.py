@@ -894,11 +894,13 @@ def r14_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(o_totalprice)::BIGINT AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_price,
-           round(min(o_totalprice), 2) AS min_price,
-           round(max(o_totalprice), 2) AS max_price,
-           round(avg(o_totalprice), 4) AS avg_price,
-           round(max(o_totalprice) - min(o_totalprice), 2) AS price_range
+           (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS sum_price,
+           (min(o_totalprice::DECIMAL(18,2)))::DOUBLE AS min_price,
+           (max(o_totalprice::DECIMAL(18,2)))::DOUBLE AS max_price,
+           round((sum(o_totalprice::DECIMAL(18,2)))::DOUBLE
+                 / count(o_totalprice), 4) AS avg_price,
+           (max(o_totalprice::DECIMAL(18,2))
+            - min(o_totalprice::DECIMAL(18,2)))::DOUBLE AS price_range
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -918,8 +920,13 @@ def r14_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 def r15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import incremental as INC
 
+    # money accumulates in EXACT decimal — a double sum split into
+    # hist+delta partials merges in a different order than the oracle's
+    # sequential sum and can disagree at the rounding boundary (the r25
+    # lesson); decimal state makes merge(partial(A), partial(B)) ==
+    # agg(A ∪ B) exact, not approximate
     od = load(spark, sf_dir, "orders").withColumn(
-        "__price", F.col("o_totalprice").cast("double")
+        "__price", F.col("o_totalprice").cast("decimal(18,2)")
     )
     split = F.lit("1998-01-01").cast("timestamp")
     hist = INC.partial_aggs(
@@ -928,15 +935,15 @@ def r15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = INC.partial_aggs(
         od.filter(F.col("o_orderdate") >= split), ["o_orderpriority"], "__price"
     )
-    merged = INC.finalize_aggs(INC.merge_partial_aggs(hist, delta), round_avg=4)
+    merged = INC.merge_partial_aggs(hist, delta)
     return merged.select(
         "o_orderpriority",
         F.col("cnt").alias("n_orders"),
-        F.round("sum_v", 2).alias("sum_price"),
-        F.round("min_v", 2).alias("min_price"),
-        F.round("max_v", 2).alias("max_price"),
-        F.col("avg_v").alias("avg_price"),
-        F.round("range_v", 2).alias("price_range"),
+        F.col("sum_v").cast("double").alias("sum_price"),
+        F.col("min_v").cast("double").alias("min_price"),
+        F.col("max_v").cast("double").alias("max_price"),
+        F.round(F.col("sum_v").cast("double") / F.col("cnt"), 4).alias("avg_price"),
+        (F.col("max_v") - F.col("min_v")).cast("double").alias("price_range"),
     )
 
 
@@ -995,7 +1002,7 @@ def r16_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT key, count(*)::BIGINT AS cnt,
            round(count(*) / (SELECT n FROM n), 6) AS share
     FROM t GROUP BY key
-    HAVING count(*) >= 0.002 * (SELECT n FROM n)
+    HAVING count(*) >= 0.002::DOUBLE * (SELECT n FROM n)
     """,
     doc="EXACT heavy hitters over the token stream (share >= 0.2%) via a "
     "lossless bucket prefilter (operators/selection.py::frequent_keys): "
@@ -1135,18 +1142,17 @@ def r20_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
         FROM events GROUP BY user_id
     ),
-    arms AS (
-        SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS conv
-        FROM pu GROUP BY arm
-    ),
     r AS (
-        SELECT a.n AS n_control, a.conv AS conv_control,
-               b.n AS n_treat, b.conv AS conv_treat
-        FROM (SELECT n, conv FROM arms WHERE arm = 0) a
-        CROSS JOIN (SELECT n, conv FROM arms WHERE arm = 1) b
+        SELECT coalesce(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_control,
+               coalesce(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END), 0)::BIGINT AS conv_control,
+               coalesce(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_treat,
+               coalesce(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END), 0)::BIGINT AS conv_treat
+        FROM pu
     ),
     s AS (
-        SELECT *, sqrt(p * (1 - p) * (1.0 / n_control + 1.0 / n_treat)) AS se
+        SELECT *, CASE WHEN n_control > 0 AND n_treat > 0
+                       THEN sqrt(p * (1 - p) * (1.0 / n_control + 1.0 / n_treat))
+                       END AS se
         FROM (SELECT *,
                      (conv_control + conv_treat)::DOUBLE / (n_control + n_treat) AS p
               FROM r)
@@ -1159,9 +1165,11 @@ def r20_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT n_control, conv_control,
-           round(conv_control::DOUBLE / n_control, 6) AS rate_control,
+           CASE WHEN n_control > 0
+                THEN round(conv_control::DOUBLE / n_control, 6) END AS rate_control,
            n_treat, conv_treat,
-           round(conv_treat::DOUBLE / n_treat, 6) AS rate_treat,
+           CASE WHEN n_treat > 0
+                THEN round(conv_treat::DOUBLE / n_treat, 6) END AS rate_treat,
            zstat,
            CASE WHEN abs(zstat) >= 1.96 THEN 1 ELSE 0 END AS significant
     FROM z
@@ -1481,28 +1489,29 @@ def r28_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pu
     ),
     ar AS (
-        SELECT arm, count(*)::BIGINT AS n_a, sum(x)::BIGINT AS sx_a,
-               sum(y)::BIGINT AS sy_a
-        FROM pu GROUP BY arm
+        SELECT coalesce(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_c,
+               coalesce(sum(CASE WHEN arm = 0 THEN x ELSE 0 END), 0)::BIGINT AS sx_c,
+               coalesce(sum(CASE WHEN arm = 0 THEN y ELSE 0 END), 0)::BIGINT AS sy_c,
+               coalesce(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_t,
+               coalesce(sum(CASE WHEN arm = 1 THEN x ELSE 0 END), 0)::BIGINT AS sx_t,
+               coalesce(sum(CASE WHEN arm = 1 THEN y ELSE 0 END), 0)::BIGINT AS sy_t
+        FROM pu
     ),
-    r AS (
-        SELECT a.n_a AS n_c, a.sx_a AS sx_c, a.sy_a AS sy_c,
-               b.n_a AS n_t, b.sx_a AS sx_t, b.sy_a AS sy_t,
-               s.n, s.sx, s.sy, s.sxx, s.sxy, s.syy
-        FROM (SELECT * FROM ar WHERE arm = 0) a
-        CROSS JOIN (SELECT * FROM ar WHERE arm = 1) b
-        CROSS JOIN s
-    ),
+    r AS (SELECT ar.*, s.n, s.sx, s.sy, s.sxx, s.sxy, s.syy FROM ar CROSS JOIN s),
     t AS (
+        -- double BEFORE any product: the n2-scale terms are exact int64
+        -- but their squares/products overflow 64-bit at scale; each SUM
+        -- is < 2^53 so the double conversion is exact and both engines
+        -- round identically
         SELECT *,
-               (n * sxx - sx * sx) AS vx,
-               (n * syy - sy * sy) AS vy,
-               (n * sxy - sx * sy) AS cv
+               (n::DOUBLE * sxx - sx::DOUBLE * sx) AS vx,
+               (n::DOUBLE * syy - sy::DOUBLE * sy) AS vy,
+               (n::DOUBLE * sxy - sx::DOUBLE * sy) AS cv
         FROM r
     ),
     th AS (
         SELECT *,
-               CASE WHEN vx > 0 THEN cv / vx::DOUBLE ELSE NULL END AS theta
+               CASE WHEN vx > 0 THEN cv / vx ELSE NULL END AS theta
         FROM t
     )
     SELECT round(theta, 6) AS theta,
@@ -1518,7 +1527,7 @@ def r28_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - coalesce(theta, 0) * (sx_c / n_c::DOUBLE - sx / n::DOUBLE)), 6)
                AS adj_diff,
            round(CASE WHEN vx > 0 AND vy > 0
-                      THEN 100.0 * (cv * cv) / (vx::DOUBLE * vy::DOUBLE)
+                      THEN 100.0 * (cv * cv) / (vx * vy)
                       ELSE 0 END, 2) AS var_reduction_pct
     FROM th
     """,

@@ -787,3 +787,50 @@ class TestParetoMadWau:
                 users |= byday.get(k, set())
             expect[d] = len(users)
         assert got == expect
+
+
+class TestExperimentContractFixes:
+    def test_ztest_single_arm_still_one_row(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            ab_conversion_ztest,
+        )
+
+        pu = spark.createDataFrame([(0, 1), (0, 0)], "arm int, converted int")
+        out = ab_conversion_ztest(pu).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_control"] == 2 and r["n_treat"] == 0
+        assert r["rate_treat"] is None and r["zstat"] is None and r["significant"] == 0
+
+    def test_ztest_empty_input_one_row(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            ab_conversion_ztest,
+        )
+
+        pu = spark.createDataFrame([], "arm int, converted int")
+        out = ab_conversion_ztest(pu).collect()
+        assert len(out) == 1 and out[0]["n_control"] == 0 and out[0]["zstat"] is None
+
+    def test_cuped_no_overflow_at_scale(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            cuped_adjusted_ab,
+        )
+
+        # n*sxx ~ 5e14; its square overflowed int64 before the double
+        # conversion fix (ANSI ArithmeticException / silent wrap)
+        rows = [(i % 2, (i * 37) % 1000, 1 if i % 5 == 0 else 0) for i in range(50_000)]
+        pu = spark.createDataFrame(rows, "arm int, x long, y long")
+        out = cuped_adjusted_ab(pu).collect()[0]
+        assert out["theta"] is not None
+        assert 0.0 <= out["var_reduction_pct"] <= 100.0
+        assert out["adj_rate_control"] is not None
+
+    def test_cuped_single_arm_one_row_nulls(self, spark):
+        from fantasy_premier_league_spark.operators.experiment import (
+            cuped_adjusted_ab,
+        )
+
+        pu = spark.createDataFrame([(0, 1, 1), (0, 2, 0)], "arm int, x long, y long")
+        out = cuped_adjusted_ab(pu).collect()
+        assert len(out) == 1
+        assert out[0]["adj_rate_treat"] is None and out[0]["adj_rate_control"] is not None

@@ -1772,3 +1772,83 @@ def r35_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("r35_orders")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("r35_lineitem")
     return spark.sql(_R35_SQL.format(orders="r35_orders", lineitem="r35_lineitem"))
+
+
+@query(
+    "r36_decile_lift",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               sum((date_diff('day', TIMESTAMP '2024-01-01', ts) < 28)::INT)::BIGINT
+                   AS score,
+               max(CASE WHEN event_type = 'purchase'
+                         AND date_diff('day', TIMESTAMP '2024-01-01', ts) >= 28
+                        THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT *, (ntile(10) OVER (ORDER BY score DESC, user_id ASC))::INT AS decile
+        FROM pu
+    ),
+    g AS (
+        SELECT decile, count(*)::BIGINT AS n_users,
+               sum(y)::BIGINT AS n_converted
+        FROM d GROUP BY decile
+    ),
+    t AS (SELECT sum(n_users) AS tn, sum(n_converted) AS tc FROM g)
+    SELECT decile, n_users, n_converted,
+           round(n_converted::DOUBLE / n_users, 6) AS response_rate,
+           round((sum(n_converted) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+                 / (SELECT tc FROM t), 6) AS cum_gains,
+           round((n_converted::DOUBLE / n_users)
+                 / ((SELECT tc FROM t)::DOUBLE / (SELECT tn FROM t)), 6) AS lift
+    FROM g
+    """,
+    doc="Decile lift / gains table: users ranked by pre-period activity "
+    "(the propensity score), cut into ntile(10) under a TOTAL order "
+    "(score desc, user asc — deterministic through ties), per-decile "
+    "conversion rate, cumulative gains, and lift vs the base rate — the "
+    "targeting-model evaluation every campaign readout uses, joining "
+    "r29's CUPED and r21's z-test in the experimentation family. All "
+    "counts exact integers; one users-sized window + a 10-row gains "
+    "frame.",
+    tags=("events", "experiment", "evaluation", "analytics"),
+)
+def r36_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date"))
+    pu = ev.groupBy("user_id").agg(
+        F.sum((day < 28).cast("int")).alias("score"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (day >= 28), 1).otherwise(0)
+        ).alias("y"),
+    )
+    d = pu.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("score").desc(), F.col("user_id").asc())),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("y").alias("n_converted")
+    )
+    t = g.agg(F.sum("n_users").alias("__tn"), F.sum("n_converted").alias("__tc"))
+    cum = (
+        F.sum("n_converted")
+        .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_users",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_users"), 6).alias("response_rate"),
+            F.round(cum / F.col("__tc"), 6).alias("cum_gains"),
+            F.round(
+                (F.col("n_converted") / F.col("n_users"))
+                / (F.col("__tc") / F.col("__tn")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -834,3 +834,22 @@ class TestExperimentContractFixes:
         out = cuped_adjusted_ab(pu).collect()
         assert len(out) == 1
         assert out[0]["adj_rate_treat"] is None and out[0]["adj_rate_control"] is not None
+
+
+class TestDecileLift:
+    def test_gains_invariants_on_real_data(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries
+
+        out = sorted(
+            all_queries()["r36_decile_lift"].fn(spark, "/root/testdata/sf0.001").collect(),
+            key=lambda r: r["decile"],
+        )
+        assert [r["decile"] for r in out] == list(range(1, len(out) + 1))
+        gains = [r["cum_gains"] for r in out]
+        assert gains == sorted(gains)  # cumulative gains monotone
+        assert gains[-1] == pytest.approx(1.0)
+        total = sum(r["n_users"] for r in out)
+        conv = sum(r["n_converted"] for r in out)
+        base = conv / total
+        for r in out:
+            assert r["lift"] == pytest.approx(r["response_rate"] / base, abs=1e-5)

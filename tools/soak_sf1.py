@@ -79,6 +79,7 @@ DATA_FACTOR = {
     "r33_mad_outliers": 10.0,
     "r34_rolling_wau": 10.0,
     "r35_sql_exists": 10.0,
+    "r36_decile_lift": 10.0,
 }
 
 

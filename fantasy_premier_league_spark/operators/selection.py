@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
 from .dedup import portable_hash32, words
 
 
@@ -226,9 +227,13 @@ def frequent_keys(
     keyed = df.select(F.col(key_col).alias("key")).withColumn(
         "__bucket", portable_hash32(F.col("key").cast("string")) % n_buckets
     )
-    bucket_counts = keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bc"))
-    # N folds out of the bucket-sized frame — a separate count() over the
-    # raw stream would be a third full scan of the corpus
+    # the bucket-count frame (n_buckets rows) feeds BOTH the total and
+    # the frequent-bucket filter: persist it, or each consumer re-runs
+    # the corpus-wide bucket aggregate. N then folds out of the tiny
+    # cached frame — never a separate scan of the raw stream
+    bucket_counts = tracked_persist(
+        keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bc"))
+    )
     total = bucket_counts.agg(F.sum("__bc").alias("__n"))
     frequent_buckets = (
         bucket_counts.crossJoin(F.broadcast(total))

@@ -289,14 +289,14 @@ class TestRound5ExtensionPlans:
         assert "Python" not in plan
 
     def test_r17_prefilter_two_shuffles_broadcast_semi(self, spark):
-        # pass 1 (bucket counts) + pass 2 (surviving keys) are the only
-        # exchanges; the frequent-bucket list reaches the stream as a
-        # broadcast semi join, never a shuffle
-        import re
-
+        # the bucket-count frame is persisted and shared by the total and
+        # the frequent-bucket filter (InMemoryTableScan in the plan — its
+        # internal exchange prints per consumer but executes once); the
+        # frequent-bucket list reaches the stream as a broadcast semi
+        # join, never a shuffle
         plan = plan_of(spark, "r17_frequent_tokens")
         assert "LeftSemi" in plan
-        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 2
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
         assert "SortMergeJoin" not in plan
         assert "Python" not in plan
 

@@ -1852,3 +1852,76 @@ def r36_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "r37_session_entry_analysis",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN lag(us) OVER w IS NULL THEN 1
+                    WHEN us - lag(us) OVER w > 1800000000 THEN 1
+                    ELSE 0 END AS opens
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, event_type, us,
+               (sum(opens) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING))::INT AS session_seq
+        FROM flagged
+    ),
+    sized AS (
+        SELECT user_id, session_seq, count(*)::BIGINT AS n_events
+        FROM sessions GROUP BY user_id, session_seq
+    ),
+    entries AS (
+        SELECT user_id, session_seq, event_type AS entry_type FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                                         ORDER BY us, event_id) AS rn
+            FROM sessions
+        ) WHERE rn = 1
+    ),
+    per_sess AS (
+        SELECT s.user_id, s.session_seq, s.n_events, e.entry_type
+        FROM sized s JOIN entries e USING (user_id, session_seq)
+    )
+    SELECT entry_type,
+           count(*)::BIGINT AS n_sessions,
+           sum((n_events = 1)::INT)::BIGINT AS n_bounces,
+           round(sum((n_events = 1)::INT)::DOUBLE / count(*), 6) AS bounce_rate,
+           round(sum(n_events)::DOUBLE / count(*), 4) AS avg_session_events
+    FROM per_sess GROUP BY entry_type
+    """,
+    doc="Session entry-point analysis: sessions grouped by their FIRST "
+    "event type (deterministic (us, event_id) order inside the q63 "
+    "gaps-and-islands sessions), with bounce rate (single-event "
+    "sessions) and mean session length per entry type — the "
+    "landing-page quality readout, composed from the same sessionize "
+    "operator q63 checks. All shuffles share the user key until the "
+    "final entry-type rollup (cardinality = event types).",
+    tags=("events", "sessionization", "analytics"),
+)
+def r37_session_entry_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(ev)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "session_seq").orderBy(us, F.col("event_id"))
+    flagged = s.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("user_id", "session_seq"))
+    )
+    per_sess = flagged.filter(F.col("__rn") == 1).select(
+        F.col("event_type").alias("entry_type"), F.col("__n").alias("n_events")
+    )
+    return per_sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int")).alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 4).alias("avg_session_events"),
+    )

@@ -853,3 +853,35 @@ class TestDecileLift:
         base = conv / total
         for r in out:
             assert r["lift"] == pytest.approx(r["response_rate"] / base, abs=1e-5)
+
+
+class TestSessionEntryAnalysis:
+    def test_hand_built_sessions(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries
+
+        t0 = dt.datetime(2024, 1, 1)
+        # user 1: session A (view,click) entered by view; 2h later session
+        # B (purchase) alone -> bounce entered by purchase
+        rows = [
+            (1, t0, "view", 1, 0.0),
+            (1, t0 + dt.timedelta(minutes=5), "click", 2, 0.0),
+            (1, t0 + dt.timedelta(hours=2), "purchase", 3, 0.0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string, event_id long, value double"
+        )
+        import fantasy_premier_league_spark.queries.selection as SEL_Q
+        from fantasy_premier_league_spark.operators.sessionize import sessionize
+        from pyspark.sql import Window
+
+        s = sessionize(ev)
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = Window.partitionBy("user_id", "session_seq").orderBy(us, F.col("event_id"))
+        flagged = s.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("user_id", "session_seq"))
+        )
+        per_sess = flagged.filter(F.col("__rn") == 1).select(
+            F.col("event_type").alias("entry_type"), F.col("__n").alias("n")
+        )
+        got = {r["entry_type"]: r["n"] for r in per_sess.collect()}
+        assert got == {"view": 2, "purchase": 1}

@@ -80,6 +80,7 @@ DATA_FACTOR = {
     "r34_rolling_wau": 10.0,
     "r35_sql_exists": 10.0,
     "r36_decile_lift": 10.0,
+    "r37_session_entry_analysis": 10.0,
 }
 
 

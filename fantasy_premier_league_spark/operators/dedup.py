@@ -31,7 +31,7 @@ import random
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .cache import tracked_persist
+from .cache import tracked_local_checkpoint, tracked_persist
 
 _MASK30 = (1 << 30) - 1
 _MERSENNE31 = (1 << 31) - 1
@@ -89,7 +89,7 @@ def _cap_band_buckets(
             max_bucket_size,
             stats["rows"],
         )
-        drop_keys = oversized.select(*key_cols).localCheckpoint()
+        drop_keys = tracked_local_checkpoint(oversized.select(*key_cols))
         return banded.join(F.broadcast(drop_keys), list(key_cols), "left_anti")
     finally:
         counts.unpersist()
@@ -680,14 +680,13 @@ def connected_components(
     edges = (
         e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
     )
+    edges = tracked_local_checkpoint(edges)
     # init already folds round one in: l0(u) = min(u, min neighbor)
-    labels = (
+    labels = tracked_local_checkpoint(
         edges.groupBy("u")
         .agg(F.min("v").alias("__nm"))
         .select("u", F.least(F.col("u"), F.col("__nm")).alias("label"))
-        .localCheckpoint()
     )
     prev_sum = None
     # max_iter + 1: the sum-equality probe observes a fixpoint one round
@@ -708,7 +707,7 @@ def connected_components(
             # diameter 1-2): plain hooking alone converges in the first
             # couple of rounds, so don't pay the shortcut's label-keyed
             # join until the graph has proven deep
-            new_labels = hooked.localCheckpoint()
+            new_labels = tracked_local_checkpoint(hooked)
         else:
             # shortcut: chase one pointer — labels are node ids, so the
             # hooked frame itself is the mapping; jumped <= hooked always.
@@ -721,8 +720,8 @@ def connected_components(
                     "u",
                     F.least(F.col("label"), F.coalesce("__jmp", "label")).alias("label"),
                 )
-                .localCheckpoint()
             )
+            new_labels = tracked_local_checkpoint(new_labels)
         # convergence when no label moved: labels are monotone
         # non-increasing, so the label sum is a strictly decreasing
         # progress measure — one scalar agg over the checkpointed frame,

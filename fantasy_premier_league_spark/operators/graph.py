@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cache import tracked_persist
+from .cache import tracked_local_checkpoint, tracked_persist
 
 
 def pagerank(
@@ -38,79 +38,132 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
     Handles the full standard semantics on ANY edge list, not just
     symmetric co-occurrence graphs: the rank vector is keyed on the
-    complete node set (sources ∪ sinks, rebuilt via left join every
-    round, so a node with no in-edges never drops out of the vector),
-    and the mass held by dangling nodes (no out-edges) is redistributed
-    uniformly each round — total rank mass stays 1 instead of leaking.
-    On a symmetric graph both corrections are exact no-ops, so the q48
-    oracle's unrolled CTEs replay the same values. Returns (node, rank)
-    with rank rounded to 6 dp (engine-portable: the rounding absorbs
-    float-sum ordering differences across engines).
-    """
-    from pyspark.sql import Window as W
+    complete node set (sources ∪ sinks, so a node with no in-edges never
+    drops out of the vector), and the mass held by dangling nodes (no
+    out-edges) is redistributed uniformly each round — total rank mass
+    stays 1 instead of leaking. Returns (node, rank) with rank rounded
+    to 6 dp (engine-portable: the rounding absorbs float-sum ordering
+    differences across engines).
 
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    # fold the out-degree into the edge list ONCE via a src-partitioned
-    # window (one shuffle — a separate deg aggregate + re-join would
-    # shuffle the full edge list twice) and persist: every iteration's
-    # contribution join then touches only (edges+deg) x ranks — one
-    # shuffle join + one partial-agg groupBy per round. Tracked: release
-    # via operators.cache.release_operator_caches after consumption.
-    ed = tracked_persist(
-        e.withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
+    Plan shape: ONE bounded driver probe over the persisted nodes frame
+    classifies the graph up front (node count for the literal teleport
+    term, dangling count, source-only count). On a *closed* graph —
+    every node has both in- and out-edges, which every symmetric
+    co-occurrence graph is — each round is exactly one hash join of the
+    persisted edges x ranks plus one partial-agg groupBy: the per-round
+    node-set rebuild join and the dangling-mass broadcast subtree are
+    dropped from the plan entirely, not just short-circuited at run
+    time. Lineage is cut every ``checkpoint_every`` rounds (default 2,
+    so it actually fires at the common 3-iteration depth) via
+    localCheckpoint, keeping the unrolled plan shallow.
+    """
+    # edge list is the one big table → persist it; everything else (node
+    # stats, rank vector) is nodes-sized. RDD-cache block locks make the
+    # multiple first-job consumers below compute the upstream edge build
+    # once, not once per subtree. Tracked: release via
+    # operators.cache.release_operator_caches after consumption.
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     )
-    out_deg = ed.groupBy("src").agg(F.first("deg").alias("deg"))
-    # complete node set = sources (out_deg, a partial agg over the cached
-    # edges) FULL OUTER sink-only ids; deg stays null for dangling nodes.
-    # One distinct over the dst column — cheaper than distinct over the
-    # unioned src+dst stream
-    node_set = out_deg.withColumnRenamed("src", "node").join(
-        e.select(F.col("dst").alias("node")).distinct(), "node", "full_outer"
+    # the complete node set with out-degree AND in-degree in ONE pass /
+    # ONE shuffle (explode both endpoints, partial-agg the counters) —
+    # replaces the old deg-aggregate + dst-distinct + full-outer-join
+    # trio (two edge passes, three exchanges). deg=0 ⇔ dangling,
+    # __nin=0 ⇔ source-only. Nodes-sized and reused every round → persist.
+    nodes = tracked_persist(
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.lit(1).alias("__o"),
+                        F.lit(0).alias("__i"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.lit(0).alias("__o"),
+                        F.lit(1).alias("__i"),
+                    ),
+                )
+            ).alias("__x")
+        )
+        .select("__x.node", "__x.__o", "__x.__i")
+        .groupBy("node")
+        .agg(F.sum("__o").alias("deg"), F.sum("__i").alias("__nin"))
     )
-    n_total = node_set.agg(F.count(F.lit(1)).alias("__n"))
-    # nodes-sized and reused by three consumers every round → persist
-    nodes = tracked_persist(node_set.crossJoin(F.broadcast(n_total)))
-    # one tiny probe against the persisted nodes frame: co-occurrence and
-    # other symmetric graphs have NO dangling nodes, so the per-round
-    # dangling-mass subtree (a join + scalar agg unrolled per iteration)
-    # would be pure plan weight — skip it unless it can matter
-    has_dangling = nodes.filter(F.col("deg").isNull()).limit(1).count() > 0
-    ranks = nodes.select("node", (F.lit(1.0) / F.col("__n")).alias("rank"))
+    # the one driver-side probe (bounded: a 3-counter aggregate over the
+    # nodes-sized frame). n becomes a LITERAL in the rank expression —
+    # replaces the old per-round crossJoin of a 1-row count frame
+    probe = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("deg") == 0, 1)).alias("n_dangling"),
+        F.count(F.when(F.col("__nin") == 0, 1)).alias("n_no_in"),
+    ).first()
+    n = int(probe["n"])
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    has_dangling = int(probe["n_dangling"]) > 0
+    # closed graph: in-mass aggregation already covers the full node set
+    closed = not has_dangling and int(probe["n_no_in"]) == 0
+    # nodes-sized state broadcastable → each round is exactly ONE
+    # broadcast join of the cached (never-shuffled) edges against the
+    # (rank/deg)-weighted source vector plus one partial-agg groupBy.
+    # Past the threshold, re-partition the edges on src ONCE and persist
+    # (dropping the unpartitioned copy); the cached partitioning then
+    # feeds every round's sort-merge join without re-shuffling edges.
+    small_state = n <= 4_000_000
+    if small_state:
+        es = e
+    else:
+        es = tracked_persist(e.repartition("src"))
+        es.count()
+        e.unpersist()
+    contributors = nodes.filter(F.col("deg") > 0).select("node", "deg")
+    inv_n = 1.0 / n
+    teleport = (1.0 - damping) * inv_n
+    ranks = nodes.select("node", F.lit(inv_n).alias("rank"))
     for i in range(int(iterations)):
-        contrib = ed.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+        w = ranks.join(contributors, "node").select(
+            F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("__w")
+        )
         inmass = (
-            contrib.groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in"))
-            .withColumnRenamed("dst", "node")
+            es.join(F.broadcast(w) if small_state else w, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__w").alias("__in"))
         )
-        stepped = nodes.join(inmass, "node", "left")
-        in_term = F.coalesce(F.col("__in"), F.lit(0.0))
-        if has_dangling:
-            # dangling nodes hold rank but emit no contributions: spread
-            # their mass uniformly (standard PageRank), as a 1-row
-            # broadcast — no driver-side action inside the loop, the plan
-            # stays a finite unrolled chain
-            dmass = ranks.join(
-                nodes.filter(F.col("deg").isNull()).select("node"), "node"
-            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
-            stepped = stepped.crossJoin(F.broadcast(dmass))
-            in_term = in_term + F.col("__dm") / F.col("__n")
-        ranks = stepped.select(
-            "node",
-            (
-                (F.lit(1.0) - F.lit(damping)) / F.col("__n") + F.lit(damping) * in_term
-            ).alias("rank"),
-        )
-        if (i + 1) % checkpoint_every == 0:
+        if closed:
+            ranks = inmass.select(
+                "node",
+                (F.lit(teleport) + F.lit(damping) * F.col("__in")).alias("rank"),
+            )
+        else:
+            stepped = nodes.join(inmass, "node", "left")
+            in_term = F.coalesce(F.col("__in"), F.lit(0.0))
+            if has_dangling:
+                # dangling nodes hold rank but emit no contributions:
+                # spread their mass uniformly (standard PageRank), as a
+                # 1-row broadcast — no driver-side action inside the
+                # loop, the plan stays a finite unrolled chain
+                dmass = ranks.join(
+                    nodes.filter(F.col("deg") == 0).select("node"), "node"
+                ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+                stepped = stepped.crossJoin(F.broadcast(dmass))
+                in_term = in_term + F.col("__dm") * F.lit(inv_n)
+            ranks = stepped.select(
+                "node",
+                (F.lit(teleport) + F.lit(damping) * in_term).alias("rank"),
+            )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < int(iterations):
             # deep iteration chains blow up the lineage/plan; cut it the
-            # same way dedup's label propagation does
-            ranks = ranks.localCheckpoint(eager=False)
+            # same way dedup's label propagation does (tracked: the
+            # checkpoint blocks release with the operator caches)
+            ranks = tracked_local_checkpoint(ranks)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -121,15 +174,22 @@ def co_occurrence_edges(
 ) -> DataFrame:
     """Distinct directed co-occurrence edges: (a, b) whenever items a != b
     share a group (symmetric — both directions emitted). The standard
-    market-basket graph builder: a self-join on the group key, fan-out
-    bounded by the square of the (small) per-group item count.
+    market-basket graph builder, as ONE group shuffle: collect the
+    (small, deduped) per-group item set and explode it against itself —
+    same quadratic per-group fan-out as the equivalent self-join on the
+    group key, but without the join's second shuffle, and the explosion
+    streams (only the per-group item array is held in memory). A viral
+    group (thousands of items) is the quadratic hazard either way — the
+    LSH bucket-guard cap discipline applies upstream when group sizes
+    are unbounded.
     """
-    a = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("src")).distinct()
-    b = a.select("__g", F.col("src").alias("dst"))
+    g = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.collect_set(F.col(item_col)).alias("__items")
+    )
     return (
-        a.join(b, "__g")
+        g.select(F.explode("__items").alias("src"), "__items")
+        .select("src", F.explode("__items").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
     )
 
@@ -268,7 +328,7 @@ def label_propagation(
             "node", F.coalesce(F.col("__new"), F.col("label")).alias("label")
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < int(iterations):
-            labels = labels.localCheckpoint()
+            labels = tracked_local_checkpoint(labels)
     return labels
 
 

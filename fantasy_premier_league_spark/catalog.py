@@ -76,3 +76,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL-first query path)."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def spread_partitions(df: DataFrame, *, target: int | None = None) -> DataFrame:
+    """Round-robin repartition, ONLY when upstream yields fewer partitions
+    than the session's parallelism.
+
+    A single-file, single-row-group parquet table (the local test
+    profile; also any small dimension at real scale) scans as ONE input
+    partition, which serializes every per-row-heavy downstream stage
+    (shingling, tokenization, decode UDFs) onto one core no matter how
+    many are available. Operators with expensive narrow stages call this
+    on their input: the repartition moves only the raw rows (cheap
+    relative to the work it parallelizes), and at 100 TB — where a scan
+    already produces >= cores partitions — it is a no-op, so the big-data
+    path never pays an extra shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    t = int(target or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < t:
+        return df.repartition(t)
+    return df

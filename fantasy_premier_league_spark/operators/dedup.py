@@ -139,10 +139,24 @@ def shingle_array(text_col: F.Column, n: int) -> F.Column:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the inverted-index input."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingle_array(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+    """(id, shingle) distinct pairs — the inverted-index input.
+
+    Distinctness comes from per-doc ``array_distinct`` BEFORE the
+    explode, not a corpus-wide ``.distinct()`` after it: (id, shingle)
+    rows are already unique across docs once unique within each doc, so
+    the old formulation's full shuffle of the exploded postings bought
+    nothing. Input is spread across cores first — shingling is the
+    per-row-heavy stage, and a single-file scan would otherwise run it
+    serially (catalog.spread_partitions; no-op at real scale).
+    """
+    from ..catalog import spread_partitions
+
+    base = spread_partitions(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    )
+    return base.select(
+        "id",
+        F.explode(F.array_distinct(shingle_array(F.col("__text"), n))).alias("shingle"),
     )
 
 
@@ -170,6 +184,15 @@ def ngram_jaccard_pairs(
     # the inverted index feeds three consumers (sizes, both join sides);
     # without an explicit persist Spark re-scans and re-shuffles it 3x
     sh = tracked_persist(sh)
+    return _jaccard_pairs_from_index(sh, threshold)
+
+
+def _jaccard_pairs_from_index(sh: DataFrame, threshold: float) -> DataFrame:
+    """Naive inverted-index verify: self-join on shingle, count common
+    shingles per id<id2 pair, score |∩|/|∪|. Shared by
+    :func:`ngram_jaccard_pairs` and the below-crossover path of
+    :func:`prefix_filtered_jaccard_pairs` (same output by construction).
+    ``sh`` must be a persisted (id, shingle) distinct index."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -178,7 +201,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
+    return (
         common.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"}), "id_b")
         .withColumn(
@@ -188,7 +211,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 def containment_pairs(
@@ -756,10 +778,24 @@ def prefix_filtered_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    naive_candidate_ratio: float | None = 25.0,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via PREFIX FILTERING (All-Pairs /
     PPJoin candidate generation, Bayardo et al. WWW'07) — same output as
     :func:`ngram_jaccard_pairs`, a fraction of the candidate pairs.
+
+    CROSSOVER-AWARE: the prefix machinery pays ~5 extra exchanges of the
+    posting index, which only repays itself when the naive self-join
+    would explode. One bounded probe over the (already needed) shingle
+    document-frequency aggregate estimates the naive join's candidate
+    volume exactly (sum df·(df-1)/2); when it is under
+    ``naive_candidate_ratio`` × postings (i.e. posting lists are short —
+    a clean corpus) the operator runs the naive verify on the SAME
+    cached index instead. Both paths are exact and identical in output
+    (prefix-filter lemma — property-tested on 300 random corpora), so
+    dispatch is purely a cost decision, like Catalyst picking a join
+    strategy from stats. Pass ``naive_candidate_ratio=None`` to force
+    the prefix path.
 
     The inverted-index self-join in ngram_jaccard_pairs indexes EVERY
     (doc, shingle): one boilerplate shingle shared by k docs fans out
@@ -799,6 +835,17 @@ def prefix_filtered_jaccard_pairs(
     """
     sh = tracked_persist(doc_shingles(df, id_col, text_col, n))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if naive_candidate_ratio is not None:
+        # the dispatch probe: materializes the cached index + one tiny
+        # two-counter aggregate over the vocabulary-sized freq frame
+        stats = freq.agg(
+            F.sum(F.col("__df") * (F.col("__df") - 1) / 2).alias("__cand"),
+            F.sum("__df").alias("__postings"),
+        ).first()
+        n_cand = float(stats["__cand"] or 0.0)
+        n_postings = float(stats["__postings"] or 0.0)
+        if n_cand <= naive_candidate_ratio * max(n_postings, 1.0):
+            return _jaccard_pairs_from_index(sh, threshold)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     prefix_len = (
         F.col("n_shingles")

@@ -349,17 +349,37 @@ def ivf_topk(
     assigned = model.transform(c).drop("__v")
     centroids = model.clusterCenters()
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
-    ).collect()
-    probe_rows = []
-    for r in q_rows:
-        qv = np.asarray(r["qvec"])
-        dists = [float(np.linalg.norm(qv - np.asarray(ctr))) for ctr in centroids]
-        for cell in np.argsort(dists)[:n_probe]:
-            probe_rows.append((r["query_id"], r["qvec"], int(cell)))
+    # probe assignment stays IN-ENGINE: the only driver-sized state is the
+    # codebook itself (n_centroids rows — model output, bounded by
+    # construction). Queries never collect: a broadcast crossJoin against
+    # the codebook + one query-keyed window picks each query's n_probe
+    # nearest cells, so a 1M-query batch distributes instead of
+    # serializing through the driver.
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, qvec array<double>, cell int")
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)],
+        "cell int, ctr array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qvec"), F.col("ctr"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__d", l2)
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("query_id").orderBy("__d", "cell")),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
 
     cand = assigned.join(F.broadcast(probes), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
     cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), round_digits)

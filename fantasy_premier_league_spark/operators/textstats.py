@@ -289,8 +289,11 @@ def compression_ratio(
     """
     import pandas as pd
 
+    # id field keeps the caller's actual type (string/int ids would hit an
+    # Arrow schema mismatch if `long` were hardcoded)
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, raw_bytes long, compressed_bytes long, "
+        f"{id_col} {id_type}, raw_bytes long, compressed_bytes long, "
         "ratio double, too_repetitive int"
     )
     src = df.select(F.col(id_col), F.col(text_col))

@@ -858,7 +858,7 @@ _LPA_ITER = """c{t} AS (
         SELECT DISTINCT a.p AS src, b.p AS dst
         FROM li a JOIN li b ON a.g = b.g AND a.p != b.p
     ),
-    n0 AS (SELECT DISTINCT src AS node FROM e),
+    n0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     l0 AS (SELECT node, node AS label FROM n0),
     {_LPA_ITER.format(t=1, p=0)},
     {_LPA_ITER.format(t=2, p=1)}

@@ -709,6 +709,19 @@ class TestCompressionRatio:
         b = sorted(map(tuple, compression_ratio(docs.repartition(7), "doc_id", "text").collect()))
         assert a == b
 
+    def test_non_long_id_column(self, spark):
+        # the output schema derives the id type from the input — a string
+        # id must not hit an Arrow schema mismatch
+        from fantasy_premier_league_spark.operators.textstats import (
+            compression_ratio,
+        )
+
+        docs = spark.createDataFrame(
+            [("a", "hello world"), ("b", "zz " * 50)], "doc_id string, text string"
+        )
+        out = {r["doc_id"]: r for r in compression_ratio(docs, "doc_id", "text").collect()}
+        assert set(out) == {"a", "b"} and out["b"]["ratio"] < out["a"]["ratio"]
+
 
 class TestParetoMadWau:
     def test_abc_classes_hand_data(self, spark):

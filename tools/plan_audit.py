@@ -1,8 +1,15 @@
 #!/usr/bin/env python3
 """Physical-plan audit over the whole query inventory.
 
-For every registered query, compile (never execute) the plan at the
-given sf dir and tabulate the properties the 100 TB arguments rest on:
+For every registered query, compile the plan at the given sf dir and
+tabulate the properties the 100 TB arguments rest on. Compilation is
+normally execution-free, but queries with plan-build-time driver state
+execute bounded jobs while their plan is built (r05_bpe_apply runs its
+3-round BPE training collect; q48/r14 graph builders run their node-stat
+probe and eager lineage checkpoints) — the audit is therefore slower
+than a pure compile over those entries.
+
+Tabulated:
 shuffle count, join strategies, Python nodes, and cartesian products
 (codegen is decided at execution under AQE, so it is not tabulated
 here — test_plan_quality pins it where it matters). Writes PLANS.md (markdown table) so plan

@@ -82,3 +82,97 @@ class TestPipeline:
     def test_baseline_heuristic(self, clf_data):
         m = P.baseline_prediction(clf_data, predictor="f1", threshold=0.0, label="label")
         assert m["accuracy"] > 0.75  # f1>0 is a strong baseline by construction
+
+
+@pytest.fixture(scope="module")
+def fpl_season(spark):
+    """A deterministic FPL-shaped season (M1.ipynb's will-a-player-play
+    task): per-player nailedness classes (starter/rotation/fringe),
+    injury spells announced via a news flag BEFORE the gameweek, minutes
+    drawn only when fit and selected. The news flag is the information
+    edge a trained model has over the reference's previous_minutes>0
+    heuristic (M1.ipynb § 6)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for pid in range(250):
+        role = rng.choice([0.95, 0.6, 0.08], p=[0.5, 0.3, 0.2])
+        strength = int(rng.integers(1, 6))
+        injured_until = -1
+        for gw in range(1, 15):
+            news = 0
+            if gw <= injured_until:
+                news = 1
+            elif rng.random() < 0.06:
+                injured_until = gw + int(rng.integers(1, 4))
+                news = 1
+            plays = 0 if news else int(rng.random() < role)
+            minutes = int(rng.integers(60, 91)) if plays else 0
+            points = int(max(0, rng.poisson(3 if plays else 0)))
+            rows.append((pid, gw, minutes, points, news, strength))
+    return spark.createDataFrame(
+        rows,
+        "player_id long, gameweek int, minutes int, total_points int, "
+        "news_flag int, team_strength int",
+    )
+
+
+class TestModelQualityParity:
+    """M5 evidence: the reference trains XGBClassifier (M1.ipynb § 14); the
+    engine maps it to GBTClassifier — same surface, different algorithm.
+    This pins the MODEL-QUALITY side of that mapping: on the FPL-shaped
+    season, both the GBT mapping and LR must beat the reference's own
+    baseline heuristic (previous_minutes>0, M1.ipynb § 6) on held-out
+    players, with evaluator outputs pinned under fixed seeds."""
+
+    FEATS = [
+        "previous_minutes",
+        "previous_total_points",
+        "minutes_rolling",
+        "news_flag",
+        "team_strength",
+    ]
+
+    def _features(self, fpl_season):
+        from fantasy_premier_league_spark.functions.features import add_lag_features
+        from pyspark.sql import Window as W
+
+        lagged = add_lag_features(
+            fpl_season, entity="player_id", order="gameweek",
+            cols=["minutes", "total_points"],
+        )
+        w5 = W.partitionBy("player_id").orderBy("gameweek").rowsBetween(-5, -1)
+        return (
+            lagged.withColumn("minutes_rolling", F.avg("minutes").over(w5))
+            .withColumn("label", (F.col("minutes") > 0).cast("int"))
+            .filter(F.col("gameweek") >= 2)
+            .na.fill(0)
+        )
+
+    @pytest.mark.parametrize(
+        "clf,pinned_auc,pinned_acc",
+        [("lr", 0.877, 0.795), ("gbt", 0.867, 0.796)],
+    )
+    def test_trained_model_beats_reference_baseline(
+        self, fpl_season, clf, pinned_auc, pinned_acc
+    ):
+        feat = self._features(fpl_season)
+        train, test = S.entity_train_test_split(
+            feat, entity="player_id", test_fraction=0.3, seed=42
+        )
+        baseline = P.baseline_prediction(
+            test, predictor="previous_minutes", threshold=1.0, label="label"
+        )
+        assert baseline["accuracy"] == pytest.approx(0.728, abs=0.02)
+        train = P.add_balanced_weights(train, label="label")
+        test = test.withColumn("weight", F.lit(1.0))
+        pipe = P.make_classifier_pipeline(
+            feature_cols=self.FEATS, label="label", classifier=clf
+        )
+        m = P.evaluate_binary(pipe.fit(train).transform(test), label="label")
+        # pinned evaluator outputs (fixed data seed 7, split seed 42,
+        # model seed 42; tolerance absorbs float-combine ordering only)
+        assert m["roc_auc"] == pytest.approx(pinned_auc, abs=0.02)
+        assert m["accuracy"] == pytest.approx(pinned_acc, abs=0.02)
+        # the parity claim itself: trained model > reference heuristic
+        assert m["accuracy"] > baseline["accuracy"] + 0.03
+        assert m["roc_auc"] > 0.84

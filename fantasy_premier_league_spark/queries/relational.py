@@ -665,7 +665,7 @@ def q16_balance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q17_string_normalize",
+    "r38_string_normalize",
     """
     SELECT p_partkey,
            lower(regexp_replace(p_name, '[^a-zA-Z ]', '', 'g')) AS name_norm,
@@ -678,7 +678,7 @@ def q16_balance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "193-201; split EDA.ipynb § 43; CONCAT_WS § 72).",
     tags=("strings",),
 )
-def q17_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r38_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
@@ -690,7 +690,7 @@ def q17_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q18_time_features",
+    "r39_time_features",
     """
     SELECT event_id,
            extract(hour FROM ts)::INT AS hr,
@@ -706,7 +706,7 @@ def q17_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Monday-0 weekday, sin/cos time-of-day, day offset from epoch start.",
     tags=("dates",),
 )
-def q18_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r39_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     sec_of_day = (
         F.hour("ts") * 3600 + F.minute("ts") * 60 + F.floor(F.second("ts"))
@@ -773,7 +773,7 @@ def q20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q21_top_orders",
+    "r40_top_orders",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -784,7 +784,7 @@ def q20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "optimizes to TakeOrderedAndProject (no global sort materialized).",
     tags=("topk",),
 )
-def q21_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r40_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return (
         orders.select("o_orderkey", "o_custkey", "o_totalprice")

@@ -672,7 +672,7 @@ def r09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Weekly retention cohorts: users grouped by the week of their "
     "first event, activity counted per (cohort, week-offset) cell, "
     "retention = active / cohort size — the triangle matrix behind "
-    "every growth dashboard. Week index derives from the q18 day-offset "
+    "every growth dashboard. Week index derives from the r39 day-offset "
     "idiom (engine-portable datediff), offset 0 is the cohort size by "
     "construction. Two user-keyed aggregations + one distinct — all "
     "shuffles on bounded keys (user, then cohort x offset).",
@@ -686,7 +686,7 @@ def r10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r11_triangle_stats",
+    "q17_triangle_stats",
     """
     WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
     raw AS (
@@ -738,7 +738,7 @@ def r10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29 component closure.",
     tags=("graph", "analytics"),
 )
-def r11_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import co_occurrence_edges, triangle_stats
 
     li = load(spark, sf_dir, "lineitem")
@@ -788,7 +788,7 @@ def r12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r13_prefix_jaccard",
+    "q18_prefix_jaccard",
     f"""
     WITH sh AS (
         SELECT DISTINCT id, shingle FROM (
@@ -826,7 +826,7 @@ def r12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket blow-up WITHOUT the recall loss of max_doc_freq blocking.",
     tags=("dedup", "jaccard", "prefix-filter", "llm-pipeline"),
 )
-def r13_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     docs = load(spark, sf_dir, "documents")
@@ -851,7 +851,7 @@ _LPA_ITER = """c{t} AS (
 
 
 @query(
-    "r14_label_communities",
+    "q21_label_communities",
     f"""
     WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
     e AS (
@@ -877,7 +877,7 @@ _LPA_ITER = """c{t} AS (
     "persisted node set (asymmetric lists are safe).",
     tags=("graph", "iterative", "communities"),
 )
-def r14_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import co_occurrence_edges, label_propagation
 
     li = load(spark, sf_dir, "lineitem")

@@ -264,7 +264,7 @@ class TestRound5ExtensionPlans:
         # candidate generation is an equi-join on the prefix postings and
         # verification is array_intersect codegen — no quadratic node, no
         # Python anywhere
-        plan = plan_of(spark, "r13_prefix_jaccard")
+        plan = plan_of(spark, "q18_prefix_jaccard")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Python" not in plan

@@ -54,10 +54,10 @@ DATA_FACTOR = {
     "r08_cluster_safe_split": 10.0,
     "r09_event_funnel": 10.0,
     "r10_retention_cohorts": 10.0,
-    "r11_triangle_stats": 10.0,
+    "q17_triangle_stats": 10.0,
     "r12_weighted_sample": 10.0,
-    "r13_prefix_jaccard": 10.0,
-    "r14_label_communities": 10.0,
+    "q18_prefix_jaccard": 10.0,
+    "q21_label_communities": 10.0,
     "r15_incremental_rollup": 10.0,
     "r16_decayed_activity": 10.0,
     "r17_frequent_tokens": 10.0,

@@ -836,7 +836,7 @@ def prefix_filtered_jaccard_pairs(
     sh = tracked_persist(doc_shingles(df, id_col, text_col, n))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if naive_candidate_ratio is not None:
-        # the dispatch probe: materializes the cached index + one tiny
+        # stage-1 dispatch probe: materializes the cached index + one tiny
         # two-counter aggregate over the vocabulary-sized freq frame
         stats = freq.agg(
             F.sum(F.col("__df") * (F.col("__df") - 1) / 2).alias("__cand"),
@@ -845,7 +845,53 @@ def prefix_filtered_jaccard_pairs(
         n_cand = float(stats["__cand"] or 0.0)
         n_postings = float(stats["__postings"] or 0.0)
         if n_cand <= naive_candidate_ratio * max(n_postings, 1.0):
+            _LOG.info(
+                "prefix_filtered_jaccard_pairs: naive path (stage 1: "
+                "%.3g candidates <= %.0fx %.3g postings)",
+                n_cand, naive_candidate_ratio, n_postings,
+            )
             return _jaccard_pairs_from_index(sh, threshold)
+        # stage-2 probe: estimate the candidate volume the prefix filter
+        # would leave, from the document-frequency HISTOGRAM (distinct-df
+        # values x counts — a frame of at most a few thousand rows at any
+        # corpus size, driver-safe by construction). Prefixes keep each
+        # doc's rarest ~(1-t) fraction of postings, so the estimate is
+        # the candidate mass of the lowest-df shingles holding that
+        # posting budget. On a SATURATED shingle space (tiny vocabulary,
+        # flat df) even the rarest shingles are dense: the array-
+        # intersect verification then hauls full shingle arrays per
+        # candidate — an order of magnitude more bytes/work per candidate
+        # than the naive count-based join spends per joined row. Prefix
+        # filtering must buy roughly that verify-cost factor (~16x) in
+        # candidate reduction to win; otherwise run the naive verify on
+        # the cached index. Both routes are exact — this is a pure cost
+        # decision, like Catalyst choosing a join strategy from stats.
+        hist = sorted(
+            (int(r["__df"]), int(r["__n"]))
+            for r in freq.groupBy("__df").agg(F.count(F.lit(1)).alias("__n")).collect()
+        )
+        budget = (1.0 - float(threshold) + 0.05) * n_postings
+        cand_est, cum = 0.0, 0.0
+        for df_v, cnt in hist:
+            take = min(float(cnt * df_v), budget - cum)
+            if take <= 0:
+                break
+            cand_est += (take / df_v) * df_v * (df_v - 1) / 2.0
+            cum += take
+        if cand_est > n_cand / 16.0:
+            _LOG.info(
+                "prefix_filtered_jaccard_pairs: naive path (stage 2: "
+                "~%.3g of %.3g candidates would survive the prefix "
+                "filter — saturated shingle space, array verification "
+                "would not pay)",
+                cand_est, n_cand,
+            )
+            return _jaccard_pairs_from_index(sh, threshold)
+        _LOG.info(
+            "prefix_filtered_jaccard_pairs: prefix path (~%.3g of %.3g "
+            "naive candidates estimated to survive the prefix filter)",
+            cand_est, n_cand,
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     prefix_len = (
         F.col("n_shingles")
@@ -864,6 +910,8 @@ def prefix_filtered_jaccard_pairs(
         .filter(F.col("__pos") <= prefix_len)
         .select("id", "shingle", "n_shingles")
     )
+    # the prefix index feeds both self-join sides
+    pre = tracked_persist(pre)
     # length filter (also lossless): J >= t forces t|A| <= |B| <= |A|/t,
     # so size-incompatible pairs never reach verification
     cand = (

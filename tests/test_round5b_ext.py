@@ -898,3 +898,63 @@ class TestSessionEntryAnalysis:
         )
         got = {r["entry_type"]: r["n"] for r in per_sess.collect()}
         assert got == {"view": 2, "purchase": 1}
+
+
+class TestPrefixJaccardDispatch:
+    """The crossover dispatch must route each corpus regime to the path
+    that wins there, and every route returns identical pairs (the
+    pigeonhole property test is the equivalence gate)."""
+
+    def _route(self, spark, caplog, docs, **kw):
+        with caplog.at_level(
+            "INFO", logger="fantasy_premier_league_spark.operators.dedup"
+        ):
+            out = sorted(
+                map(tuple, prefix_filtered_jaccard_pairs(docs, "doc_id", "text", **kw).collect())
+            )
+        msgs = [r.message for r in caplog.records if "prefix_filtered" in r.message]
+        release_operator_caches(blocking=True)
+        return out, msgs[-1] if msgs else ""
+
+    def test_clean_corpus_routes_naive_stage1(self, spark, caplog):
+        # short posting lists: candidates ~ postings -> stage-1 naive
+        docs = spark.createDataFrame(
+            [(i, f"unique{i} tokens only here {i} alpha beta gamma") for i in range(30)],
+            "doc_id long, text string",
+        )
+        out, route = self._route(spark, caplog, docs, threshold=0.5)
+        assert "stage 1" in route
+
+    def test_subset_boilerplate_routes_prefix(self, spark, caplog):
+        # a shared header on otherwise-distinct docs: naive candidates
+        # explode quadratically, but the header shingles sort last and
+        # leave every prefix -> the prefix path engages
+        # the payload must be long enough that every prefix fits entirely
+        # inside the doc's RARE shingles (prefix_len ~ 0.5|S|+1 < #rare)
+        header = "terms of service apply to all users of this site today"
+        docs = spark.createDataFrame(
+            [(i, header + " " + " ".join(f"w{i}x{j}" for j in range(12)))
+             for i in range(120)],
+            "doc_id long, text string",
+        )
+        out, route = self._route(spark, caplog, docs, threshold=0.5)
+        assert "prefix path" in route
+        # equivalence on the routed corpus
+        naive = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect())
+        )
+        release_operator_caches(blocking=True)
+        assert out == naive
+
+    def test_saturated_space_routes_naive_stage2(self, spark, caplog):
+        # identical duplicates: the prefix filter cannot prune true dups
+        # (they MUST collide), so stage 2 detects a dense prefix index and
+        # falls back to the count-based naive verify
+        docs = spark.createDataFrame(
+            [(i, "all these documents share every single shingle exactly")
+             for i in range(120)],
+            "doc_id long, text string",
+        )
+        out, route = self._route(spark, caplog, docs, threshold=0.5)
+        assert "stage 2" in route
+        assert len(out) == 120 * 119 // 2  # all pairs are true dups

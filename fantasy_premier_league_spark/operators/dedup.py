@@ -277,15 +277,15 @@ def minhash_signatures(
     """
     params = _hash_params(num_hashes, seed)
     base = portable_hash32(F.col("shingle")) if portable else F.xxhash64("shingle")
-    exploded = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
-        )
-        .distinct()
+    # doc_shingles spreads the input across cores first (shingling + the
+    # num_hashes permutation min-aggregates are the per-row-heavy stage;
+    # a single-file scan would run them serially) and dedups per-doc
+    # without a corpus-wide shuffle
+    exploded = doc_shingles(df, id_col, text_col, n).withColumn(
         # materialize the base hash once; as an inline expression it would
         # be re-inlined (and re-evaluated) inside all num_hashes aggregates
-        .withColumn("__h", base.bitwiseAND(F.lit(_MASK30)))
+        "__h",
+        base.bitwiseAND(F.lit(_MASK30)),
     )
     h = F.col("__h")
     mins = [
@@ -582,8 +582,13 @@ def simhash(
     draws bits 0-31 from the low md5 half and 32-63 from the high half so an
     external SQL engine can replay the fingerprint bit-for-bit.
     """
+    from ..catalog import spread_partitions
+
     tf = (
-        df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("word"))
+        spread_partitions(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        )
+        .select("id", F.explode(words(F.col("__text"))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))

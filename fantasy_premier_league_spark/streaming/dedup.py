@@ -147,7 +147,13 @@ def run_near_dup_ingest(
             .withColumn("band_pk", _band_pk(band_buckets))
             .select("id", "band_sig", "band_pk")
         )
-        banded.write.mode("append").partitionBy("band_pk").parquet(f"{index_path}/bands")
+        # repartition on the partition column: without it this dynamic-
+        # partition append opens tasks x band_pk-values tiny files (the
+        # measured 54s of a 68s batch); with it, one file per touched
+        # band_pk value
+        banded.repartition("band_pk").write.mode("append").partitionBy(
+            "band_pk"
+        ).parquet(f"{index_path}/bands")
         sigs.select("id", "sig").write.mode("append").parquet(f"{index_path}/sigs")
         kept.unpersist()
         batch_p.unpersist()

@@ -52,6 +52,20 @@ class TestSaltedJoin:
         out = salted_join(left, right, "k", n_salt=2, left_disambiguator="tag", how="left").collect()
         assert len(out) == 1 and out[0]["name"] is None
 
+    def test_salting_engaged_in_plan(self, spark):
+        # the plan must actually join on (key, __salt) — the hot key's
+        # rows spread over n_salt buckets — and replicate the right side
+        left = spark.createDataFrame([(1, f"r{i}") for i in range(50)], "k int, tag string")
+        right = spark.createDataFrame([(1, "d")], "k int, name string")
+        out = salted_join(left, right, "k", n_salt=8, left_disambiguator="tag")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "__salt" in plan
+        # the salt spreads this key's 50 rows over all 8 buckets
+        salted_left = left.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("tag")), F.lit(8)).cast("int")
+        )
+        assert salted_left.select("__salt").distinct().count() == 8
+
 
 class TestCosinePairsGrid:
     def test_grid_matches_broadcast_block_path(self, spark):

@@ -150,13 +150,13 @@ def gen_embeddings(rng: np.random.Generator) -> None:
 
 def gen_skewed(rng: np.random.Generator) -> None:
     """A deliberately Zipf-skewed join workload (the 100 TB hot-key case):
-    6M click rows whose user_id follows Zipf(1.3) over 50k users — the
+    30M click rows whose user_id follows Zipf(1.3) over 50k users — the
     top key holds ~8-10% of all rows — plus a 50k-row user dim. Used by
     tools/skew_demo.py to measure plain vs AQE-skew vs salted joins."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    n, n_users = 6_000_000, 50_000
+    n, n_users = 30_000_000, 50_000
     ranks = rng.zipf(1.3, size=4 * n)
     ranks = ranks[ranks <= n_users][:n]
     user_id = ranks.astype(np.int64) - 1

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Measured skew-join evidence for SCALE.md (run after tools/gen_sf1.py).
 
-Joins the Zipf(1.3)-skewed 6M-row click table against the 50k user dim
+Joins the Zipf(1.3)-skewed 30M-row click table against the 50k user dim
 (top user ~8-10% of all rows) under four strategies, agg-only sink:
 
 1. plain shuffle join, AQE skew split OFF   — the straggler baseline
@@ -56,7 +56,7 @@ def run(spark, clicks, users, strategy: str) -> dict:
     return {
         "sec": round(dt, 2),
         "n_groups": len(rows),
-        "skew_splits": plan.count("isSkew=true"),
+        "skew_splits": plan.count("skew=true") + plan.count("and skewed"),
         "salted": "__salt" in plan,
     }
 
@@ -75,18 +75,27 @@ def main() -> None:
         "hot_key_share": round(top["count"] / total, 4),
     }
     # simulate the both-sides-big case for the shuffle strategies: no
-    # auto-broadcast (at 100 TB the dim wouldn't fit)
+    # auto-broadcast (at 100 TB the dim wouldn't fit). AQE's skew
+    # thresholds are scaled to the local data size the same way a 100 TB
+    # deployment scales them to executor memory: the defaults (256MB
+    # partition floor) never fire on a 600MB table, which would make the
+    # comparison silently measure nothing.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    for name, skew_flag in (
-        ("plain_no_aqe_skew", "false"),
-        ("plain_aqe_skew", "true"),
-        ("salted", "true"),
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    for name, skew_flag, strat in (
+        ("plain_no_aqe_skew", "false", "plain"),
+        ("plain_aqe_skew", "true", "plain"),
+        # salted with AQE's skew split OFF is the apples-to-apples row:
+        # explicit salting must fix the straggler BY ITSELF (the case that
+        # matters when runtime skew-splitting can't apply — aggregations
+        # feeding the join, full-outer joins, engines without AQE)
+        ("salted_no_aqe_skew", "false", "salted"),
+        ("salted_aqe_skew", "true", "salted"),
     ):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_flag)
-        # defeat AQE's own skew split for the salted run? no — salting must
-        # win on its own merits with the same session; AQE simply finds no
-        # skew left to split once the key space is salted
-        out[name] = run(spark, clicks, users, "salted" if name == "salted" else "plain")
+        trials = [run(spark, clicks, users, strat) for _ in range(2)]
+        out[name] = min(trials, key=lambda r: r["sec"])
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     out["broadcast"] = run(spark, clicks, users, "broadcast")

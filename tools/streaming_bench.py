@@ -127,9 +127,9 @@ def bench_dsir_gate(spark, docs, work) -> list[dict]:
     from fantasy_premier_league_spark.operators.selection import dsir_bucket_model
     from fantasy_premier_league_spark.streaming.quality import run_dsir_gate
 
-    # offline model: target = english docs, background = the rest
+    # offline model: target slice = english docs, background = the rest
     model = dsir_bucket_model(
-        docs.filter(F.col("lang") == "en"), docs, "doc_id", "text"
+        docs.withColumn("is_target", F.col("lang") == "en"), "text", "is_target"
     )
     model = model.cache()
     model.count()

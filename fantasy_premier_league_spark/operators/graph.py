@@ -220,7 +220,14 @@ def triangle_stats(
     u, v = F.least(F.col(src_col), F.col(dst_col)), F.greatest(
         F.col(src_col), F.col(dst_col)
     )
-    und = (
+    # und feeds the degree aggregate AND the annotation join; o feeds
+    # THREE consumers (both wedge sides + the closing probe). Persist
+    # both: without it each consumer replays the whole upstream edge
+    # build, and whether Catalyst's exchange reuse saves the day depends
+    # on upstream subtree shape (measured at sf1: 106s vs 50s for the
+    # SAME graph under two equivalent edge builders). Tracked: released
+    # via operators.cache.release_operator_caches.
+    und = tracked_persist(
         edges.select(u.alias("u"), v.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -235,10 +242,12 @@ def triangle_stats(
         .join(deg.withColumnsRenamed({"node": "v", "d": "dv"}), "v")
     )
     lower_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    o = e2.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("deg_b"),
+    o = tracked_persist(
+        e2.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("deg_b"),
+        )
     )
     o1 = o.select("a", F.col("b").alias("b1"), F.col("deg_b").alias("d1"))
     o2 = o.select("a", F.col("b").alias("b2"), F.col("deg_b").alias("d2"))

@@ -295,47 +295,66 @@ def label_propagation(
     sources ∪ sinks, so asymmetric edge lists don't silently drop the
     rank of no-in-edge nodes — same contract as :func:`pagerank`).
 
-    Plan shape per round — the same fixed-point skeleton as pagerank:
-    the edge list shuffles once onto dst and is persisted (tracked;
-    release via operators.cache.release_operator_caches); each round is
-    one hash join of edges x labels (nodes-sized), one partial-agg
-    groupBy on (node, label), one node-keyed window for the argmax, and
-    one left join back onto the persisted node set. Iteration count is
-    fixed (the plan is a finite unrolled chain); deep runs cut lineage
-    with localCheckpoint every ``checkpoint_every`` rounds. A 100 TB
-    edge list distributes on dst; hub skew salts cleanly because the
+    Plan shape per round — the same fixed-point skeleton as pagerank,
+    with the same up-front graph classification: one driver probe over
+    a single-pass node-stats frame decides (a) whether the rank/label
+    state is broadcastable (nodes-sized ≤ 4M ⇒ the per-round join
+    never shuffles the cached edge list) and (b) whether the graph is
+    in-closed (every node has in-neighbors — true for every symmetric
+    co-occurrence graph), in which case the per-round left-join rebuild
+    of the label vector is dropped from the plan entirely. The argmax
+    is a ``min_by`` over (count desc, label asc) — a partial aggregate,
+    not a node-keyed sort window. Iteration count is fixed (the plan is
+    a finite unrolled chain); deep runs cut lineage with a tracked
+    localCheckpoint every ``checkpoint_every`` rounds. A 100 TB edge
+    list distributes on dst; hub skew salts cleanly because the
     per-label count is a sum (operators/skew.py).
 
     Returns (node, label). Reference analogue: community grouping of the
     co-occurrence graphs the reference builds pairwise in pandas.
     """
-    from pyspark.sql import Window as W
-
     e = tracked_persist(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     )
     nodes = tracked_persist(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(0).alias("__i")),
+                    F.struct(F.col("dst").alias("node"), F.lit(1).alias("__i")),
+                )
+            ).alias("__x")
+        )
+        .select("__x.node", "__x.__i")
+        .groupBy("node")
+        .agg(F.sum("__i").alias("__nin"))
     )
+    probe = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("__nin") == 0, 1)).alias("n_no_in"),
+    ).first()
+    closed = int(probe["n_no_in"]) == 0
+    small_state = int(probe["n"]) <= 4_000_000
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(int(iterations)):
-        nbr = e.join(
-            labels.select(F.col("node").alias("src"), "label"), "src"
-        )
+        lsrc = labels.select(F.col("node").alias("src"), "label")
+        nbr = e.join(F.broadcast(lsrc) if small_state else lsrc, "src")
         counts = nbr.groupBy(F.col("dst").alias("node"), "label").agg(
             F.count(F.lit(1)).alias("__n")
         )
-        w = W.partitionBy("node").orderBy(F.col("__n").desc(), F.col("label").asc())
-        picked = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", F.col("label").alias("__new"))
+        # deterministic argmax without a sort window: min over the
+        # (count desc, label asc) order key, unique per group
+        picked = counts.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("__n")).alias("a"), F.col("label").alias("b"))
+            ).alias("__new")
         )
-        labels = labels.join(picked, "node", "left").select(
-            "node", F.coalesce(F.col("__new"), F.col("label")).alias("label")
-        )
+        if closed:
+            labels = picked.select("node", F.col("__new").alias("label"))
+        else:
+            labels = labels.join(picked, "node", "left").select(
+                "node", F.coalesce(F.col("__new"), F.col("label")).alias("label")
+            )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < int(iterations):
             labels = tracked_local_checkpoint(labels)
     return labels

@@ -776,6 +776,114 @@ def connected_components(
     return labels.select(F.col("u").alias("id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) by ALTERNATING small-star / large-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the hub-robust alternative to :func:`connected_components`.
+
+    Min-label propagation moves one hop per round, and every round a
+    high-degree hub fans its full neighborhood into one reduce group.
+    The star operations instead REWIRE the graph toward depth-1 stars:
+
+    - large-star: every node attaches its strictly-larger neighbors to
+      the minimum of its closed neighborhood;
+    - small-star: every node attaches its smaller-or-equal neighbors
+      (and itself) to their minimum.
+
+    Each phase is a partial-aggregated ``groupBy(min)`` + join-back —
+    no sort window, so a degree-10^7 hub is combined map-side instead
+    of materialized in one task — and the paper's result is O(log^2 n)
+    rounds with edge count non-increasing. Edges are kept canonical
+    (child > parent), so the fixpoint is exactly the star forest whose
+    parents are the component minima: identical output to
+    connected_components / the q29 recursive-CTE oracle (r41 gate).
+
+    Per round: two groupBy+join phases over the (checkpointed) edge
+    frame; convergence = (count, xxhash-sum) of the canonical edge set
+    unchanged — one scalar agg per round, same probe discipline as
+    connected_components. Lineage cut with a tracked localCheckpoint
+    every round (the rewiring is not monotone row-wise, so caching
+    would pin superseded edge sets).
+    """
+    import warnings
+
+    from .cache import tracked_local_checkpoint
+
+    e0 = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    # canonical: child (greater id) -> parent (smaller id), one row per
+    # undirected edge
+    E = tracked_local_checkpoint(
+        e0.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+    )
+    nodes = tracked_local_checkpoint(
+        e0.select(F.explode(F.array("u", "v")).alias("id")).distinct()
+    )
+    prev = None
+    for it in range(max_iter + 1):
+        # large-star: neighborhoods from both directions; m = min of the
+        # closed neighborhood; strictly-larger neighbors re-attach to m.
+        # v > u and m <= u  =>  output rows are already canonical.
+        nb = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = nb.groupBy("u").agg(F.min("v").alias("__mn"))
+        large = (
+            nb.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("__mn"), F.col("u")).alias("v"),
+            )
+            .distinct()
+        )
+        # two consumers (the min aggregate and the join-back) — persist so
+        # the phase computes once; released with the operator caches
+        large = tracked_persist(large)
+        # small-star on the canonical frame (all neighbors here are
+        # smaller): every smaller neighbor AND the node itself attach to
+        # the minimum neighbor; self-loops drop.
+        smin = large.groupBy("u").agg(F.min("v").alias("__m"))
+        small = (
+            large.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .union(smin.select("u", F.col("__m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        E = tracked_local_checkpoint(small)
+        cur = E.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        cur = (cur["n"], cur["h"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        warnings.warn(
+            f"connected_components_star did not converge in {max_iter} rounds; "
+            "components are partial.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # fixpoint is a star forest: children point at their component min;
+    # roots are the nodes that never appear as a child
+    children = E.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = nodes.join(
+        children.select("id"), "id", "left_anti"
+    ).select("id", F.col("id").alias("cluster_id"))
+    return children.union(roots)
+
+
 def prefix_filtered_jaccard_pairs(
     df: DataFrame,
     id_col: str,

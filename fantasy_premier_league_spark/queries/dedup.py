@@ -680,3 +680,25 @@ def r30_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(
         "lsh_pairs", "exact_pairs", "hits", prec.alias("prec"), rec.alias("recall")
     )
+
+
+@query(
+    "r41_cc_star",
+    _cluster_oracle(max_hamming=8),
+    doc="Duplicate-group formation via ALTERNATING small-star/large-star "
+    "contraction (operators/dedup.py::connected_components_star, Kiveris "
+    "et al. SoCC'14) over the q29 SimHash pair graph — the hub-robust "
+    "closure for graphs where min-label propagation's per-round message "
+    "join would fan a high-degree node's whole neighborhood into one "
+    "reduce group. Both phases are partial-aggregated groupBy(min) + "
+    "join-back (map-side combine absorbs the hub), edge count is "
+    "non-increasing, and convergence is O(log^2 n) rounds. Same output "
+    "contract as q29 (cluster = min reachable id), checked against the "
+    "same recursive-CTE oracle.",
+    tags=("dedup", "graph", "iterative"),
+)
+def r41_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
+    cc = D.connected_components_star(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")

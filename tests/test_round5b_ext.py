@@ -958,3 +958,59 @@ class TestPrefixJaccardDispatch:
         out, route = self._route(spark, caplog, docs, threshold=0.5)
         assert "stage 2" in route
         assert len(out) == 120 * 119 // 2  # all pairs are true dups
+
+
+class TestStarConnectedComponents:
+    """connected_components_star must be value-identical to the min-label
+    propagation closure on any graph (same min-reachable-id contract)."""
+
+    def _both(self, spark, pairs):
+        from fantasy_premier_league_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        try:
+            a = sorted(tuple(r) for r in connected_components(df).collect())
+            b = sorted(tuple(r) for r in connected_components_star(df).collect())
+            return a, b
+        finally:
+            release_operator_caches(blocking=True)
+
+    def test_hand_graphs(self, spark):
+        # two components + a chain + an isolated edge
+        pairs = [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 10), (10, 11)]
+        a, b = self._both(spark, pairs)
+        assert a == b
+        clusters = dict(b)
+        assert clusters[3] == 1 and clusters[11] == 7 and clusters[6] == 5
+
+    def test_hub_star_graph(self, spark):
+        # one hub with 300 leaves, hub id NOT the minimum: every leaf and
+        # the hub must land on the min leaf id
+        pairs = [(1000, i) for i in range(1, 301)]
+        a, b = self._both(spark, pairs)
+        assert a == b
+        assert all(c == 1 for _, c in b)
+
+    def test_random_graphs_match_label_propagation(self, spark):
+        import random as rnd
+
+        for seed in (0, 1, 2):
+            r = rnd.Random(seed)
+            n = 60
+            pairs = [
+                (r.randrange(n), r.randrange(n)) for _ in range(80)
+            ]
+            pairs = [(a, b) for a, b in pairs if a != b]
+            a, b = self._both(spark, pairs)
+            assert a == b, f"seed {seed}"
+
+    def test_long_chain_converges_fast(self, spark):
+        # a 200-node path has diameter 200; star contraction must close it
+        # in O(log^2 n) rounds, well inside the default budget
+        pairs = [(i, i + 1) for i in range(200)]
+        a, b = self._both(spark, pairs)
+        assert a == b
+        assert all(c == 0 for _, c in b)

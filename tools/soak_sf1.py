@@ -81,6 +81,7 @@ DATA_FACTOR = {
     "r35_sql_exists": 10.0,
     "r36_decile_lift": 10.0,
     "r37_session_entry_analysis": 10.0,
+    "r41_cc_star": 10.0,
 }
 
 

@@ -594,9 +594,17 @@ def simhash(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     if portable:
-        # materialized once — referenced by all `bits` aggregate exprs
-        tf = tf.withColumn("__wh_lo", portable_hash32(F.col("word"))).withColumn(
-            "__wh_hi", portable_hash32_hi(F.col("word"))
+        # materialized once — referenced by all `bits` aggregate exprs.
+        # One md5 per row, substringed twice (the lo/hi helpers would
+        # each recompute the digest)
+        tf = (
+            tf.withColumn("__md5", F.md5("word"))
+            .withColumn(
+                "__wh_lo", F.conv(F.substring("__md5", 1, 8), 16, 10).cast("long")
+            )
+            .withColumn(
+                "__wh_hi", F.conv(F.substring("__md5", 9, 8), 16, 10).cast("long")
+            )
         )
         halves = [F.col("__wh_lo") if i < 32 else F.col("__wh_hi") for i in range(bits)]
         shifts = [i % 32 for i in range(bits)]

@@ -91,7 +91,25 @@ def spread_partitions(df: DataFrame, *, target: int | None = None) -> DataFrame:
     relative to the work it parallelizes), and at 100 TB — where a scan
     already produces >= cores partitions — it is a no-op, so the big-data
     path never pays an extra shuffle.
+
+    The partition-count probe (``df.rdd``) is only cheap on narrow plans
+    (pure scan + project/filter): under AQE it finalizes the physical
+    plan, which EXECUTES any upstream shuffle stages just to learn a
+    number, and that work is then redone by the real query. So frames
+    whose logical plan already contains a wide operator are returned
+    untouched — a shuffle upstream means the data is already spread at
+    ~shuffle.partitions. Streaming frames pass through unchanged (the
+    foreachBatch batches the streaming operators hand over are batch
+    frames and do get spread).
     """
+    if df.isStreaming:
+        return df
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(
+        marker in plan
+        for marker in ("Join", "Aggregate", "Window", "Sort", "Repartition", "Deduplicate")
+    ):
+        return df
     sc = df.sparkSession.sparkContext
     t = int(target or sc.defaultParallelism)
     if df.rdd.getNumPartitions() < t:

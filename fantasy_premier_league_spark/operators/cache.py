@@ -10,9 +10,14 @@ in a long-lived session or a 90-query bench run.
 ``tracked_persist`` registers every such frame; ``release_operator_caches``
 drops them all once the caller has consumed its results. The bench harness
 releases after every query, long-lived pipelines should release per stage.
-Unpersisting is always safe in Spark (blocks drop, lineage recomputes), so
-a release that races a still-running consumer costs performance, never
-correctness.
+Unpersisting a CACHE is always safe in Spark (blocks drop, lineage
+recomputes), so for tracked_persist frames a release that races a
+still-running consumer costs performance, never correctness.
+TRACKED CHECKPOINTS are stricter: a localCheckpoint's lineage is truncated,
+so once its blocks release the returned DataFrame cannot be re-executed —
+release only AFTER all consumers (including any later re-collect of the
+same result frame) are done. The per-query bench/parity harnesses satisfy
+this by construction (collect once, release, never touch the frame again).
 """
 
 from __future__ import annotations

@@ -145,9 +145,14 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     explode, not a corpus-wide ``.distinct()`` after it: (id, shingle)
     rows are already unique across docs once unique within each doc, so
     the old formulation's full shuffle of the exploded postings bought
-    nothing. Input is spread across cores first — shingling is the
-    per-row-heavy stage, and a single-file scan would otherwise run it
-    serially (catalog.spread_partitions; no-op at real scale).
+    nothing. PRECONDITION: one row per id — the contract every catalog
+    table carries and ``etl/quality.py::assert_unique_pk`` enforces; a
+    frame with re-delivered duplicate ids would double-count postings in
+    every count-based verify downstream (the streaming ingest dedups its
+    batch by id before sketching for exactly this reason). Input is
+    spread across cores first — shingling is the per-row-heavy stage,
+    and a single-file scan would otherwise run it serially
+    (catalog.spread_partitions; no-op at real scale).
     """
     from ..catalog import spread_partitions
 
@@ -854,7 +859,9 @@ def connected_components_star(
             .distinct()
         )
         # two consumers (the min aggregate and the join-back) — persist so
-        # the phase computes once; released with the operator caches
+        # the phase computes once; the PREVIOUS round's copy is dropped
+        # below as soon as the new edge set materializes, so resident
+        # cache stays one round's worth, not rounds x edges
         large = tracked_persist(large)
         # small-star on the canonical frame (all neighbors here are
         # smaller): every smaller neighbor AND the node itself attach to
@@ -868,6 +875,11 @@ def connected_components_star(
             .distinct()
         )
         E = tracked_local_checkpoint(small)
+        # the new E is materialized (eager checkpoint): this round's
+        # intermediate is dead — free it now (safe: a cache, not a
+        # checkpoint; bulk release would also catch it, but only at the
+        # end of the whole query)
+        large.unpersist()
         cur = E.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),

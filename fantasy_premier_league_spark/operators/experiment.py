@@ -103,10 +103,9 @@ def growth_accounting(
         F.sum("is_new").alias("new_users"),
     )
     # the cumulative window is global-ordered BY DESIGN over the tiny
-    # days-sized daily frame (a few thousand rows at any horizon);
-    # coalesce(1) makes that single-partition plan explicit instead of
-    # leaving Spark's "No Partition Defined" warning to fire on every run
-    daily = daily.coalesce(1)
+    # days-sized daily frame (a few thousand rows at any horizon) — the
+    # single-partition plan is inherent to the empty partition spec, and
+    # Spark's "No Partition Defined" warning on each run is expected
     cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     return daily.select(
         "day",

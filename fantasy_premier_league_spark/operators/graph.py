@@ -183,8 +183,14 @@ def co_occurrence_edges(
     LSH bucket-guard cap discipline applies upstream when group sizes
     are unbounded.
     """
-    g = df.groupBy(F.col(group_col).alias("__g")).agg(
-        F.collect_set(F.col(item_col)).alias("__items")
+    # NULL group keys never matched in the old self-join formulation
+    # (null-unsafe equality) and must not form a clique here either —
+    # groupBy would otherwise keep NULL as a real group and co-occur
+    # every item that ever appeared with a missing key
+    g = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.collect_set(F.col(item_col)).alias("__items"))
     )
     return (
         g.select(F.explode("__items").alias("src"), "__items")

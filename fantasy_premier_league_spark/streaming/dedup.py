@@ -124,7 +124,10 @@ def run_near_dup_ingest(
 
     def process(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
-        batch_p = batch.persist()
+        # re-delivered duplicate ids inside one batch would double-count
+        # postings in the sketches (doc_shingles' one-row-per-id
+        # contract) — batch-sized dedup, cheap
+        batch_p = batch.dropDuplicates([id_col]).persist()
         internal = minhash_dedup_pairs(
             batch_p, id_col, text_col, bands=bands, est_threshold=est_threshold,
             max_bucket_size=max_bucket_size, **kw,

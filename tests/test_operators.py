@@ -777,3 +777,17 @@ class TestRound4EmptyInputs:
 
         df = spark.createDataFrame([], "doc_id long, text string, source string")
         assert temperature_mix_rates(df, ["source"]).count() == 0
+
+
+class TestCoOccurrenceNullGroups:
+    def test_null_group_rows_produce_no_edges(self, spark):
+        # null-unsafe equality in the original self-join formulation:
+        # rows with a NULL group key must not form a co-occurrence clique
+        from fantasy_premier_league_spark.operators.graph import co_occurrence_edges
+
+        df = spark.createDataFrame(
+            [(1, 10), (1, 11), (None, 20), (None, 21), (None, 22)],
+            "g int, item int",
+        )
+        edges = {(r["src"], r["dst"]) for r in co_occurrence_edges(df, "g", "item").collect()}
+        assert edges == {(10, 11), (11, 10)}

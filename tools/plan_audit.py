@@ -5,9 +5,11 @@ For every registered query, compile the plan at the given sf dir and
 tabulate the properties the 100 TB arguments rest on. Compilation is
 normally execution-free, but queries with plan-build-time driver state
 execute bounded jobs while their plan is built (r05_bpe_apply runs its
-3-round BPE training collect; q48/r14 graph builders run their node-stat
-probe and eager lineage checkpoints) — the audit is therefore slower
-than a pure compile over those entries.
+3-round BPE training collect; the q48/q21/r41 graph builders run their
+node-stat probes and eager lineage checkpoints; q18's dispatch probe
+materializes its shingle index) — the audit is therefore slower than a
+pure compile over those entries, and it releases the operator caches
+those builds leave behind after every query.
 
 Tabulated:
 shuffle count, join strategies, Python nodes, and cartesian products
@@ -44,12 +46,19 @@ KNOWN_PYTHON = {
 def audit(sf_dir: str) -> tuple[list[dict], list[str]]:
     spark = get_spark("plan-audit")
     rows, violations = [], []
+    from fantasy_premier_league_spark.operators.cache import release_operator_caches
+
     for name, q in sorted(all_queries().items()):
         try:
             plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover - audit robustness
             violations.append(f"{name}: plan build failed: {e}")
             continue
+        finally:
+            # plan-build-time driver state (graph probes, dispatch
+            # probes, eager checkpoints) would otherwise accumulate
+            # across the whole 137-query audit
+            release_operator_caches()
         row = {
             "query": name,
             "exchanges": len(re.findall(r"Exchange (hash|range|SinglePartition)", plan)),

@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
 """Measured streaming throughput for SCALE.md — the three ingest surfaces.
 
-Two-drop harness at sf0.1 drop size (each micro-batch = one parquet file
-of ~5k documents / ~100k events): write drop 1, write drop 2 (containing
+Two-drop harness at sf0.1 drop size (each drop coalesced to ONE parquet
+file of ~5k documents / ~100k events so maxFilesPerTrigger=1 really means
+one drop per micro-batch): write drop 1, write drop 2 (containing
 re-deliveries / near-dups of drop 1), run the query with
 ``maxFilesPerTrigger=1`` + ``availableNow`` so each drop is exactly one
 micro-batch, then read per-batch ``numInputRows`` / ``triggerExecution``
@@ -47,13 +48,13 @@ def bench_content_dedup(spark, docs, work) -> list[dict]:
 
     src = f"{work}/content_src"
     stamped = docs.withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 600))
-    stamped.write.parquet(f"{src}/drop1.parquet")
+    stamped.coalesce(1).write.parquet(f"{src}/drop1.parquet")
     # drop 2: the same texts re-delivered under fresh ids + half new
     redelivered = stamped.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     fresh = stamped.filter(F.col("doc_id") % 2 == 0).withColumn(
         "text", F.concat(F.col("text"), F.lit(" fresh-suffix"))
     ).withColumn("doc_id", F.col("doc_id") + 2_000_000)
-    redelivered.unionByName(fresh).write.parquet(f"{src}/drop2.parquet")
+    redelivered.unionByName(fresh).coalesce(1).write.parquet(f"{src}/drop2.parquet")
     stream = (
         spark.readStream.schema(stamped.schema)
         .option("maxFilesPerTrigger", 1)
@@ -77,8 +78,8 @@ def bench_exact_key_dedup(spark, work) -> list[dict]:
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
     )
     src = f"{work}/events_src"
-    ev.write.parquet(f"{src}/drop1.parquet")
-    ev.write.parquet(f"{src}/drop2.parquet")  # full replay: all dup keys
+    ev.coalesce(1).write.parquet(f"{src}/drop1.parquet")
+    ev.coalesce(1).write.parquet(f"{src}/drop2.parquet")  # full replay: all dup keys
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -99,7 +100,7 @@ def bench_near_dup_ingest(spark, docs, work) -> list[dict]:
     from fantasy_premier_league_spark.streaming.dedup import run_near_dup_ingest
 
     src = f"{work}/near_src"
-    docs.write.parquet(f"{src}/drop1.parquet")
+    docs.coalesce(1).write.parquet(f"{src}/drop1.parquet")
     # drop 2: half the docs lightly perturbed (near-dups of drop 1), half new
     near = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000
@@ -107,7 +108,7 @@ def bench_near_dup_ingest(spark, docs, work) -> list[dict]:
     fresh = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
         "text", F.concat(F.lit("entirely reworded start "), F.reverse(F.col("text")))
     ).withColumn("doc_id", F.col("doc_id") + 2_000_000)
-    near.unionByName(fresh).write.parquet(f"{src}/drop2.parquet")
+    near.unionByName(fresh).coalesce(1).write.parquet(f"{src}/drop2.parquet")
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -134,8 +135,8 @@ def bench_dsir_gate(spark, docs, work) -> list[dict]:
     model = model.cache()
     model.count()
     src = f"{work}/dsir_src"
-    docs.write.parquet(f"{src}/drop1.parquet")
-    docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).write.parquet(
+    docs.coalesce(1).write.parquet(f"{src}/drop1.parquet")
+    docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).coalesce(1).write.parquet(
         f"{src}/drop2.parquet"
     )
     stream = (

@@ -104,12 +104,19 @@ def spread_partitions(df: DataFrame, *, target: int | None = None) -> DataFrame:
     """
     if df.isStreaming:
         return df
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(
-        marker in plan
-        for marker in ("Join", "Aggregate", "Window", "Sort", "Repartition", "Deduplicate")
-    ):
-        return df
+    # structural walk of the optimized plan's NODE NAMES (not a substring
+    # scan of the rendered plan text, where a column or relation literally
+    # named "Sort..." would false-positive and silently skip the spread)
+    wide = ("Join", "Aggregate", "Window", "Sort", "Repartition", "Deduplicate")
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if any(marker in name for marker in wide):
+            return df
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
     sc = df.sparkSession.sparkContext
     t = int(target or sc.defaultParallelism)
     if df.rdd.getNumPartitions() < t:

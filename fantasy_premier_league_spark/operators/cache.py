@@ -39,8 +39,8 @@ def _persistent_rdd_ids(sc) -> set[int]:
     return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
 
-def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
-    """``df.localCheckpoint(eager=True)`` + registration of the checkpoint's
+def tracked_local_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + registration of the checkpoint's
     storage blocks for a later bulk release.
 
     localCheckpoint persists its RDD at the RDD layer, invisible to
@@ -48,8 +48,20 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     without this wrapper every checkpointed iteration (PageRank, label
     propagation, connected components) would leave a nodes-sized block set
     resident for the life of the session, accumulating across a 136-query
-    bench run. The checkpoint is EAGER so the newly-persisted RDD ids are
-    observable as a before/after delta of ``getPersistentRDDs``.
+    bench run. The newly-persisted RDD ids are observable as a before/after
+    delta of ``getPersistentRDDs`` for eager AND lazy checkpoints alike —
+    ``localCheckpoint`` persists (and so registers) its RDD at call time,
+    only the materialization is deferred.
+
+    ``eager=False`` returns a frame whose LINEAGE IS ALREADY CUT (the plan
+    is rebased on the checkpoint RDD immediately) but whose blocks
+    materialize inside the caller's next action — iterative operators use
+    it to fold the per-round checkpoint job into the convergence probe,
+    one job per round instead of two. The first action after a lazy
+    checkpoint must scan every partition (a global aggregate does; a
+    ``first()``/``limit`` on the raw frame does not — partial scans leave
+    the checkpoint partially materialized, and a later release could then
+    strand an unmaterializable frame).
 
     Unlike plain caches, a released checkpoint cannot be recomputed (its
     lineage was truncated) — release only after the results are consumed,
@@ -57,11 +69,33 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     before = _persistent_rdd_ids(sc)
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     new_ids = sorted(_persistent_rdd_ids(sc) - before)
     if new_ids:
         _TRACKED_CHECKPOINTS.append((sc, new_ids))
     return out
+
+
+def tracked_materialize(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """Materialize a frame at the RDD layer (tracked localCheckpoint)
+    instead of the SQL columnar cache — the right persist for ARRAY-TYPED
+    frames consumed a handful of times within one query.
+
+    ``persist()`` routes through InMemoryRelation, whose columnar batch
+    encode costs a multiple of the plan's own execution for array columns
+    (measured, 6k-row SimHash fingerprint frame: 0.4s to compute, +0.6-2.0s
+    to build the columnar cache, +0.06s to checkpoint at the RDD layer —
+    the array encoder dominates). Sketch frames (MinHash sigs, SimHash
+    fingerprints, per-doc shingle arrays) are write-once/read-2-3x inside
+    one query, so the columnar encode never pays for itself; row-layout
+    RDD blocks serve the few readers directly. Trade-offs inherited from
+    localCheckpoint: lineage is CUT (release only after all consumers are
+    done — the module contract) and blocks are not executor-loss-tolerant
+    (swap for checkpoint() to reliable storage on a real cluster).
+    ``eager=False`` defers materialization to the caller's next
+    full-scan action (see tracked_local_checkpoint).
+    """
+    return tracked_local_checkpoint(df, eager=eager)
 
 
 def release_operator_caches(*, blocking: bool = False) -> int:

@@ -31,7 +31,7 @@ import random
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .cache import tracked_local_checkpoint, tracked_persist
+from .cache import tracked_local_checkpoint, tracked_materialize, tracked_persist
 
 _MASK30 = (1 << 30) - 1
 _MERSENNE31 = (1 << 31) - 1
@@ -138,20 +138,28 @@ def shingle_array(text_col: F.Column, n: int) -> F.Column:
     return F.when(F.size(w) >= n, gram).otherwise(F.array().cast("array<string>"))
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the inverted-index input.
+def doc_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, *, sort: bool = False
+) -> DataFrame:
+    """(id, __arr) — one row per doc, ``__arr`` the DISTINCT shingle array.
 
-    Distinctness comes from per-doc ``array_distinct`` BEFORE the
-    explode, not a corpus-wide ``.distinct()`` after it: (id, shingle)
-    rows are already unique across docs once unique within each doc, so
-    the old formulation's full shuffle of the exploded postings bought
-    nothing. PRECONDITION: one row per id — the contract every catalog
-    table carries and ``etl/quality.py::assert_unique_pk`` enforces; a
-    frame with re-delivered duplicate ids would double-count postings in
-    every count-based verify downstream (the streaming ingest dedups its
-    batch by id before sketching for exactly this reason). Input is
-    spread across cores first — shingling is the per-row-heavy stage,
-    and a single-file scan would otherwise run it serially
+    The compact per-doc form of the inverted index: everything the
+    Jaccard family needs is derivable from it without re-tokenizing —
+    postings via ``explode`` (cheap from a cached array), per-doc set
+    size via ``F.size`` (no groupBy shuffle), verification sets via the
+    array itself (no ``collect_list`` re-aggregation). Persisting THIS
+    frame instead of the exploded postings caches one row per doc
+    rather than one per posting, so the cached bytes shrink by the
+    average doc length while every downstream consumer stays JVM-side.
+    PRECONDITION: one row per id — the contract every catalog table
+    carries and ``etl/quality.py::assert_unique_pk`` enforces; a frame
+    with re-delivered duplicate ids would double-count postings in
+    every count-based verify downstream (the streaming ingest dedups
+    its batch by id before sketching for exactly this reason; batch
+    query wrappers read catalog tables whose primary key is asserted
+    at ETL time — pass such a frame or dropDuplicates(id) first).
+    Input is spread across cores first — shingling is the per-row-heavy
+    stage, and a single-file scan would otherwise run it serially
     (catalog.spread_partitions; no-op at real scale).
     """
     from ..catalog import spread_partitions
@@ -159,9 +167,18 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     base = spread_partitions(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     )
-    return base.select(
-        "id",
-        F.explode(F.array_distinct(shingle_array(F.col("__text"), n))).alias("shingle"),
+    arr = F.array_distinct(shingle_array(F.col("__text"), n))
+    if sort:
+        arr = F.sort_array(arr)
+    return base.select("id", arr.alias("__arr"))
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the exploded inverted-index input
+    (see :func:`doc_shingle_arrays` for the per-doc compact form and the
+    one-row-per-id precondition)."""
+    return doc_shingle_arrays(df, id_col, text_col, n).select(
+        "id", F.explode("__arr").alias("shingle")
     )
 
 
@@ -182,11 +199,19 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` drops super-frequent shingles before pairing (standard
     blocking at scale; changes recall slightly, so default off).
     """
+    if max_doc_freq is None:
+        # persist the docs-sized array frame, explode lazily, carry the
+        # set size with each posting: the verify collapses to self-join
+        # + one pair-keyed aggregate (see _jaccard_pairs_from_sized_index)
+        arr = tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n))
+        shs = arr.select(
+            "id", F.size("__arr").alias("n_shingles"), F.explode("__arr").alias("shingle")
+        )
+        return _jaccard_pairs_from_sized_index(shs, threshold)
     sh = doc_shingles(df, id_col, text_col, n)
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
-    # the inverted index feeds three consumers (sizes, both join sides);
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+    # the filtered index feeds three consumers (sizes, both join sides);
     # without an explicit persist Spark re-scans and re-shuffles it 3x
     sh = tracked_persist(sh)
     return _jaccard_pairs_from_index(sh, threshold)
@@ -218,6 +243,49 @@ def _jaccard_pairs_from_index(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _jaccard_pairs_from_sized_index(shs: DataFrame, threshold: float) -> DataFrame:
+    """Naive verify over a SIZE-CARRYING posting frame (id, n_shingles,
+    shingle): self-join on shingle, then ONE pair-keyed aggregate emits
+    n_common AND both set sizes (``any_value`` — constant within the
+    group) — no per-doc sizes aggregate and no join-back, so the whole
+    verify is the self-join plus a single exchange on the pair key.
+    Carrying one long per posting costs ~8 bytes/row of shuffle width;
+    the two sizes joins it replaces each shuffled (or broadcast) a
+    docs-sized aggregate. Same output as :func:`_jaccard_pairs_from_index`.
+    """
+    a = shs.alias("a")
+    b = shs.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.any_value(F.col("a.n_shingles")).alias("n_a"),
+            F.any_value(F.col("b.n_shingles")).alias("n_b"),
+        )
+        # loud contract check, free in codegen: per-doc-distinct postings
+        # guarantee n_common <= min(n_a, n_b); a caller violating the
+        # one-row-per-id precondition double-counts postings and trips this
+        # instead of silently returning inflated similarity scores
+        .filter(
+            F.assert_true(
+                F.col("n_common") <= F.least("n_a", "n_b"),
+                F.lit(
+                    "jaccard input violated the one-row-per-id contract "
+                    "(duplicate ids double-count postings); dropDuplicates "
+                    "the id column or fix the upstream key"
+                ),
+            ).isNull()
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -235,10 +303,29 @@ def containment_pairs(
     shingle, then on the pair key; candidates only for docs sharing a
     shingle, never all-pairs), only the final score differs.
     """
+    if max_doc_freq is None:
+        # same size-carrying single-aggregate verify as ngram_jaccard_pairs
+        arr = tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n))
+        shs = arr.select(
+            "id", F.size("__arr").alias("n_shingles"), F.explode("__arr").alias("shingle")
+        )
+        a = shs.alias("a")
+        b = shs.alias("b")
+        return (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.any_value(F.col("a.n_shingles")).alias("n_a"),
+                F.any_value(F.col("b.n_shingles")).alias("n_b"),
+            )
+            .withColumn("containment", F.col("n_common") / F.least("n_a", "n_b"))
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "n_common", F.round("containment", 6).alias("containment"))
+        )
     sh = doc_shingles(df, id_col, text_col, n)
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
     sh = tracked_persist(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
@@ -371,7 +458,7 @@ def minhash_dedup_pairs(
     # signatures feed banding + both verify-join sides → persist once
     # (num_hashes longs per doc; tiny next to the corpus); tracked so a
     # long-lived session can bulk-release via cache.release_operator_caches
-    sigs = tracked_persist(
+    sigs = tracked_materialize(
         minhash_signatures(
             df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
         )
@@ -427,7 +514,7 @@ def minhash_incremental_pairs(
     caller must build the index with identical (n, num_hashes, seed,
     portable) or estimates are meaningless.
     """
-    new_sigs = tracked_persist(
+    new_sigs = tracked_materialize(
         minhash_signatures(
             new_docs, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
         )
@@ -534,7 +621,7 @@ def minhash_incremental_pairs_indexed(
     portable) contract as the index build, same output as the re-banding
     form (asserted in tests/test_guards_lifecycle.py).
     """
-    new_sigs = tracked_persist(
+    new_sigs = tracked_materialize(
         minhash_signatures(
             new_docs, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
         )
@@ -579,8 +666,18 @@ def minhash_incremental_pairs_indexed(
 def simhash(
     df: DataFrame, id_col: str, text_col: str, *, bits: int = 64, portable: bool = False
 ) -> DataFrame:
-    """(id, simhash_bits: array<int>[bits], bands: array<string>[4]) SimHash
-    fingerprint from term-frequency-weighted word hashes.
+    """(id, simhash: long, bands: array<long>[4]) SimHash fingerprint
+    from term-frequency-weighted word hashes, PACKED into a single long.
+
+    The packed representation is the scale design: hamming distance
+    between two fingerprints is ``bit_count(a XOR b)`` — one codegen'd
+    xor+popcount per candidate pair instead of a 64-element zip_with
+    fold — and the fingerprint frame caches as 8 bytes + 4 band longs
+    per doc instead of a 64-int array (the SQL columnar cache's array
+    encoder measured 3-10x the frame's own compute). Band b is bits
+    [b*width, (b+1)*width) of the packed long — the same equivalence
+    classes as the bit-string bands the portable oracle replays, so
+    candidate generation partitions identically value-for-value.
 
     Explode words → per-(id, word) counts → for each bit, sum(+tf / -tf by
     the word-hash bit) → sign → bit. One shuffle on id. The portable flag
@@ -626,14 +723,25 @@ def simhash(
         for i in range(bits)
     ]
     agg = tf.groupBy("id").agg(*bit_sums)
-    bit_arr = F.array(*[(F.col(f"__b{i}") > 0).cast("int") for i in range(bits)])
-    out = agg.select("id", bit_arr.alias("simhash_bits"))
+    # pack the sign bits into one long: bit i set iff the weighted vote is
+    # positive. shiftleft on a long handles bit 63 (wraps to the sign bit)
+    # where a Python 1 << 63 literal would overflow the LongType.
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(
+                F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    out = agg.select("id", packed.alias("simhash"))
     band_width = bits // 4
-    bands_col = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),
-        lambda bidx: F.concat_ws(
-            "", F.transform(F.slice("simhash_bits", bidx * band_width + 1, band_width), lambda x: x.cast("string"))
-        ),
+    band_mask = (1 << band_width) - 1
+    bands_col = F.array(
+        *[
+            F.shiftrightunsigned("simhash", b * band_width)
+            .bitwiseAND(F.lit(band_mask).cast("long"))
+            for b in range(4)
+        ]
     )
     return out.withColumn("bands", bands_col)
 
@@ -650,19 +758,20 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by SimHash: banded candidates (pigeonhole: hamming<=3
     guarantees an equal 16-bit band; wider radii trade recall), then exact
     hamming distance filter on the full fingerprint."""
+    # fingerprint frame feeds banding + both verify-join sides; with the
+    # packed-long representation it is a plain (long, long, tiny array)
+    # frame, cheap to cache columnar
     fp = tracked_persist(simhash(df, id_col, text_col, portable=portable))
     banded = _cap_band_buckets(
-        fp.select("id", "simhash_bits", F.posexplode("bands").alias("band_idx", "band_sig")),
+        fp.select("id", "simhash", F.posexplode("bands").alias("band_idx", "band_sig")),
         max_bucket_size,
         context="simhash_near_dup_pairs",
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    hamming = F.aggregate(
-        F.zip_with(F.col("a.simhash_bits"), F.col("b.simhash_bits"), lambda x, y: (x != y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    # exact hamming = popcount of the fingerprint xor — stays inside
+    # whole-stage codegen, no per-pair array fold
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
@@ -820,9 +929,21 @@ def connected_components_star(
     Per round: two groupBy+join phases over the (checkpointed) edge
     frame; convergence = (count, xxhash-sum) of the canonical edge set
     unchanged — one scalar agg per round, same probe discipline as
-    connected_components. Lineage cut with a tracked localCheckpoint
-    every round (the rewiring is not monotone row-wise, so caching
-    would pin superseded edge sets).
+    connected_components. Lineage is cut every round with a LAZY
+    tracked localCheckpoint whose blocks materialize inside that same
+    convergence aggregate: one job per round, not an eager-checkpoint
+    job plus a probe job (round-7 fixed-cost fix — the rewiring is not
+    monotone row-wise, so a plain cache would pin superseded edge
+    sets without cutting the exponentially-growing plan).
+
+    The upstream pair pipeline materializes exactly ONCE (the initial
+    eager checkpoint of the canonical edge set); the node set needed
+    for root recovery is derived from the FINAL edge frame instead of
+    a second pass over ``pairs`` — sound because both star phases
+    preserve the node set: large-star keeps a node with a smaller
+    neighbor as a child of that neighbor's group and a node with none
+    as the parent of its own; small-star re-emits every child via its
+    self-attachment row, every parent as a group minimum.
     """
     import warnings
 
@@ -833,14 +954,13 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
     )
     # canonical: child (greater id) -> parent (smaller id), one row per
-    # undirected edge
+    # undirected edge. Eager: consumed twice by round 0's neighborhood
+    # union — a lazy cut here would race two subtrees of one job into
+    # computing the whole upstream sketch pipeline concurrently.
     E = tracked_local_checkpoint(
         e0.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
-    )
-    nodes = tracked_local_checkpoint(
-        e0.select(F.explode(F.array("u", "v")).alias("id")).distinct()
     )
     prev = None
     for it in range(max_iter + 1):
@@ -874,16 +994,20 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        E = tracked_local_checkpoint(small)
-        # the new E is materialized (eager checkpoint): this round's
-        # intermediate is dead — free it now (safe: a cache, not a
-        # checkpoint; bulk release would also catch it, but only at the
-        # end of the whole query)
-        large.unpersist()
+        # lazy lineage cut: the plan is rebased on the checkpoint RDD now,
+        # the blocks materialize inside the convergence aggregate below —
+        # one job per round (the global agg scans every partition, which
+        # the lazy-checkpoint contract requires)
+        E = tracked_local_checkpoint(small, eager=False)
         cur = E.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
+        # the new E is materialized (the agg ran): this round's
+        # intermediate is dead — free it now (safe: a cache, not a
+        # checkpoint; bulk release would also catch it, but only at the
+        # end of the whole query)
+        large.unpersist()
         cur = (cur["n"], cur["h"])
         if cur == prev:
             break
@@ -896,11 +1020,16 @@ def connected_components_star(
             stacklevel=2,
         )
     # fixpoint is a star forest: children point at their component min;
-    # roots are the nodes that never appear as a child
+    # roots are the nodes that never appear as a child. Both derive from
+    # the final materialized E (node-set preservation, see docstring) —
+    # the upstream pair pipeline is never re-executed.
     children = E.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
-    roots = nodes.join(
-        children.select("id"), "id", "left_anti"
-    ).select("id", F.col("id").alias("cluster_id"))
+    roots = (
+        E.select(F.col("v").alias("id"))
+        .distinct()
+        .join(children.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("cluster_id"))
+    )
     return children.union(roots)
 
 
@@ -965,44 +1094,65 @@ def prefix_filtered_jaccard_pairs(
     Returns (id_a, id_b, n_common, jaccard) — identical to
     ngram_jaccard_pairs at the same (n, threshold); the oracle for both
     is the naive all-sharing-pairs SQL.
+
+    ONE materialization feeds everything (round-7 probe-overhead fix):
+    the persisted frame is the per-doc shingle ARRAY (docs-sized, not
+    postings-sized); postings explode from it lazily, per-doc set sizes
+    ride along as ``F.size`` (no groupBy), verification sets are the
+    cached arrays themselves (no collect_list re-aggregation), and BOTH
+    probe stages read one collected document-frequency histogram (a
+    frame of distinct df values — a few thousand rows at any corpus
+    size, driver-safe by construction). Probe cost: one job over the
+    index both routes consume anyway, plus a vocabulary-sized ``freq``
+    cache the prefix route reuses for its global shingle order.
     """
-    sh = tracked_persist(doc_shingles(df, id_col, text_col, n))
+    # RDD-layer materialization (columnar cache would re-encode the string
+    # arrays, see cache.tracked_materialize). Lazy when probing: the probe's
+    # histogram job consumes arr as a single subtree and is the first full
+    # scan, so the blocks materialize inside the job the route needs anyway;
+    # eager when the probe is disabled (the prefix plan reads arr from
+    # several subtrees — a lazy cut would race them into recomputing it).
+    arr = tracked_materialize(
+        doc_shingle_arrays(df, id_col, text_col, n, sort=True),
+        eager=naive_candidate_ratio is None,
+    )
+    sh = arr.select("id", F.size("__arr").alias("n_shingles"), F.explode("__arr").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if naive_candidate_ratio is not None:
-        # stage-1 dispatch probe: materializes the cached index + one tiny
-        # two-counter aggregate over the vocabulary-sized freq frame
-        stats = freq.agg(
-            F.sum(F.col("__df") * (F.col("__df") - 1) / 2).alias("__cand"),
-            F.sum("__df").alias("__postings"),
-        ).first()
-        n_cand = float(stats["__cand"] or 0.0)
-        n_postings = float(stats["__postings"] or 0.0)
+        # the prefix route joins freq again for the global shingle order;
+        # vocabulary-sized, so caching it costs ~nothing on the naive route
+        freq = tracked_persist(freq)
+        hist = sorted(
+            (int(r["__df"]), int(r["__n"]))
+            for r in freq.groupBy("__df").agg(F.count(F.lit(1)).alias("__n")).collect()
+        )
+        # stage-1 dispatch: the naive self-join's candidate volume is
+        # EXACT from the histogram (sum df·(df-1)/2); when it is under
+        # naive_candidate_ratio × postings (posting lists are short — a
+        # clean corpus) the prefix machinery's ~5 extra exchanges cannot
+        # pay for themselves
+        n_cand = sum(n * d * (d - 1) / 2.0 for d, n in hist)
+        n_postings = float(sum(n * d for d, n in hist))
         if n_cand <= naive_candidate_ratio * max(n_postings, 1.0):
             _LOG.info(
                 "prefix_filtered_jaccard_pairs: naive path (stage 1: "
                 "%.3g candidates <= %.0fx %.3g postings)",
                 n_cand, naive_candidate_ratio, n_postings,
             )
-            return _jaccard_pairs_from_index(sh, threshold)
-        # stage-2 probe: estimate the candidate volume the prefix filter
-        # would leave, from the document-frequency HISTOGRAM (distinct-df
-        # values x counts — a frame of at most a few thousand rows at any
-        # corpus size, driver-safe by construction). Prefixes keep each
-        # doc's rarest ~(1-t) fraction of postings, so the estimate is
-        # the candidate mass of the lowest-df shingles holding that
-        # posting budget. On a SATURATED shingle space (tiny vocabulary,
-        # flat df) even the rarest shingles are dense: the array-
-        # intersect verification then hauls full shingle arrays per
-        # candidate — an order of magnitude more bytes/work per candidate
-        # than the naive count-based join spends per joined row. Prefix
-        # filtering must buy roughly that verify-cost factor (~16x) in
-        # candidate reduction to win; otherwise run the naive verify on
-        # the cached index. Both routes are exact — this is a pure cost
-        # decision, like Catalyst choosing a join strategy from stats.
-        hist = sorted(
-            (int(r["__df"]), int(r["__n"]))
-            for r in freq.groupBy("__df").agg(F.count(F.lit(1)).alias("__n")).collect()
-        )
+            return _jaccard_pairs_from_sized_index(sh, threshold)
+        # stage-2: estimate the candidate volume the prefix filter would
+        # leave, from the same histogram. Prefixes keep each doc's
+        # rarest ~(1-t) fraction of postings, so the estimate is the
+        # candidate mass of the lowest-df shingles holding that posting
+        # budget. On a SATURATED shingle space (tiny vocabulary, flat
+        # df) even the rarest shingles are dense: the array-intersect
+        # verification then hauls full shingle arrays per candidate —
+        # an order of magnitude more bytes/work per candidate than the
+        # naive count-based join spends per joined row. Prefix filtering
+        # must buy roughly that verify-cost factor (~16x) in candidate
+        # reduction to win; otherwise run the naive verify on the cached
+        # index. Both routes are exact — this is a pure cost decision,
+        # like Catalyst choosing a join strategy from stats.
         budget = (1.0 - float(threshold) + 0.05) * n_postings
         cand_est, cum = 0.0, 0.0
         for df_v, cnt in hist:
@@ -1019,13 +1169,12 @@ def prefix_filtered_jaccard_pairs(
                 "would not pay)",
                 cand_est, n_cand,
             )
-            return _jaccard_pairs_from_index(sh, threshold)
+            return _jaccard_pairs_from_sized_index(sh, threshold)
         _LOG.info(
             "prefix_filtered_jaccard_pairs: prefix path (~%.3g of %.3g "
             "naive candidates estimated to survive the prefix filter)",
             cand_est, n_cand,
         )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     prefix_len = (
         F.col("n_shingles")
         - F.floor(F.lit(float(threshold)) * F.col("n_shingles"))
@@ -1039,7 +1188,6 @@ def prefix_filtered_jaccard_pairs(
                 W.partitionBy("id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
             ),
         )
-        .join(sizes, "id")
         .filter(F.col("__pos") <= prefix_len)
         .select("id", "shingle", "n_shingles")
     )
@@ -1059,15 +1207,13 @@ def prefix_filtered_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    docsets = tracked_persist(
-        sh.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("__set"))
-    )
+    # verification sets are the cached per-doc arrays (already sorted)
     joined = (
         cand.join(
-            docsets.select(F.col("id").alias("id_a"), F.col("__set").alias("__sa")), "id_a"
+            arr.select(F.col("id").alias("id_a"), F.col("__arr").alias("__sa")), "id_a"
         )
         .join(
-            docsets.select(F.col("id").alias("id_b"), F.col("__set").alias("__sb")), "id_b"
+            arr.select(F.col("id").alias("id_b"), F.col("__arr").alias("__sb")), "id_b"
         )
         .withColumn("n_common", F.size(F.array_intersect("__sa", "__sb")).cast("long"))
         .withColumn("n_a", F.size("__sa"))

@@ -28,6 +28,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+#: largest probe table (rows = queries x n_probe) shipped WITH inline query
+#: vectors through a driver broadcast; bigger batches broadcast only the
+#: slim (query_id, cell) routing pairs and re-join vectors distributed
+_IVF_INLINE_PROBE_ROWS = 262_144
+
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -349,12 +354,14 @@ def ivf_topk(
     assigned = model.transform(c).drop("__v")
     centroids = model.clusterCenters()
 
-    # probe assignment stays IN-ENGINE: the only driver-sized state is the
+    # probe ASSIGNMENT stays in-engine: the only driver-sized state is the
     # codebook itself (n_centroids rows — model output, bounded by
-    # construction). Queries never collect: a broadcast crossJoin against
-    # the codebook + one query-keyed window picks each query's n_probe
-    # nearest cells, so a 1M-query batch distributes instead of
-    # serializing through the driver.
+    # construction). Distance evaluation distributes: a broadcast crossJoin
+    # against the codebook + one query-keyed window picks each query's
+    # n_probe nearest cells. How the probe table then reaches the corpus
+    # join is batch-size dependent (see below) — a broadcast of the full
+    # probe frame would route n_q x n_probe VECTOR copies through the
+    # driver, fine for a lookup batch, wrong for a 1M-query batch.
     spark = corpus.sparkSession
     cent = spark.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)],
@@ -381,7 +388,20 @@ def ivf_topk(
         .select("query_id", "qvec", "cell")
     )
 
-    cand = assigned.join(F.broadcast(probes), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    # cell has only n_centroids distinct values, so a SHUFFLE join on it
+    # would collapse to n_centroids reduce groups — the probe table must be
+    # broadcast. What to put in it is a cost decision on the batch size
+    # (one bounded count job): small batches broadcast vectors inline (one
+    # hop, no second join); large batches broadcast only the slim
+    # (query_id, cell) routing table — 16 bytes/row at any dimension — and
+    # join the vectors back by query_id, a queries-sized distributed
+    # shuffle that never serializes vector copies through the driver.
+    if q.count() * n_probe <= _IVF_INLINE_PROBE_ROWS:
+        cand = assigned.join(F.broadcast(probes), "cell")
+    else:
+        slim = probes.select("query_id", "cell")
+        cand = assigned.join(F.broadcast(slim), "cell").join(q, "query_id")
+    cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), round_digits)
     scored = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -326,7 +326,7 @@ def q27_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q34_salted_join",
+    "r42_salted_join",
     """
     SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
@@ -340,7 +340,7 @@ def q27_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proves it.",
     tags=("join", "skew"),
 )
-def q34_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r42_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_join
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")

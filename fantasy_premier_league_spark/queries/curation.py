@@ -423,7 +423,7 @@ def q95_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q47_state_history",
+    "r44_state_history",
     """
     WITH o AS (
         SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us FROM events
@@ -458,7 +458,7 @@ def q95_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Catalyst plans a single shuffle.",
     tags=("warehouse", "window", "scd2"),
 )
-def q47_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r44_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return C.compress_history(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
 

@@ -620,7 +620,7 @@ _NAIVE_T03 = f"""
 
 
 @query(
-    "r30_lsh_recall_eval",
+    "q37_lsh_recall_eval",
     f"""
     WITH lsh AS (
         SELECT id_a, id_b FROM ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42)})
@@ -650,7 +650,7 @@ _NAIVE_T03 = f"""
     "evaluation join value-for-value. Empty sides yield null metrics.",
     tags=("dedup", "minhash", "evaluation", "llm-pipeline"),
 )
-def r30_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import tracked_persist
 
     docs = load(spark, sf_dir, "documents")
@@ -683,7 +683,7 @@ def r30_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r41_cc_star",
+    "q34_cc_star",
     _cluster_oracle(max_hamming=8),
     doc="Duplicate-group formation via ALTERNATING small-star/large-star "
     "contraction (operators/dedup.py::connected_components_star, Kiveris "
@@ -697,7 +697,7 @@ def r30_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same recursive-CTE oracle.",
     tags=("dedup", "graph", "iterative"),
 )
-def r41_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
     cc = D.connected_components_star(pairs)

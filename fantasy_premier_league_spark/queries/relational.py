@@ -1037,7 +1037,7 @@ def q76_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q37_cube_volume",
+    "r43_cube_volume",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
@@ -1058,7 +1058,7 @@ def q76_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "level marker.",
     tags=("cube", "agg"),
 )
-def q37_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r43_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cubed = orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("int").alias("lvl"),

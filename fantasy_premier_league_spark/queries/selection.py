@@ -568,7 +568,7 @@ def _cluster_split_oracle() -> str:
 
 
 @query(
-    "r08_cluster_safe_split",
+    "q47_cluster_safe_split",
     _cluster_split_oracle(),
     doc="Contamination-safe train/valid split: near-duplicate documents "
     "must never straddle the split (a valid doc with a train near-dup "
@@ -580,7 +580,7 @@ def _cluster_split_oracle() -> str:
     "leakage-safety property is value-hash checked.",
     tags=("dedup", "split", "llm-pipeline"),
 )
-def r08_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q47_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
     from ..operators.dedup import portable_hash32
 

@@ -225,7 +225,7 @@ class TestClusterSafeSplit:
         sf = "/root/testdata/sf0.001"
         split = {
             r["doc_id"]: r["split"]
-            for r in all_queries()["r08_cluster_safe_split"].fn(spark, sf).collect()
+            for r in all_queries()["q47_cluster_safe_split"].fn(spark, sf).collect()
         }
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         assert len(split) == docs.count()

@@ -51,7 +51,7 @@ DATA_FACTOR = {
     "r05_bpe_apply": 10.0,
     "r06_quantized_recall": 4.0,
     "r07_corpus_report": 10.0,
-    "r08_cluster_safe_split": 10.0,
+    "q47_cluster_safe_split": 10.0,
     "r09_event_funnel": 10.0,
     "r10_retention_cohorts": 10.0,
     "q17_triangle_stats": 10.0,
@@ -73,7 +73,7 @@ DATA_FACTOR = {
     "r27_latency_bands": 10.0,
     "r28_also_bought": 10.0,
     "r29_cuped_ab_test": 10.0,
-    "r30_lsh_recall_eval": 10.0,
+    "q37_lsh_recall_eval": 10.0,
     "r31_compression_quality": 10.0,
     "r32_pareto_abc": 10.0,
     "r33_mad_outliers": 10.0,
@@ -81,7 +81,7 @@ DATA_FACTOR = {
     "r35_sql_exists": 10.0,
     "r36_decile_lift": 10.0,
     "r37_session_entry_analysis": 10.0,
-    "r41_cc_star": 10.0,
+    "q34_cc_star": 10.0,
 }
 
 

@@ -66,6 +66,47 @@ def decontaminate_overlap(
     )
 
 
+def decontaminate_overlap_split(
+    docs: DataFrame,
+    eval_pred: F.Column,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """:func:`decontaminate_overlap` for the common case where corpus and
+    eval set are a PREDICATE split of one table (holdout benchmarks carved
+    from the same catalog): shingle the table once and split the exploded
+    postings, instead of running the scan → spread → shingle pipeline per
+    side. One spread repartition instead of two and one combined shingle
+    pass; measured 0.93s vs 1.23s for the two-frame form at sf0.1. The
+    predicate split is exact — eval docs never reach the corpus side.
+    ``eval_pred`` is evaluated on the POST-SHINGLE frame, whose id column
+    is named ``id`` regardless of ``id_col`` (e.g. ``F.col("id") % 17 == 0``).
+    """
+    sh = doc_shingles(docs, id_col, text_col, n).withColumn(
+        "__is_eval", eval_pred
+    )
+    eval_sh = (
+        sh.filter(F.col("__is_eval"))
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus_sh = sh.filter(~F.col("__is_eval")).select("id", "shingle")
+    return (
+        corpus_sh.join(eval_sh, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hit"),
+        )
+        .withColumn("overlap", F.round(F.col("n_hit") / F.col("n_shingles"), 6))
+        .withColumn("contaminated", (F.col("overlap") >= F.lit(threshold)).cast("int"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

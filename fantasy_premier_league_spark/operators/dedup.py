@@ -176,9 +176,27 @@ def doc_shingle_arrays(
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs — the exploded inverted-index input
     (see :func:`doc_shingle_arrays` for the per-doc compact form and the
-    one-row-per-id precondition)."""
-    return doc_shingle_arrays(df, id_col, text_col, n).select(
-        "id", F.explode("__arr").alias("shingle")
+    one-row-per-id precondition).
+
+    The explode is INLINED into the Generate rather than routed through a
+    ``__arr`` projection: with a projected array attribute, Catalyst's
+    InferFiltersFromGenerate plants a ``size(__arr) > 0`` filter under the
+    Generate and predicate pushdown then substitutes the FULL shingle
+    expression into it — every document gets tokenized and shingled twice
+    per row (measured 2x on the sf0.1 decontaminate/minhash family, the
+    round-7 regression). With the generator input as a non-attribute
+    expression the rule does not fire. Callers that need the array AND its
+    size must materialize :func:`doc_shingle_arrays` first (the inferred
+    filter is then a cheap ``size`` of a cached attribute).
+    """
+    from ..catalog import spread_partitions
+
+    base = spread_partitions(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    )
+    return base.select(
+        "id",
+        F.explode(F.array_distinct(shingle_array(F.col("__text"), n))).alias("shingle"),
     )
 
 
@@ -200,10 +218,13 @@ def ngram_jaccard_pairs(
     blocking at scale; changes recall slightly, so default off).
     """
     if max_doc_freq is None:
-        # persist the docs-sized array frame, explode lazily, carry the
+        # materialize the docs-sized array frame LAZILY (the caller's one
+        # action full-scans it via the self-join, so the blocks build
+        # inside that job — eager would schedule a separate fixed-cost
+        # job, the round-7 bench regression), explode lazily, carry the
         # set size with each posting: the verify collapses to self-join
         # + one pair-keyed aggregate (see _jaccard_pairs_from_sized_index)
-        arr = tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n))
+        arr = tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n), eager=False)
         shs = arr.select(
             "id", F.size("__arr").alias("n_shingles"), F.explode("__arr").alias("shingle")
         )
@@ -243,15 +264,16 @@ def _jaccard_pairs_from_index(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _jaccard_pairs_from_sized_index(shs: DataFrame, threshold: float) -> DataFrame:
-    """Naive verify over a SIZE-CARRYING posting frame (id, n_shingles,
-    shingle): self-join on shingle, then ONE pair-keyed aggregate emits
-    n_common AND both set sizes (``any_value`` — constant within the
-    group) — no per-doc sizes aggregate and no join-back, so the whole
-    verify is the self-join plus a single exchange on the pair key.
-    Carrying one long per posting costs ~8 bytes/row of shuffle width;
-    the two sizes joins it replaces each shuffled (or broadcast) a
-    docs-sized aggregate. Same output as :func:`_jaccard_pairs_from_index`.
+def _pair_overlap_counts(shs: DataFrame) -> DataFrame:
+    """(id_a, id_b, n_common, n_a, n_b) for every id<id2 pair sharing a
+    shingle, from a SIZE-CARRYING posting frame (id, n_shingles, shingle):
+    self-join on shingle, then ONE pair-keyed aggregate emits n_common AND
+    both set sizes (``any_value`` — constant within the group) — no
+    per-doc sizes aggregate and no join-back, so the whole verify is the
+    self-join plus a single exchange on the pair key. Carrying one long
+    per posting costs ~8 bytes/row of shuffle width; the two sizes joins
+    it replaces each shuffled (or broadcast) a docs-sized aggregate.
+    Shared by the Jaccard and containment scorers.
     """
     a = shs.alias("a")
     b = shs.alias("b")
@@ -271,12 +293,21 @@ def _jaccard_pairs_from_sized_index(shs: DataFrame, threshold: float) -> DataFra
             F.assert_true(
                 F.col("n_common") <= F.least("n_a", "n_b"),
                 F.lit(
-                    "jaccard input violated the one-row-per-id contract "
+                    "shingle-pair input violated the one-row-per-id contract "
                     "(duplicate ids double-count postings); dropDuplicates "
                     "the id column or fix the upstream key"
                 ),
             ).isNull()
         )
+    )
+
+
+def _jaccard_pairs_from_sized_index(shs: DataFrame, threshold: float) -> DataFrame:
+    """Naive verify over a size-carrying posting frame — see
+    :func:`_pair_overlap_counts`. Same output as
+    :func:`_jaccard_pairs_from_index`."""
+    return (
+        _pair_overlap_counts(shs)
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -304,21 +335,14 @@ def containment_pairs(
     shingle, never all-pairs), only the final score differs.
     """
     if max_doc_freq is None:
-        # same size-carrying single-aggregate verify as ngram_jaccard_pairs
-        arr = tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n))
+        # same lazy-materialized size-carrying single-aggregate verify as
+        # ngram_jaccard_pairs, same contract guard (_pair_overlap_counts)
+        arr = tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n), eager=False)
         shs = arr.select(
             "id", F.size("__arr").alias("n_shingles"), F.explode("__arr").alias("shingle")
         )
-        a = shs.alias("a")
-        b = shs.alias("b")
         return (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(
-                F.count(F.lit(1)).alias("n_common"),
-                F.any_value(F.col("a.n_shingles")).alias("n_a"),
-                F.any_value(F.col("b.n_shingles")).alias("n_b"),
-            )
+            _pair_overlap_counts(shs)
             .withColumn("containment", F.col("n_common") / F.least("n_a", "n_b"))
             .filter(F.col("containment") >= threshold)
             .select("id_a", "id_b", "n_common", F.round("containment", 6).alias("containment"))
@@ -455,13 +479,17 @@ def minhash_dedup_pairs(
     Candidates from banded LSH; estimate = fraction of agreeing signature
     components (unbiased for Jaccard). No second pass over the raw text.
     """
-    # signatures feed banding + both verify-join sides → persist once
-    # (num_hashes longs per doc; tiny next to the corpus); tracked so a
-    # long-lived session can bulk-release via cache.release_operator_caches
+    # signatures feed banding + both verify-join sides → materialize once
+    # (num_hashes longs per doc; tiny next to the corpus); LAZY — the
+    # caller's single action full-scans the banding subtree, so the blocks
+    # build inside that job instead of a separate eager fixed-cost job
+    # (the round-7 bench regression); tracked so a long-lived session can
+    # bulk-release via cache.release_operator_caches
     sigs = tracked_materialize(
         minhash_signatures(
             df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
-        )
+        ),
+        eager=False,
     )
     cands = lsh_candidate_pairs(sigs, bands=bands, max_bucket_size=max_bucket_size)
     a = sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
@@ -517,7 +545,8 @@ def minhash_incremental_pairs(
     new_sigs = tracked_materialize(
         minhash_signatures(
             new_docs, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
-        )
+        ),
+        eager=False,
     )
     nb = _cap_band_buckets(
         _banded(new_sigs, bands), max_bucket_size, context="minhash_incremental_pairs[new]"
@@ -624,7 +653,8 @@ def minhash_incremental_pairs_indexed(
     new_sigs = tracked_materialize(
         minhash_signatures(
             new_docs, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
-        )
+        ),
+        eager=False,
     )
     nb = _cap_band_buckets(
         _banded(new_sigs, bands),

@@ -58,10 +58,13 @@ def _sh_cte_n(n: int) -> str:
 )
 def q83_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
-    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    # corpus and eval are a predicate split of one table → the fused
+    # single-scan form (one spread + one shingle pass; the two-frame
+    # operator remains for genuinely separate eval corpora)
     return (
-        C.decontaminate_overlap(corpus, eval_df, "doc_id", "text", n=5, threshold=0.2)
+        C.decontaminate_overlap_split(
+            docs, F.col("id") % 17 == 0, "doc_id", "text", n=5, threshold=0.2
+        )
         .withColumnRenamed("id", "doc_id")
     )
 

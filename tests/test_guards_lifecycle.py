@@ -195,3 +195,38 @@ class TestConvergenceConfirmation:
         )
         with pytest.warns(RuntimeWarning, match="did not converge"):
             D.connected_components(chain, max_iter=1, shortcut_from=99).collect()
+
+
+class TestOneRowPerIdContract:
+    """The Jaccard/containment verify counts postings per (pair) group; a
+    duplicate id double-counts and would silently inflate scores — both
+    entry points must fail loudly instead (dedup._pair_overlap_counts)."""
+
+    def _dup_id_corpus(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),  # re-delivered id
+            (2, "alpha beta gamma delta epsilon eta"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_jaccard_trips_on_duplicate_ids(self, spark):
+        docs = self._dup_id_corpus(spark)
+        out = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+        with pytest.raises(Exception, match="one-row-per-id"):
+            out.collect()
+        release_operator_caches()
+
+    def test_containment_trips_on_duplicate_ids(self, spark):
+        docs = self._dup_id_corpus(spark)
+        out = D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+        with pytest.raises(Exception, match="one-row-per-id"):
+            out.collect()
+        release_operator_caches()
+
+    def test_clean_input_passes_both(self, spark):
+        docs = self._dup_id_corpus(spark).dropDuplicates(["doc_id"])
+        j = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1).collect()
+        c = D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.1).collect()
+        release_operator_caches()
+        assert len(j) == 1 and len(c) == 1

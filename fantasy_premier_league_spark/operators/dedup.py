@@ -264,7 +264,15 @@ def _jaccard_pairs_from_index(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _pair_overlap_counts(shs: DataFrame) -> DataFrame:
+# naive-verify broadcast gate: below this many postings the sized index
+# (id+size+shingle, ~50-80 bytes/row → tens of MB) broadcasts instead of
+# shuffling both self-join sides. Only dispatched when a probe has the
+# EXACT posting count (prefix_filtered_jaccard_pairs stage 1) — never a
+# blind default, so the at-scale path keeps the shuffle join.
+_NAIVE_BROADCAST_POSTINGS = 2_000_000
+
+
+def _pair_overlap_counts(shs: DataFrame, *, broadcast: bool = False) -> DataFrame:
     """(id_a, id_b, n_common, n_a, n_b) for every id<id2 pair sharing a
     shingle, from a SIZE-CARRYING posting frame (id, n_shingles, shingle):
     self-join on shingle, then ONE pair-keyed aggregate emits n_common AND
@@ -273,10 +281,12 @@ def _pair_overlap_counts(shs: DataFrame) -> DataFrame:
     self-join plus a single exchange on the pair key. Carrying one long
     per posting costs ~8 bytes/row of shuffle width; the two sizes joins
     it replaces each shuffled (or broadcast) a docs-sized aggregate.
-    Shared by the Jaccard and containment scorers.
+    Shared by the Jaccard and containment scorers. ``broadcast=True``
+    broadcasts the build side of the self-join (callers gate it on an
+    exact posting count — see ``_NAIVE_BROADCAST_POSTINGS``).
     """
     a = shs.alias("a")
-    b = shs.alias("b")
+    b = F.broadcast(shs.alias("b")) if broadcast else shs.alias("b")
     return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -302,12 +312,14 @@ def _pair_overlap_counts(shs: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_pairs_from_sized_index(shs: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs_from_sized_index(
+    shs: DataFrame, threshold: float, *, broadcast: bool = False
+) -> DataFrame:
     """Naive verify over a size-carrying posting frame — see
     :func:`_pair_overlap_counts`. Same output as
     :func:`_jaccard_pairs_from_index`."""
     return (
-        _pair_overlap_counts(shs)
+        _pair_overlap_counts(shs, broadcast=broadcast)
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -934,6 +946,7 @@ def connected_components_star(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    probe_skip_rounds: int = 2,
 ) -> DataFrame:
     """(id, cluster_id) by ALTERNATING small-star / large-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -964,7 +977,13 @@ def connected_components_star(
     convergence aggregate: one job per round, not an eager-checkpoint
     job plus a probe job (round-7 fixed-cost fix — the rewiring is not
     monotone row-wise, so a plain cache would pin superseded edge
-    sets without cutting the exponentially-growing plan).
+    sets without cutting the exponentially-growing plan). The first
+    ``probe_skip_rounds`` rounds skip the probe entirely (no action at
+    all — the rounds stay plan extensions and the first probed round's
+    aggregate materializes the chained prefix in one job): star
+    contraction cannot converge that early on any non-trivial graph,
+    so the skipped probes are pure fixed-cost savings (~0.8s at
+    sf0.001, measured).
 
     The upstream pair pipeline materializes exactly ONCE (the initial
     eager checkpoint of the canonical edge set); the node set needed
@@ -993,6 +1012,7 @@ def connected_components_star(
         ).distinct()
     )
     prev = None
+    pending_large: list[DataFrame] = []
     for it in range(max_iter + 1):
         # large-star: neighborhoods from both directions; m = min of the
         # closed neighborhood; strictly-larger neighbors re-attach to m.
@@ -1009,10 +1029,11 @@ def connected_components_star(
             .distinct()
         )
         # two consumers (the min aggregate and the join-back) — persist so
-        # the phase computes once; the PREVIOUS round's copy is dropped
+        # the phase computes once; the PREVIOUS round's copies are dropped
         # below as soon as the new edge set materializes, so resident
-        # cache stays one round's worth, not rounds x edges
+        # cache stays ~one round's worth, not rounds x edges
         large = tracked_persist(large)
+        pending_large.append(large)
         # small-star on the canonical frame (all neighbors here are
         # smaller): every smaller neighbor AND the node itself attach to
         # the minimum neighbor; self-loops drop.
@@ -1025,19 +1046,31 @@ def connected_components_star(
             .distinct()
         )
         # lazy lineage cut: the plan is rebased on the checkpoint RDD now,
-        # the blocks materialize inside the convergence aggregate below —
-        # one job per round (the global agg scans every partition, which
-        # the lazy-checkpoint contract requires)
+        # the blocks materialize inside the next convergence aggregate —
+        # one job per PROBED round (the global agg scans every partition,
+        # which the lazy-checkpoint contract requires)
         E = tracked_local_checkpoint(small, eager=False)
+        if it < probe_skip_rounds:
+            # star contraction cannot converge this early on a non-trivial
+            # graph, so skip the probe entirely: no action runs, the round
+            # stays a pure plan extension, and the FIRST probed round's
+            # aggregate materializes the whole chained prefix in one job
+            # (each skipped round's cache/checkpoint fills as that job's
+            # stages first touch it). Worst case — input already a star
+            # forest — the skipped rounds are fixpoint no-ops on an
+            # edge set that never grows.
+            continue
         cur = E.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
-        # the new E is materialized (the agg ran): this round's
-        # intermediate is dead — free it now (safe: a cache, not a
-        # checkpoint; bulk release would also catch it, but only at the
-        # end of the whole query)
-        large.unpersist()
+        # the new E is materialized (the agg ran): this and any skipped
+        # rounds' intermediates are dead — free them now (safe: caches,
+        # not checkpoints; bulk release would also catch them, but only
+        # at the end of the whole query)
+        for done in pending_large:
+            done.unpersist()
+        pending_large.clear()
         cur = (cur["n"], cur["h"])
         if cur == prev:
             break
@@ -1143,33 +1176,50 @@ def prefix_filtered_jaccard_pairs(
     # eager when the probe is disabled (the prefix plan reads arr from
     # several subtrees — a lazy cut would race them into recomputing it).
     arr = tracked_materialize(
-        doc_shingle_arrays(df, id_col, text_col, n, sort=True),
+        doc_shingle_arrays(df, id_col, text_col, n),
         eager=naive_candidate_ratio is None,
     )
     sh = arr.select("id", F.size("__arr").alias("n_shingles"), F.explode("__arr").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if naive_candidate_ratio is not None:
-        # the prefix route joins freq again for the global shingle order;
-        # vocabulary-sized, so caching it costs ~nothing on the naive route
-        freq = tracked_persist(freq)
-        hist = sorted(
-            (int(r["__df"]), int(r["__n"]))
-            for r in freq.groupBy("__df").agg(F.count(F.lit(1)).alias("__n")).collect()
-        )
         # stage-1 dispatch: the naive self-join's candidate volume is
-        # EXACT from the histogram (sum df·(df-1)/2); when it is under
-        # naive_candidate_ratio × postings (posting lists are short — a
-        # clean corpus) the prefix machinery's ~5 extra exchanges cannot
-        # pay for themselves
-        n_cand = sum(n * d * (d - 1) / 2.0 for d, n in hist)
-        n_postings = float(sum(n * d for d, n in hist))
+        # EXACT from two scalars over the df aggregate (sum df·(df-1)/2
+        # and sum df) — collected as ONE row, not the full histogram
+        # (which stage 2 alone needs, and stage 2 only runs on corpora
+        # already routed away from the fast path); when the volume is
+        # under naive_candidate_ratio × postings (posting lists are
+        # short — a clean corpus) the prefix machinery's ~5 extra
+        # exchanges cannot pay for themselves. This probe job is also
+        # what materializes the lazy ``arr`` checkpoint, so the chosen
+        # route reads cached blocks instead of re-shingling.
+        d = F.col("__df").cast("double")
+        probe = freq.agg(
+            F.coalesce(F.sum(d), F.lit(0.0)).alias("n_postings"),
+            F.coalesce(F.sum(d * (d - F.lit(1.0)) / F.lit(2.0)), F.lit(0.0)).alias("n_cand"),
+        ).first()
+        n_cand = float(probe["n_cand"])
+        n_postings = float(probe["n_postings"])
         if n_cand <= naive_candidate_ratio * max(n_postings, 1.0):
             _LOG.info(
                 "prefix_filtered_jaccard_pairs: naive path (stage 1: "
                 "%.3g candidates <= %.0fx %.3g postings)",
                 n_cand, naive_candidate_ratio, n_postings,
             )
-            return _jaccard_pairs_from_sized_index(sh, threshold)
+            # the postings count is exact, so the verify's self-join can
+            # be broadcast when the index is genuinely small — a pure
+            # stats-driven physical choice (both shapes are exact); the
+            # shuffle form remains the at-scale default
+            return _jaccard_pairs_from_sized_index(
+                sh, threshold, broadcast=n_postings <= _NAIVE_BROADCAST_POSTINGS
+            )
+        # the prefix route joins freq again for the global shingle order;
+        # vocabulary-sized, so caching it costs ~nothing relative to the
+        # explosive corpora that reach this point
+        freq = tracked_persist(freq)
+        hist = sorted(
+            (int(r["__df"]), int(r["__n"]))
+            for r in freq.groupBy("__df").agg(F.count(F.lit(1)).alias("__n")).collect()
+        )
         # stage-2: estimate the candidate volume the prefix filter would
         # leave, from the same histogram. Prefixes keep each doc's
         # rarest ~(1-t) fraction of postings, so the estimate is the
@@ -1237,7 +1287,8 @@ def prefix_filtered_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # verification sets are the cached per-doc arrays (already sorted)
+    # verification sets are the cached per-doc arrays (array_intersect is
+    # set-semantics — no sort needed; sort_array cost ~0.2s/probe at sf0.1)
     joined = (
         cand.join(
             arr.select(F.col("id").alias("id_a"), F.col("__arr").alias("__sa")), "id_a"

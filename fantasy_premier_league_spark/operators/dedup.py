@@ -601,6 +601,15 @@ def _band_pk(band_buckets: int) -> F.Column:
     ).cast("int")
 
 
+def _delta_files(delta_path: str) -> list[str]:
+    """Parquet data files currently in a signature-store delta dir."""
+    import os
+
+    if not os.path.isdir(delta_path):
+        return []
+    return [f for f in os.listdir(delta_path) if f.endswith(".parquet")]
+
+
 def write_signature_index(
     sig_df: DataFrame,
     path: str,
@@ -674,8 +683,38 @@ def minhash_incremental_pairs_indexed(
         context="minhash_incremental_pairs_indexed[new]",
     ).withColumn("band_pk", _band_pk(band_buckets))
     touched = sorted(r["band_pk"] for r in nb.select("band_pk").distinct().collect())
+    # LSM overlay: streaming ingest appends each batch's banded rows to a
+    # FLAT delta (one file per batch) instead of fanning 1024 dynamic
+    # partition dirs per append, and compacts the delta into the
+    # partitioned store every K batches (run_near_dup_ingest). The probe
+    # therefore reads store ∪ delta; the delta is bounded by the
+    # compaction threshold, so its unpruned scan stays batch-sized while
+    # the store keeps partition pruning. Either half may not exist yet
+    # (pre-compaction ingest has no bands/; a batch-built index has no
+    # delta) — read whichever is populated.
+    import os
+
+    parts = []
+    if os.path.isdir(f"{index_path}/bands"):
+        parts.append(
+            spark.read.parquet(f"{index_path}/bands").filter(F.col("band_pk").isin(touched))
+        )
+    delta_path = f"{index_path}/bands_delta"
+    if _delta_files(delta_path):
+        parts.append(
+            spark.read.parquet(delta_path)
+            .filter(F.col("band_pk").isin(touched))
+            .select("id", "band_sig", "band_pk")
+        )
+    if not parts:
+        raise FileNotFoundError(
+            f"no signature store at {index_path} (neither bands/ nor bands_delta/)"
+        )
+    bands_df = parts[0]
+    for extra in parts[1:]:
+        bands_df = bands_df.select("id", "band_sig", "band_pk").unionByName(extra)
     store = _cap_band_buckets(
-        spark.read.parquet(f"{index_path}/bands").filter(F.col("band_pk").isin(touched)),
+        bands_df,
         max_bucket_size,
         context="minhash_incremental_pairs_indexed[store]",
         key_cols=("band_pk", "band_sig"),

@@ -82,10 +82,20 @@ def run_near_dup_ingest(
     portable: bool = False,
     max_bucket_size: int | None = None,
     available_now: bool = True,
+    compact_delta_files: int = 16,
+    phase_log: list | None = None,
 ):
     """NEAR-dup ingest dedup against the persisted band-partitioned
     signature index — the streaming form of the nightly-ingest pattern
     (operators/dedup.py::minhash_incremental_pairs_indexed).
+
+    ``phase_log`` (instrumentation, harness-only): when a list is passed,
+    each micro-batch appends {"batch", "phase", "sec"} rows splitting the
+    batch cost into within_batch (batch sketch + internal LSH dedup),
+    index_probe (partition-pruned store probe), append_out,
+    append_bands, append_sigs. Splitting requires one extra count action
+    per phase boundary (the counted frames are persisted, so the work is
+    not redone by the writes) — leave it None in production.
 
     Each micro-batch, inside ``foreachBatch``:
 
@@ -96,8 +106,13 @@ def run_near_dup_ingest(
        ``band_pk`` layout — I/O proportional to the batch's bucket
        footprint, never the corpus history;
     3. documents that clear both checks append to the output corpus AND
-       their signatures append to the index's banded + flat stores, so
-       the next batch dedups against everything that came before.
+       their signatures append to the index — banded rows to a FLAT
+       one-file-per-batch delta (compacted into the band-partitioned
+       store every ``compact_delta_files`` batches; a direct
+       dynamic-partition append would commit bands x band_buckets tiny
+       files per batch, the dominant phase of the round-8 breakdown),
+       flat (id, sig) rows to sigs/ — so the next batch dedups against
+       everything that came before.
 
     Exactly-once: foreachBatch replays a failed batch, and both appends
     are idempotent per batch only if the sink dedups — production runs
@@ -110,11 +125,13 @@ def run_near_dup_ingest(
     Starts the query (``availableNow`` by default) and returns it.
     """
     import os
+    import shutil
 
     from ..operators.cache import release_operator_caches
     from ..operators.dedup import (
         _band_pk,
         _banded,
+        _delta_files,
         minhash_dedup_pairs,
         minhash_incremental_pairs_indexed,
         minhash_signatures,
@@ -123,7 +140,20 @@ def run_near_dup_ingest(
     kw = dict(n=n, num_hashes=num_hashes, seed=seed, portable=portable)
 
     def process(batch: DataFrame, _batch_id: int) -> None:
+        import time
+
         spark = batch.sparkSession
+        t0 = time.time()
+
+        def mark(phase: str) -> None:
+            nonlocal t0
+            if phase_log is not None:
+                now = time.time()
+                phase_log.append(
+                    {"batch": _batch_id, "phase": phase, "sec": round(now - t0, 2)}
+                )
+                t0 = now
+
         # re-delivered duplicate ids inside one batch would double-count
         # postings in the sketches (doc_shingles' one-row-per-id
         # contract) — batch-sized dedup, cheap
@@ -134,6 +164,11 @@ def run_near_dup_ingest(
         )
         losers = internal.select(F.col("id_b").alias(id_col)).distinct()
         kept = batch_p.join(losers, id_col, "left_anti")
+        kept_pre = None
+        if phase_log is not None:
+            kept = kept_pre = kept.persist()
+            kept.count()
+            mark("within_batch")
         if os.path.exists(os.path.join(index_path, "sigs")):
             hits = minhash_incremental_pairs_indexed(
                 spark, kept, index_path, id_col, text_col,
@@ -143,22 +178,48 @@ def run_near_dup_ingest(
             dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
             kept = kept.join(dup_ids, id_col, "left_anti")
         kept = kept.persist()
+        if phase_log is not None:
+            kept.count()
+            mark("index_probe")
         kept.write.mode("append").parquet(out_path)
+        mark("append_out")
         sigs = minhash_signatures(kept, id_col, text_col, **kw)
         banded = (
             _banded(sigs, bands)
             .withColumn("band_pk", _band_pk(band_buckets))
             .select("id", "band_sig", "band_pk")
         )
-        # repartition on the partition column: without it this dynamic-
-        # partition append opens tasks x band_pk-values tiny files (the
-        # measured 54s of a 68s batch); with it, one file per touched
-        # band_pk value
-        banded.repartition("band_pk").write.mode("append").partitionBy(
-            "band_pk"
-        ).parquet(f"{index_path}/bands")
+        # LSM append: the per-batch banded rows go to a FLAT delta as ONE
+        # file. A direct dynamic-partition append would commit one file
+        # per touched band_pk value — bands x band_buckets (1024) tiny
+        # files every batch, measured 8-17s of a 15-27s batch, the
+        # dominant phase of the round-8 breakdown. The probe reads
+        # store ∪ delta (minhash_incremental_pairs_indexed), so
+        # correctness is unchanged; the delta stays bounded by the
+        # compaction below.
+        delta_dir = f"{index_path}/bands_delta"
+        banded.repartition(1).write.mode("append").parquet(delta_dir)
+        mark("append_bands")
+        # compaction: every compact_delta_files batches, fold the delta
+        # into the partitioned store in ONE amortized write, then drop
+        # the delta. Crash between the two steps duplicates index rows,
+        # which the probe's candidate .distinct() absorbs (same
+        # idempotence caveat as the appends above — production points
+        # the store at a transactional table).
+        if len(_delta_files(delta_dir)) >= compact_delta_files:
+            delta = spark.read.parquet(delta_dir).persist()
+            delta.count()  # pin the rows in memory before the dir is dropped
+            delta.repartition("band_pk").write.mode("append").partitionBy(
+                "band_pk"
+            ).parquet(f"{index_path}/bands")
+            shutil.rmtree(delta_dir, ignore_errors=True)
+            delta.unpersist()
+            mark("compact")
         sigs.select("id", "sig").write.mode("append").parquet(f"{index_path}/sigs")
+        mark("append_sigs")
         kept.unpersist()
+        if kept_pre is not None and kept_pre is not kept:
+            kept_pre.unpersist()
         batch_p.unpersist()
         release_operator_caches()
 

@@ -114,14 +114,17 @@ def bench_near_dup_ingest(spark, docs, work) -> list[dict]:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*.parquet")
     )
+    phases: list[dict] = []
     q = run_near_dup_ingest(
         stream,
         index_path=f"{work}/near_index",
         out_path=f"{work}/near_out",
         checkpoint=f"{work}/near_ckpt",
+        phase_log=phases,
     )
     q.awaitTermination(600)
-    return progress_rows(q)
+    rows = progress_rows(q)
+    return {"batches": rows, "phases": phases}
 
 
 def bench_dsir_gate(spark, docs, work) -> list[dict]:

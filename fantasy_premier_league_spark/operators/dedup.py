@@ -767,6 +767,16 @@ def simhash(
     """
     from ..catalog import spread_partitions
 
+    # the packed-long fingerprint caps bits at 64: Java's shiftleft is
+    # mod-64, so bits > 64 would silently WRAP into corrupted
+    # fingerprints (and band widths must divide evenly) — fail loudly
+    # instead of inviting it through the signature
+    if not (0 < bits <= 64 and bits % 4 == 0):
+        raise ValueError(
+            f"simhash bits must be in (0, 64] and divisible by 4 (got {bits}); "
+            "the fingerprint packs into a single long"
+        )
+
     tf = (
         spread_partitions(
             df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))

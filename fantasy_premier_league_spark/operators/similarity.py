@@ -330,10 +330,17 @@ def ivf_topk(
     seed: int = 42,
     round_digits: int = 4,
     max_iter: int = 8,
+    probe_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans-partition the corpus into
     ``n_centroids`` cells, search only each query's ``n_probe`` nearest
     cells with exact cosine rerank.
+
+    ``probe_rows``: the query-batch row count, when the caller already
+    knows it (a bounded lookup batch, a pre-counted frame) — skips the
+    dispatch's own count job on the queries subtree (ADVICE r7: the
+    count re-evaluates a derived queries frame that is then evaluated
+    again by the probe crossJoin).
 
     Scanned fraction ~ n_probe/n_centroids. The corpus keeps its cell id as
     a join key (in production: a partition column, so a probe is partition
@@ -396,7 +403,8 @@ def ivf_topk(
     # (query_id, cell) routing table — 16 bytes/row at any dimension — and
     # join the vectors back by query_id, a queries-sized distributed
     # shuffle that never serializes vector copies through the driver.
-    if q.count() * n_probe <= _IVF_INLINE_PROBE_ROWS:
+    n_q = probe_rows if probe_rows is not None else q.count()
+    if n_q * n_probe <= _IVF_INLINE_PROBE_ROWS:
         cand = assigned.join(F.broadcast(probes), "cell")
     else:
         slim = probes.select("query_id", "cell")

@@ -367,7 +367,7 @@ def q29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q91_cluster_representatives",
+    "q33_cluster_representatives",
     f"""
     WITH RECURSIVE pairs AS (
         {_simhash_oracle(8)}
@@ -417,7 +417,7 @@ def q29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle replays sketch, recursive closure, scoring, and selection.",
     tags=("dedup", "curation", "graph", "llm-pipeline"),
 )
-def q91_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textstats
 
     docs = load(spark, sf_dir, "documents")

@@ -490,7 +490,7 @@ def q13_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q38_rolling_spend",
+    "r46_rolling_spend",
     """
     SELECT o_orderkey, o_custkey,
            round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -504,7 +504,7 @@ def q13_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "implicit; one shuffle on the entity key serves both frames.",
     tags=("window", "frames"),
 )
-def q38_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r46_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(

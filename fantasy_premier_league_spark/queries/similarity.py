@@ -152,7 +152,9 @@ def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries, k=3, n_centroids=16, n_probe=4)
+    # the predicate bounds the batch at 10 rows — pass the bound so the
+    # dispatch skips its count job on the lookup path
+    return S.ivf_topk(emb, queries, k=3, n_centroids=16, n_probe=4, probe_rows=10)
 
 
 @query(
@@ -475,7 +477,7 @@ def q39_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q88_hybrid_rrf",
+    "q38_hybrid_rrf",
     f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word FROM documents
@@ -535,7 +537,7 @@ def q39_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replays lexical ranking, semantic ranking, and fusion exactly.",
     tags=("similarity", "retrieval", "rrf", "llm-pipeline"),
 )
-def q88_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textstats
     from ..operators.retrieval import rrf_fuse_topk
 

@@ -92,7 +92,7 @@ def q32_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q33_fingerprint",
+    "r45_fingerprint",
     f"""
     SELECT doc_id, md5({_NORM}) AS content_md5, substr(md5({_NORM}), 1, 8) AS bucket_key
     FROM documents
@@ -101,7 +101,7 @@ def q32_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prefix (exact-dup key / shard key).",
     tags=("text", "fingerprint"),
 )
-def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.fingerprint(docs, "doc_id", "text")
 

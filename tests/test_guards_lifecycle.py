@@ -230,3 +230,15 @@ class TestOneRowPerIdContract:
         c = D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.1).collect()
         release_operator_caches()
         assert len(j) == 1 and len(c) == 1
+
+
+class TestSimhashBitsGuard:
+    def test_bits_over_64_raise(self, spark):
+        docs = _degenerate_corpus(spark, n_boiler=2)
+        with pytest.raises(ValueError, match="single long"):
+            D.simhash(docs, "doc_id", "text", bits=128)
+
+    def test_bits_not_multiple_of_4_raise(self, spark):
+        docs = _degenerate_corpus(spark, n_boiler=2)
+        with pytest.raises(ValueError, match="divisible by 4"):
+            D.simhash(docs, "doc_id", "text", bits=30)

@@ -120,9 +120,11 @@ class TestModelQualityParity:
     """M5 evidence: the reference trains XGBClassifier (M1.ipynb § 14); the
     engine maps it to GBTClassifier — same surface, different algorithm.
     This pins the MODEL-QUALITY side of that mapping: on the FPL-shaped
-    season, both the GBT mapping and LR must beat the reference's own
-    baseline heuristic (previous_minutes>0, M1.ipynb § 6) on held-out
-    players, with evaluator outputs pinned under fixed seeds."""
+    season, the GBT mapping, LR, AND RandomForest (the reference's other
+    production model, M2.ipynb § 13 — a direct Spark equivalent, not a
+    mapping) must beat the reference's own baseline heuristic
+    (previous_minutes>0, M1.ipynb § 6) on held-out players, with
+    evaluator outputs pinned under fixed seeds."""
 
     FEATS = [
         "previous_minutes",
@@ -150,7 +152,7 @@ class TestModelQualityParity:
 
     @pytest.mark.parametrize(
         "clf,pinned_auc,pinned_acc",
-        [("lr", 0.877, 0.795), ("gbt", 0.867, 0.796)],
+        [("lr", 0.877, 0.795), ("gbt", 0.867, 0.796), ("rf", 0.879, 0.797)],
     )
     def test_trained_model_beats_reference_baseline(
         self, fpl_season, clf, pinned_auc, pinned_acc

@@ -185,11 +185,11 @@ class TestCurationPlans:
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
 
-    def test_q88_hybrid_rrf_all_jvm_no_cartesian(self, spark):
+    def test_q38_hybrid_rrf_all_jvm_no_cartesian(self, spark):
         # the fusion stage joins two top-k-sized frames: everything stays
         # JVM-side and the only nested-loop is the bounded query x lex-20
         # broadcast fan-out, never an unbounded cartesian
-        plan = plan_of(spark, "q88_hybrid_rrf")
+        plan = plan_of(spark, "q38_hybrid_rrf")
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
 

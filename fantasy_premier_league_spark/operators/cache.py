@@ -22,6 +22,8 @@ this by construction (collect once, release, never touch the frame again).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
@@ -57,11 +59,15 @@ def tracked_local_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     is rebased on the checkpoint RDD immediately) but whose blocks
     materialize inside the caller's next action — iterative operators use
     it to fold the per-round checkpoint job into the convergence probe,
-    one job per round instead of two. The first action after a lazy
-    checkpoint must scan every partition (a global aggregate does; a
-    ``first()``/``limit`` on the raw frame does not — partial scans leave
-    the checkpoint partially materialized, and a later release could then
-    strand an unmaterializable frame).
+    one job per round instead of two. Materialization is complete after
+    ANY first action: Spark's ``LocalRDDCheckpointData.doCheckpoint``
+    runs at the end of the first job touching the RDD and computes every
+    missing partition (pinned by
+    tests/test_guards_lifecycle.py::TestLazyCheckpointContract), so even
+    a ``first()``/``limit`` cannot leave the checkpoint half-built — the
+    caveat is purely cost: a partial-scan first action pays the fill-in
+    job the lazy cut was meant to fold away, so prefer a full-scan
+    action (a global aggregate, a sink write) as the first consumer.
 
     Unlike plain caches, a released checkpoint cannot be recomputed (its
     lineage was truncated) — release only after the results are consumed,
@@ -99,7 +105,18 @@ def tracked_materialize(df: DataFrame, *, eager: bool = True) -> DataFrame:
 
 
 def release_operator_caches(*, blocking: bool = False) -> int:
-    """Unpersist every tracked frame; returns how many were released."""
+    """Unpersist every tracked frame; returns how many were released.
+
+    Before dropping tracked CHECKPOINT blocks, a cheap driver-side sweep
+    of ``getRDDStorageInfo`` flags any checkpoint RDD that is only
+    PARTIALLY materialized at release. By measured Spark behavior this
+    cannot happen (``LocalRDDCheckpointData.doCheckpoint`` fills missing
+    partitions at the end of the first job — pinned in
+    tests/test_guards_lifecycle.py::TestLazyCheckpointContract), so the
+    sweep is a belt-and-braces guard: if a future Spark version changes
+    the fill-in semantics, the violation is logged loudly here, at the
+    release site, instead of failing at a distance on the next consumer.
+    """
     released = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -111,8 +128,24 @@ def release_operator_caches(*, blocking: bool = False) -> int:
     while _TRACKED_CHECKPOINTS:
         sc, ids = _TRACKED_CHECKPOINTS.pop()
         try:
+            try:
+                infos = {
+                    info.id(): (int(info.numCachedPartitions()), int(info.numPartitions()))
+                    for info in sc._jsc.sc().getRDDStorageInfo()
+                }
+            except Exception:  # storage info unavailable — skip the sweep
+                infos = {}
             jmap = sc._jsc.getPersistentRDDs()
             for rdd_id in ids:
+                cached, total = infos.get(rdd_id, (None, None))
+                if cached is not None and 0 < cached < total:
+                    logging.getLogger(__name__).warning(
+                        "release_operator_caches: checkpoint RDD %d is only "
+                        "partially materialized (%d/%d partitions) at release — "
+                        "an eager=False caller's first action did not scan every "
+                        "partition; the frame is now un-recomputable",
+                        rdd_id, cached, total,
+                    )
                 jrdd = jmap.get(rdd_id)
                 if jrdd is not None:
                     jrdd.unpersist(blocking)

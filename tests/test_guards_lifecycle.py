@@ -242,3 +242,47 @@ class TestSimhashBitsGuard:
         docs = _degenerate_corpus(spark, n_boiler=2)
         with pytest.raises(ValueError, match="divisible by 4"):
             D.simhash(docs, "doc_id", "text", bits=30)
+
+
+class TestLazyCheckpointContract:
+    """eager=False lifecycle: Spark's LocalRDDCheckpointData.doCheckpoint
+    runs at the END of the first job touching the checkpoint RDD and
+    computes any missing partitions — so even a partial-scan first action
+    (first()/take) leaves the checkpoint FULLY materialized, and a later
+    release cannot strand a half-built frame. These tests pin that
+    behavior (the operators' one-job-per-round designs rely on it); the
+    release-time sweep in release_operator_caches stays as a
+    belt-and-braces guard for any future Spark behavior change."""
+
+    def test_partial_scan_still_fully_materializes(self, spark, caplog):
+        import logging as L
+
+        from fantasy_premier_league_spark.operators.cache import (
+            tracked_local_checkpoint,
+        )
+
+        df = spark.range(0, 1000, 1, 8)  # 8 partitions
+        lazy = tracked_local_checkpoint(df, eager=False)
+        lazy.first()  # partial scan; doCheckpoint then fills the other 7
+        infos = {
+            info.id(): (int(info.numCachedPartitions()), int(info.numPartitions()))
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+        assert any(c == t and t >= 8 for c, t in infos.values())
+        with caplog.at_level(L.WARNING, logger="fantasy_premier_league_spark.operators.cache"):
+            release_operator_caches()
+        assert not any("partially materialized" in r.message for r in caplog.records)
+
+    def test_full_scan_does_not_warn(self, spark, caplog):
+        import logging as L
+
+        from fantasy_premier_league_spark.operators.cache import (
+            tracked_local_checkpoint,
+        )
+
+        df = spark.range(0, 1000, 1, 8)
+        lazy = tracked_local_checkpoint(df, eager=False)
+        assert lazy.agg({"id": "sum"}).first()[0] == 499500  # global agg: full scan
+        with caplog.at_level(L.WARNING, logger="fantasy_premier_league_spark.operators.cache"):
+            release_operator_caches()
+        assert not any("partially materialized" in r.message for r in caplog.records)

@@ -81,8 +81,7 @@ DATA_FACTOR = {
     "r35_sql_exists": 10.0,
     "r36_decile_lift": 10.0,
     "r37_session_entry_analysis": 10.0,
-    "r42_salted_join": 10.0,
-    "r43_cube_volume": 10.0,
+    # r42/r43 read customer/part — not tiled into the sf1 corpus
     "r44_state_history": 10.0,
     "r45_fingerprint": 10.0,
     "r46_rolling_spend": 10.0,

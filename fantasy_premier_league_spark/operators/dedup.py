@@ -922,11 +922,15 @@ def connected_components(
         .distinct()
     )
     edges = tracked_local_checkpoint(edges)
-    # init already folds round one in: l0(u) = min(u, min neighbor)
+    # init already folds round one in: l0(u) = min(u, min neighbor).
+    # LAZY: the blocks build inside round 0's convergence aggregate —
+    # edges above stays EAGER so the upstream pair pipeline materializes
+    # exactly once before any multi-consumer round plan references it.
     labels = tracked_local_checkpoint(
         edges.groupBy("u")
         .agg(F.min("v").alias("__nm"))
-        .select("u", F.least(F.col("u"), F.col("__nm")).alias("label"))
+        .select("u", F.least(F.col("u"), F.col("__nm")).alias("label")),
+        eager=False,
     )
     prev_sum = None
     # max_iter + 1: the sum-equality probe observes a fixpoint one round
@@ -947,7 +951,7 @@ def connected_components(
             # diameter 1-2): plain hooking alone converges in the first
             # couple of rounds, so don't pay the shortcut's label-keyed
             # join until the graph has proven deep
-            new_labels = tracked_local_checkpoint(hooked)
+            new_labels = tracked_local_checkpoint(hooked, eager=False)
         else:
             # shortcut: chase one pointer — labels are node ids, so the
             # hooked frame itself is the mapping; jumped <= hooked always.
@@ -961,11 +965,14 @@ def connected_components(
                     F.least(F.col("label"), F.coalesce("__jmp", "label")).alias("label"),
                 )
             )
-            new_labels = tracked_local_checkpoint(new_labels)
+            new_labels = tracked_local_checkpoint(new_labels, eager=False)
         # convergence when no label moved: labels are monotone
         # non-increasing, so the label sum is a strictly decreasing
         # progress measure — one scalar agg over the checkpointed frame,
         # no join against the previous round and no per-row change flag.
+        # This aggregate is ALSO what materializes the round's lazy
+        # checkpoint (one job per round, not checkpoint + probe — the
+        # star-CC round-7 fold, applied here round 8; q29 family).
         # decimal(38,0): exact at any id magnitude (long sum could wrap).
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

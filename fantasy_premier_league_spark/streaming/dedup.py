@@ -125,9 +125,8 @@ def run_near_dup_ingest(
     Starts the query (``availableNow`` by default) and returns it.
     """
     import os
-    import shutil
 
-    from ..operators.cache import release_operator_caches
+    from ..operators.cache import release_operator_caches, tracked_local_checkpoint
     from ..operators.dedup import (
         _band_pk,
         _banded,
@@ -138,12 +137,34 @@ def run_near_dup_ingest(
     )
 
     kw = dict(n=n, num_hashes=num_hashes, seed=seed, portable=portable)
+    # LSM tombstones: files compacted into the store are DELETED one batch
+    # LATE, via an on-disk manifest — the compacting batch's own plans
+    # (kept, sigs, banded) keep their lineage valid, and the next batch
+    # (of this query OR a later availableNow run) purges before it
+    # probes, so no plan ever loses a file underneath it. Crash before
+    # the manifest write leaves the compacted rows duplicated in
+    # store+delta, which the probe's candidate .distinct() absorbs
+    # (documented idempotence caveat shared with the appends).
+    tombstones = os.path.join(index_path, "bands_delta_tombstones")
+
+    def _purge_tombstoned() -> None:
+        if not os.path.exists(tombstones):
+            return
+        with open(tombstones) as fh:
+            stale = [line.strip() for line in fh if line.strip()]
+        for path in stale:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        os.remove(tombstones)
 
     def process(batch: DataFrame, _batch_id: int) -> None:
         import time
 
         spark = batch.sparkSession
         t0 = time.time()
+        _purge_tombstoned()
 
         def mark(phase: str) -> None:
             nonlocal t0
@@ -206,14 +227,17 @@ def run_near_dup_ingest(
         # which the probe's candidate .distinct() absorbs (same
         # idempotence caveat as the appends above — production points
         # the store at a transactional table).
-        if len(_delta_files(delta_dir)) >= compact_delta_files:
-            delta = spark.read.parquet(delta_dir).persist()
-            delta.count()  # pin the rows in memory before the dir is dropped
+        compacted = _delta_files(delta_dir)
+        if len(compacted) >= compact_delta_files:
+            delta = spark.read.parquet(delta_dir)
             delta.repartition("band_pk").write.mode("append").partitionBy(
                 "band_pk"
             ).parquet(f"{index_path}/bands")
-            shutil.rmtree(delta_dir, ignore_errors=True)
-            delta.unpersist()
+            # deferred delete (see tombstones above): this batch's
+            # plans may still hold lineage over these files
+            with open(tombstones, "a") as fh:
+                for f in compacted:
+                    fh.write(os.path.join(delta_dir, f) + "\n")
             mark("compact")
         sigs.select("id", "sig").write.mode("append").parquet(f"{index_path}/sigs")
         mark("append_sigs")

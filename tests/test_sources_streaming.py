@@ -339,6 +339,71 @@ class TestNearDupIngestStream:
         idx_ids = {r.id for r in spark.read.parquet(str(tmp_path / "idx" / "sigs")).collect()}
         assert idx_ids == {1, 3, 11}
 
+    def test_delta_compaction_folds_into_store_and_probe_still_hits(self, spark, tmp_path):
+        """compact_delta_files=2: batch 2 triggers compaction, so the banded
+        rows move from the flat delta into the band_pk-partitioned store —
+        and batch 3's cross-batch near-dup is caught from the COMPACTED
+        store (no delta left), proving probe equivalence across layouts."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fantasy_premier_league_spark.streaming.dedup import run_near_dup_ingest
+
+        src = tmp_path / "src"
+        src.mkdir()
+        base = "quick brown fox jumps over the lazy dog near the river bank today"
+
+        def write_batch(name, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": pa.array([r[1] for r in rows]),
+                    }
+                ),
+                str(src / name),
+            )
+
+        def run_once():
+            stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+            q = run_near_dup_ingest(
+                stream,
+                index_path=str(tmp_path / "idx"),
+                out_path=str(tmp_path / "out"),
+                checkpoint=str(tmp_path / "ck"),
+                est_threshold=0.5,
+                compact_delta_files=2,
+            )
+            q.awaitTermination(180)
+
+        write_batch("b1.parquet", [(1, base)])
+        run_once()
+        # pre-compaction: delta holds batch 1, no partitioned store yet
+        assert os.path.isdir(tmp_path / "idx" / "bands_delta")
+        assert not os.path.isdir(tmp_path / "idx" / "bands")
+
+        write_batch("b2.parquet", [(2, "totally unrelated second subject entirely new words only here")])
+        run_once()
+        # the second delta file crossed the threshold: folded into the
+        # store; the compacted delta files are tombstoned (deleted by the
+        # NEXT batch so this batch's plans keep their lineage valid)
+        assert os.path.isdir(tmp_path / "idx" / "bands")
+        assert os.path.exists(tmp_path / "idx" / "bands_delta_tombstones")
+
+        # batch 3: purges the tombstoned delta files, then the near-dup of
+        # doc 1 must be caught from the COMPACTED store
+        write_batch("b3.parquet", [(10, base.replace("quick", "rapid"))])
+        run_once()
+        assert not os.path.exists(tmp_path / "idx" / "bands_delta_tombstones")
+        from fantasy_premier_league_spark.operators.dedup import _delta_files
+
+        # only batch 3's own delta file survives the purge
+        assert len(_delta_files(str(tmp_path / "idx" / "bands_delta"))) == 1
+        kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert kept == {1, 2}
+
 
 class TestFileSinks:
     """S4 (JSON sink) and S7 (CSV sink) round-trips — schema and values

@@ -286,3 +286,35 @@ class TestLazyCheckpointContract:
         with caplog.at_level(L.WARNING, logger="fantasy_premier_league_spark.operators.cache"):
             release_operator_caches()
         assert not any("partially materialized" in r.message for r in caplog.records)
+
+
+class TestNaiveVerifyBroadcastEquivalence:
+    """The stats-gated broadcast build side of the naive Jaccard verify is
+    a physical choice only — byte-identical output to the shuffle form
+    (the at-scale default) on the same sized posting index."""
+
+    def test_broadcast_and_shuffle_verify_agree(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta iota"),
+                (3, "completely different words live in this one here"),
+                (4, "completely different words live in this one too"),
+                (5, "alpha beta gamma delta unrelated tail words here"),
+            ],
+            "doc_id long, text string",
+        )
+        arr = D.doc_shingle_arrays(docs, "doc_id", "text", 3)
+        shs = arr.select(
+            "id", F.size("__arr").alias("n_shingles"), F.explode("__arr").alias("shingle")
+        )
+        rows_b = sorted(
+            map(tuple, D._jaccard_pairs_from_sized_index(shs, 0.2, broadcast=True).collect())
+        )
+        rows_s = sorted(
+            map(tuple, D._jaccard_pairs_from_sized_index(shs, 0.2, broadcast=False).collect())
+        )
+        release_operator_caches()
+        assert rows_b == rows_s and len(rows_b) >= 1

@@ -85,6 +85,46 @@ def gen_orders(con: duckdb.DuckDBPyConnection) -> None:
     )
 
 
+def gen_dims(con: duckdb.DuckDBPyConnection) -> None:
+    """Dimension tables sized to the fact-side key universes: orders
+    spreads o_custkey over 5 tiles (x15000), lineitem spreads l_partkey
+    over 10 tiles (x20000) and l_suppkey over 10 tiles (x1000) — so
+    customer tiles 5x and part/supplier tile 10x, keeping every FK
+    resolvable. nation/region copy through (nationkeys stay 0-24)."""
+    con.execute(
+        f"""
+        COPY (
+            SELECT c_custkey + t.i * 15000 AS c_custkey,
+                   c_name || '#' || t.i AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM '{SRC}/customer.parquet', (SELECT unnest(generate_series(0, 4)) AS i) t
+        ) TO '{OUT}/customer.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT p_partkey + t.i * 20000 AS p_partkey,
+                   p_name || ' t' || t.i AS p_name,
+                   p_brand, p_type, p_size, p_retailprice
+            FROM '{SRC}/part.parquet', (SELECT unnest(generate_series(0, 9)) AS i) t
+        ) TO '{OUT}/part.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT s_suppkey + t.i * 1000 AS s_suppkey,
+                   s_name || '#' || t.i AS s_name,
+                   s_nationkey, s_acctbal
+            FROM '{SRC}/supplier.parquet', (SELECT unnest(generate_series(0, 9)) AS i) t
+        ) TO '{OUT}/supplier.parquet' (FORMAT parquet)
+        """
+    )
+    for t in ("nation", "region"):
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT parquet)")
+
+
 def gen_documents(rng: np.random.Generator) -> None:
     src = duckdb.sql(
         f"SELECT text, len(string_split(text, ' ')) AS n_words FROM '{SRC}/documents.parquet'"
@@ -189,10 +229,14 @@ def main() -> None:
     gen_lineitem(con)
     gen_events(con)
     gen_orders(con)
+    gen_dims(con)
     gen_documents(rng)
     gen_embeddings(rng)
     gen_skewed(rng)
-    for t in ("lineitem", "events", "orders", "documents", "embeddings", "skew_clicks", "skew_users"):
+    for t in (
+        "lineitem", "events", "orders", "customer", "part", "supplier",
+        "nation", "region", "documents", "embeddings", "skew_clicks", "skew_users",
+    ):
         n = duckdb.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows", file=sys.stderr)
 

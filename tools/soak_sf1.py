@@ -2,7 +2,7 @@
 """Scale soak: run the heavy operator family at sf0.1 and the generated
 sf1 (tools/gen_sf1.py) and report per-query scaling factors.
 
-Usage: python tools/soak_sf1.py [query ...]   (default: the heavy seven)
+Usage: python tools/soak_sf1.py [query ...|--all]   (default: the heavy seven)
 
 Each query runs once per scale through the no-op sink (full plan, no
 driver materialization), with operator caches released between runs.
@@ -81,16 +81,34 @@ DATA_FACTOR = {
     "r35_sql_exists": 10.0,
     "r36_decile_lift": 10.0,
     "r37_session_entry_analysis": 10.0,
-    # r42/r43 read customer/part — not tiled into the sf1 corpus
     "r44_state_history": 10.0,
     "r45_fingerprint": 10.0,
     "r46_rolling_spend": 10.0,
     "q34_cc_star": 10.0,
 }
 
+#: embeddings tile 4x (500 -> 2,000 -> 8,000 sub-linear driver scaling)
+for _n in (
+    "q26_pq_topk", "q46_embedding_dup_clusters", "q50_cosine_topk",
+    "q51_cosine_topk_block", "q52_label_centroid_sim", "q54_ivf_topk",
+    "q55_lsh_topk", "q56_ivf_topk_seeded", "q75_vector_stats",
+    "q96_ann_recall_eval", "q98_hard_negatives",
+):
+    DATA_FACTOR[_n] = 4.0
+#: customer tiles 5x (orders spreads o_custkey over 5 tiles only)
+for _n in (
+    "q08_acctbal_deciles", "q09_argmax_customer", "q10_roleswap_union",
+    "q16_balance_bins", "q20_exact_quantiles", "q72_decile_edges",
+    "q73_full_outer_activity",
+):
+    DATA_FACTOR[_n] = 5.0
+
 
 def main() -> None:
-    names = sys.argv[1:] or HEAVY
+    if sys.argv[1:] == ["--all"]:
+        names = sorted(all_queries())
+    else:
+        names = sys.argv[1:] or HEAVY
     sf1_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1"
     )

@@ -651,26 +651,31 @@ _NAIVE_T03 = f"""
     tags=("dedup", "minhash", "evaluation", "llm-pipeline"),
 )
 def q37_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.cache import tracked_persist
-
     docs = load(spark, sf_dir, "documents")
-    # each pair frame feeds TWO consumers (its count + the hits join);
-    # unpersisted, Spark re-executes the full sketch / naive pipelines
-    # once per consumer — persist halves the query
-    lsh = tracked_persist(
+    # both pair sets are distinct-by-construction (band candidates are
+    # deduped; the exact side is one row per grouped pair), so the three
+    # counts (|lsh|, |exact|, |lsh ∩ exact|) all fall out of ONE tagged
+    # full-outer join + ONE aggregate: each child pipeline executes exactly
+    # once as a join input and nothing needs a persist or its own count
+    # job (the previous form paid two cache materializations plus three
+    # aggregate jobs for the same numbers).
+    lsh = (
         D.minhash_dedup_pairs(
             docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True
-        ).select("id_a", "id_b")
-    )
-    exact = tracked_persist(
-        D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).select(
-            "id_a", "id_b"
         )
+        .select("id_a", "id_b")
+        .withColumn("__l", F.lit(1))
     )
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("lsh_pairs"))
-    n_exact = exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
-    n_hit = lsh.join(exact, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("hits"))
-    row = n_lsh.crossJoin(F.broadcast(n_exact)).crossJoin(F.broadcast(n_hit))
+    exact = (
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+        .select("id_a", "id_b")
+        .withColumn("__e", F.lit(1))
+    )
+    row = lsh.join(exact, ["id_a", "id_b"], "full_outer").agg(
+        F.count("__l").alias("lsh_pairs"),
+        F.count("__e").alias("exact_pairs"),
+        F.count(F.when(F.col("__l").isNotNull() & F.col("__e").isNotNull(), 1)).alias("hits"),
+    )
     prec = F.when(
         F.col("lsh_pairs") > 0, F.round(F.col("hits") / F.col("lsh_pairs"), 6)
     ).otherwise(F.lit(None).cast("double"))

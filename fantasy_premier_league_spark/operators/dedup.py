@@ -459,23 +459,63 @@ def lsh_candidate_pairs(
     pair. Shuffle is on (band_idx, band_signature) buckets only — this is
     what makes near-dup feasible at 100 TB (never all-pairs).
 
-    ``max_bucket_size`` drops (and logs) degenerate buckets before the
-    self-join — see :func:`_cap_band_buckets`. Off by default (exact
-    candidate recall, oracle-replayable).
+    ``max_bucket_size`` drops (and logs) degenerate buckets before
+    pairing. Off by default (exact candidate recall, oracle-replayable).
+
+    Two physical routes, same output:
+
+    - **uncapped**: band self-join — buckets are unbounded, so pairs must
+      STREAM out of a join; collecting a bucket into one row would put a
+      degenerate bucket's whole membership in a single array.
+    - **capped**: ONE ``collect_list`` bucket aggregate (arrays bounded by
+      the cap, by construction) serves the accounting job, the cap filter
+      AND pair generation — the band shuffle happens once instead of
+      twice (the old form aggregated counts for accounting, then
+      re-banded and self-joined; measured ~1.3s of q90's 3.5s at sf0.1).
     """
-    banded = _cap_band_buckets(
-        _banded(sig_df, bands), max_bucket_size, context="lsh_candidate_pairs"
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.id") < F.col("b.id")),
+    if max_bucket_size is None:
+        banded = _banded(sig_df, bands)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    buckets = tracked_persist(
+        _banded(sig_df, bands)
+        .groupBy("band_idx", "band_sig")
+        .agg(F.collect_list("id").alias("ids"))
+    )
+    # eager accounting (no-silent-caps rule): one job that also fills the
+    # bucket cache the pair plan below reads
+    stats = (
+        buckets.filter(F.size("ids") > max_bucket_size)
+        .agg(F.count(F.lit(1)).alias("buckets"), F.sum(F.size("ids")).alias("rows"))
+        .first()
+    )
+    if stats["buckets"]:
+        _LOG.warning(
+            "lsh_candidate_pairs: dropped %d oversized LSH band buckets (> %d "
+            "members, %d member rows) before candidate pairing — their pairs "
+            "are NOT generated",
+            stats["buckets"],
+            max_bucket_size,
+            stats["rows"],
+        )
+    # pairs straight off the cached bounded arrays: explode² per bucket is
+    # ≤ cap² rows, the exact volume the cap admits into the old self-join
+    return (
+        buckets.filter(F.size("ids") <= max_bucket_size)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 

@@ -30,6 +30,7 @@ import random
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .cache import tracked_local_checkpoint, tracked_materialize, tracked_persist
 
@@ -925,6 +926,58 @@ def simhash_near_dup_pairs(
     )
 
 
+#: edge count under which a component closure is finished on the driver —
+#: 200k (u, v) rows is ~3 MB collected, a union-find over it is
+#: milliseconds, and it replaces the O(log n) tail of fixpoint rounds
+#: whose per-round cost at that size is pure job/plan overhead.
+_LOCAL_FINISH_EDGES = 200_000
+
+
+def _finish_components_locally(E: DataFrame) -> DataFrame:
+    """Driver union-find over a BOUNDED edge frame → (id, cluster_id).
+
+    The closure operators below are distributed fixpoints; this is their
+    explicitly stats-gated escape hatch, the hybrid every production
+    graph system ends with: a fixpoint round over a graph that fits in a
+    few MB costs one-to-two full job schedules plus a round of driver
+    plan-building, while a union-find over the same edges is
+    sub-millisecond. Callers check the (already materialized) edge count
+    against their ``local_finish_edges`` bound before calling — the
+    collect here is bounded by construction, never corpus-sized. Labels
+    are the component minimum (union always hooks the larger root under
+    the smaller), exactly the distributed contract; works for any
+    orderable id type (numeric or string), matching ``F.min`` semantics.
+    """
+    rows = E.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for row in rows:
+        u, v = row[0], row[1]
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    utype = E.schema[0].dataType
+    schema = T.StructType(
+        [T.StructField("id", utype), T.StructField("cluster_id", utype)]
+    )
+    return E.sparkSession.createDataFrame(
+        [(n, find(n)) for n in sorted(nodes)], schema
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -932,6 +985,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iter: int = 20,
     shortcut_from: int = 2,
+    local_finish_edges: int = _LOCAL_FINISH_EDGES,
 ) -> DataFrame:
     """(id, cluster_id) — connected components over a near-dup pair graph;
     ``cluster_id`` is the minimum node id in the component.
@@ -958,6 +1012,13 @@ def connected_components(
     graphs the remaining upgrade is small-star/large-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond"),
     which also bounds the per-round edge fan-in on skewed hubs.
+
+    ``local_finish_edges``: stats-gated hybrid — when the (static)
+    symmetric edge set is at most this many rows (default 200k ≈ 3 MB
+    collected), the closure is finished with a driver union-find instead
+    of distributed rounds: at that size every round is pure job/plan
+    fixed cost. 0 forces the distributed fixpoint; output is identical
+    either way (equivalence pytest).
     """
     import warnings
 
@@ -971,6 +1032,14 @@ def connected_components(
         .distinct()
     )
     edges = tracked_local_checkpoint(edges)
+    # stats-gated hybrid: the edge set is static here, so one bounded
+    # count on the just-materialized checkpoint decides the whole plan —
+    # a dedup pair graph small enough to fit the driver bound costs more
+    # in per-round jobs + plan-building than a union-find over it.
+    # local_finish_edges=0 forces the distributed fixpoint (equivalence
+    # pytest runs both paths on the same graph).
+    if local_finish_edges and edges.count() <= local_finish_edges:
+        return _finish_components_locally(edges)
     # init already folds round one in: l0(u) = min(u, min neighbor).
     # LAZY: the blocks build inside round 0's convergence aggregate —
     # edges above stays EAGER so the upstream pair pipeline materializes
@@ -1052,6 +1121,7 @@ def connected_components_star(
     b_col: str = "id_b",
     max_iter: int = 20,
     probe_skip_rounds: int = 2,
+    local_finish_edges: int = _LOCAL_FINISH_EDGES,
 ) -> DataFrame:
     """(id, cluster_id) by ALTERNATING small-star / large-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -1090,6 +1160,16 @@ def connected_components_star(
     so the skipped probes are pure fixed-cost savings (~0.8s at
     sf0.001, measured).
 
+    ``local_finish_edges``: stats-gated hybrid — contraction strictly
+    shrinks the edge set, so the closure runs distributed rounds only
+    while the remainder exceeds this bound (default 200k rows ≈ 3 MB
+    collected); once under it, one driver union-find replaces the
+    remaining O(log n) tail rounds, whose cost at that size is pure
+    job/plan overhead. The per-round check reuses the convergence
+    aggregate's count (no extra job); a graph under the bound up front
+    skips the fixpoint entirely. 0 forces the fully distributed
+    fixpoint; output is identical either way (equivalence pytest).
+
     The upstream pair pipeline materializes exactly ONCE (the initial
     eager checkpoint of the canonical edge set); the node set needed
     for root recovery is derived from the FINAL edge frame instead of
@@ -1116,6 +1196,16 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
     )
+    # stats-gated hybrid, twice over: star contraction strictly SHRINKS
+    # the edge set, so (a) a graph already under the driver bound skips
+    # the fixpoint entirely, and (b) a big graph runs distributed rounds
+    # only until the contracted remainder fits, then one union-find
+    # replaces the O(log n) tail of fixed-cost rounds (the per-probe
+    # check below reuses the count the convergence aggregate already
+    # computes — no extra job). local_finish_edges=0 forces the fully
+    # distributed fixpoint (the q29-equivalence pytest runs both).
+    if local_finish_edges and E.count() <= local_finish_edges:
+        return _finish_components_locally(E)
     prev = None
     pending_large: list[DataFrame] = []
     for it in range(max_iter + 1):
@@ -1180,6 +1270,10 @@ def connected_components_star(
         if cur == prev:
             break
         prev = cur
+        if local_finish_edges and cur[0] <= local_finish_edges:
+            # contraction has shrunk the remainder under the driver
+            # bound: finish it in one union-find instead of more rounds
+            return _finish_components_locally(E)
     else:
         warnings.warn(
             f"connected_components_star did not converge in {max_iter} rounds; "

@@ -194,7 +194,11 @@ class TestConvergenceConfirmation:
             [(i, i + 1) for i in range(40)], "id_a long, id_b long"
         )
         with pytest.warns(RuntimeWarning, match="did not converge"):
-            D.connected_components(chain, max_iter=1, shortcut_from=99).collect()
+            # local_finish_edges=0: the hybrid would otherwise close this
+            # bounded graph on the driver and (correctly) never warn
+            D.connected_components(
+                chain, max_iter=1, shortcut_from=99, local_finish_edges=0
+            ).collect()
 
 
 class TestOneRowPerIdContract:

@@ -972,8 +972,21 @@ class TestStarConnectedComponents:
 
         df = spark.createDataFrame(pairs, "id_a long, id_b long")
         try:
+            # all four routes must agree: each closure's distributed
+            # fixpoint (local_finish_edges=0) AND its stats-gated driver
+            # union-find (every test graph is under the default bound)
             a = sorted(tuple(r) for r in connected_components(df).collect())
             b = sorted(tuple(r) for r in connected_components_star(df).collect())
+            a0 = sorted(
+                tuple(r)
+                for r in connected_components(df, local_finish_edges=0).collect()
+            )
+            b0 = sorted(
+                tuple(r)
+                for r in connected_components_star(df, local_finish_edges=0).collect()
+            )
+            assert a == a0, "hybrid local finish diverged from distributed CC"
+            assert b == b0, "hybrid local finish diverged from distributed star-CC"
             return a, b
         finally:
             release_operator_caches(blocking=True)

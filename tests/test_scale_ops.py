@@ -299,7 +299,11 @@ class TestConnectedComponents:
         with pytest.warns(RuntimeWarning, match="did not converge"):
             got = {
                 r.id: r.cluster_id
-                for r in connected_components(pairs, max_iter=1, shortcut_from=0).collect()
+                for r in connected_components(
+                    # local_finish_edges=0: the hybrid would close this
+                    # bounded graph on the driver and never cap rounds
+                    pairs, max_iter=1, shortcut_from=0, local_finish_edges=0
+                ).collect()
             }
         assert got[2] == 1 and got[41] > 1  # near end done, far end partial
 
@@ -346,7 +350,8 @@ class TestConnectedComponents:
             [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
         )
         with pytest.warns(RuntimeWarning, match="did not converge"):
-            got = connected_components(chain, max_iter=1).collect()
+            # local_finish_edges=0 keeps the distributed round budget in play
+            got = connected_components(chain, max_iter=1, local_finish_edges=0).collect()
         # converged run labels the whole chain with the min id and no warning
         labels = {r.id: r.cluster_id for r in connected_components(chain).collect()}
         assert set(labels.values()) == {1}

@@ -33,6 +33,37 @@ from pyspark.sql import functions as F
 #: slim (query_id, cell) routing pairs and re-join vectors distributed
 _IVF_INLINE_PROBE_ROWS = 262_144
 
+#: bounded, seeded training sample for the IVF coarse quantizer — the
+#: FAISS convention (they recommend ~max(256, 39*k) points per centroid);
+#: 32k rows x 64 dims x 8 B = 16 MB on the driver, enough for any
+#: n_centroids this engine ships
+_IVF_TRAIN_SAMPLE = 32_768
+
+
+def _local_lloyds(x: np.ndarray, *, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd's k-means on a BOUNDED sample (driver-side, numpy).
+
+    Distances via the (x² + c² − 2x·c) expansion so memory stays
+    O(n·k), not O(n·k·d); empty clusters keep their previous centroid
+    (deterministic). Ties go to the first (lowest-index) centroid —
+    the same rule the Spark-side assignment expression uses.
+    """
+    rng = np.random.RandomState(seed)
+    n = len(x)
+    if n == 0:
+        raise ValueError("ivf_topk: empty corpus — nothing to train the quantizer on")
+    k_eff = min(k, n)
+    cent = x[rng.choice(n, size=k_eff, replace=False)].copy()
+    x2 = (x * x).sum(axis=1)
+    for _ in range(iters):
+        d = x2[:, None] + (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        a = d.argmin(axis=1)
+        for j in range(k_eff):
+            members = x[a == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -346,20 +377,50 @@ def ivf_topk(
     a join key (in production: a partition column, so a probe is partition
     pruning); centroids are driver-sized by construction. ``max_iter``
     defaults LOW (8): a coarse quantizer only shapes cells — recall comes
-    from n_probe, so training to convergence buys nothing (at 100 TB the
-    codebook is trained on a sample for the same reason).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from n_probe, so training to convergence buys nothing.
 
+    The coarse quantizer trains DRIVER-SIDE on a bounded, seeded sample
+    (``_IVF_TRAIN_SAMPLE`` rows, hash-ordered so it is deterministic and
+    engine-independent) — the FAISS convention, and the right call at any
+    scale: 16-256 centroids never need a distributed fit over the full
+    corpus, and a local Lloyd's loop replaces ~2x ``max_iter`` scheduled
+    jobs. Cell ASSIGNMENT is a map-side argmin against the broadcast
+    centroid array (one projection inside codegen — no shuffle, no model
+    transform), so the corpus-side plan is scan → project → join.
+    """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("__v", array_to_vector("cvec"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="cell", maxIter=max_iter)
-    model = km.fit(c)
-    assigned = model.transform(c).drop("__v")
-    centroids = model.clusterCenters()
+    )
+    spark = corpus.sparkSession
+    # bounded deterministic sample → local Lloyd's. Hash order (not head)
+    # keeps the sample unbiased under any input partitioning/sort.
+    sample = np.array(
+        [
+            r["cvec"]
+            for r in c.select("cvec", F.xxhash64(F.col("neighbor_id").cast("string")).alias("__h"))
+            .orderBy("__h")
+            .limit(_IVF_TRAIN_SAMPLE)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    centroids = _local_lloyds(sample, k=n_centroids, iters=max_iter, seed=seed)
+    # centroid table as ONE server-parsed literal (nested-Column form would
+    # cost n_centroids x dim py4j round-trips of plan-build)
+    cent_sql = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(repr(float(x)) for x in ctr) for ctr in centroids
+    )
+    l2sq = (
+        "aggregate(zip_with(cvec, __ctrs[%d], (a, b) -> (a - b) * (a - b)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    dists = "array(%s)" % ", ".join(l2sq % i for i in range(len(centroids)))
+    assigned = c.withColumn("__ctrs", F.expr(cent_sql)).withColumn(
+        # argmin with first-index tie-break — same rule as the local fit
+        "cell",
+        F.expr(f"cast(array_position({dists}, array_min({dists})) - 1 as int)"),
+    ).drop("__ctrs")
 
     # probe ASSIGNMENT stays in-engine: the only driver-sized state is the
     # codebook itself (n_centroids rows — model output, bounded by

@@ -171,9 +171,14 @@ def co_occurrence_edges(
     df: DataFrame,
     group_col: str,
     item_col: str,
+    *,
+    symmetric: bool = True,
 ) -> DataFrame:
     """Distinct directed co-occurrence edges: (a, b) whenever items a != b
-    share a group (symmetric — both directions emitted). The standard
+    share a group (symmetric — both directions emitted; pass
+    ``symmetric=False`` for consumers like triangle counting that
+    canonicalize to one direction anyway and would pay the mirror twice).
+    The standard
     market-basket graph builder, as ONE group shuffle: collect the
     (small, deduped) per-group item set and explode it against itself —
     same quadratic per-group fan-out as the equivalent self-join on the
@@ -192,12 +197,27 @@ def co_occurrence_edges(
         .groupBy(F.col(group_col).alias("__g"))
         .agg(F.collect_set(F.col(item_col)).alias("__items"))
     )
-    return (
-        g.select(F.explode("__items").alias("src"), "__items")
-        .select("src", F.explode("__items").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+    # emit each unordered pair ONCE (positional j > i slice: n(n-1)/2
+    # generated rows, not n²), canonicalize, dedup, then mirror the
+    # surviving half map-side — the distinct shuffles half the rows the
+    # src != dst double-explode pushed through it, and the mirror union
+    # costs no exchange
+    und = (
+        g.select(F.posexplode("__items").alias("__i", "src"), "__items")
+        .select(
+            "src",
+            F.explode(
+                F.slice("__items", F.col("__i") + F.lit(2), F.size("__items"))
+            ).alias("dst"),
+        )
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
         .distinct()
     )
+    if not symmetric:
+        return und
+    return und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
 def triangle_stats(

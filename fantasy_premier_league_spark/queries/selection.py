@@ -742,7 +742,9 @@ def q17_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import co_occurrence_edges, triangle_stats
 
     li = load(spark, sf_dir, "lineitem")
-    return triangle_stats(co_occurrence_edges(li, "l_orderkey", "l_partkey"))
+    return triangle_stats(
+        co_occurrence_edges(li, "l_orderkey", "l_partkey", symmetric=False)
+    )
 
 
 _QUALITY_EXPR = """round(0.4 * (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 1.0

@@ -217,6 +217,12 @@ def co_occurrence_edges(
     )
     if not symmetric:
         return und
+    # the mirror branch embeds the distinct subtree a second time in the
+    # logical plan; physically the two branches are identical up to the
+    # final projection, so runtime exchange reuse dedups the shuffle work.
+    # An explicit persist here measured SLOWER at sf0.01/sf0.1 (the cache
+    # write costs as much as the reuse saves) — consumers that iterate
+    # (LPA, PageRank) persist the symmetric frame themselves anyway.
     return und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 

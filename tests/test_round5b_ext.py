@@ -1027,3 +1027,32 @@ class TestStarConnectedComponents:
         a, b = self._both(spark, pairs)
         assert a == b
         assert all(c == 0 for _, c in b)
+
+    def test_mid_loop_local_finish(self, spark):
+        # the per-probe escape: a graph ABOVE the bound up front (so the
+        # init check does not fire) whose contraction shrinks it under
+        # the bound mid-loop — the tail must finish on the driver with
+        # the same labels as the fully distributed run. A 300-edge path
+        # contracts fast; bound 250 sits between |E0|=300 and the first
+        # probed remainder.
+        from fantasy_premier_league_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        pairs = [(i, i + 1) for i in range(300)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        try:
+            hybrid = sorted(
+                tuple(r)
+                for r in connected_components_star(
+                    df, local_finish_edges=250
+                ).collect()
+            )
+            dist = sorted(
+                tuple(r)
+                for r in connected_components_star(df, local_finish_edges=0).collect()
+            )
+            assert hybrid == dist
+            assert all(c == 0 for _, c in hybrid)
+        finally:
+            release_operator_caches(blocking=True)

@@ -45,7 +45,28 @@ def build_topic_pipeline(
 
 
 def topic_features(df: DataFrame, *, text_col: str, n_topics: int = 5, **kwargs) -> tuple[PipelineModel, DataFrame]:
-    """Fit topics over a text column; returns (model, frame + topicDistribution)."""
+    """Fit topics over a text column; returns (model, frame + topicDistribution).
+
+    Fits the stages manually instead of ``Pipeline.fit`` so the two
+    expensive frames cache across consumers: the n-gram bag feeds the
+    CountVectorizer fit AND its transform, and the VECTORIZED counts
+    frame feeds every LDA iteration (the online optimizer samples a
+    minibatch per round — uncached, each round re-runs the whole
+    regexp/tokenize/ngram/vectorize chain over its sample). Both persists
+    are tracked (released with the operator caches); the returned
+    PipelineModel is the same stage list ``Pipeline.fit`` would produce.
+    """
+    from ..operators.cache import tracked_persist
+
     cleaned = clean_text_column(df, text_col=text_col)
-    model = build_topic_pipeline(n_topics=n_topics, **kwargs).fit(cleaned)
-    return model, model.transform(cleaned)
+    stages = build_topic_pipeline(n_topics=n_topics, **kwargs).getStages()
+    pre, cv, lda = stages[:-2], stages[-2], stages[-1]
+    bag = cleaned
+    for s in pre:  # all pure Transformers (SQL, stopwords, ngram, concat)
+        bag = s.transform(bag)
+    bag = tracked_persist(bag)
+    cvm = cv.fit(bag)
+    counts = tracked_persist(cvm.transform(bag))
+    ldam = lda.fit(counts)
+    model = PipelineModel(stages=list(pre) + [cvm, ldam])
+    return model, ldam.transform(counts)

@@ -398,8 +398,14 @@ def ivf_topk(
     sample = np.array(
         [
             r["cvec"]
-            for r in c.select("cvec", F.xxhash64(F.col("neighbor_id").cast("string")).alias("__h"))
-            .orderBy("__h")
+            for r in c.select(
+                "cvec",
+                "neighbor_id",
+                F.xxhash64(F.col("neighbor_id").cast("string")).alias("__h"),
+            )
+            # id tiebreak: a hash collision must not leave the cut-off
+            # row dependent on partition order across runs
+            .orderBy("__h", "neighbor_id")
             .limit(_IVF_TRAIN_SAMPLE)
             .collect()
         ],

@@ -388,6 +388,120 @@ def dedup_passages_keep_first(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    min_occ: int = 2,
+) -> DataFrame:
+    """(id, start, span, n_occ) for every length-``k`` SLIDING word window
+    whose exact normalized text occurs at least ``min_occ`` times
+    corpus-wide — sub-document exact-substring dedup at arbitrary
+    offsets (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022; their suffix-array pass re-expressed as
+    the equivalent fixed-width rolling window over a hash-groupBy).
+
+    The fixed-passage form (:func:`dedup_passages_keep_first` / q81)
+    misses a duplicate that straddles a passage boundary or starts at a
+    different offset; the sliding window catches any shared run of >= k
+    words, at k-times q81's explode fan-out (one row per word position,
+    built from shifted slices so the tokenizer runs O(k), not
+    O(k * n_words), per doc — shingle_array's measured lesson).
+
+    Scale shape: explode -> hash-groupBy on the span string -> hash join
+    back; identical skeleton to exact dedup, linear in corpus tokens,
+    never all-pairs. At 100 TB, span strings can be pre-hashed to 64-bit
+    before the frequency aggregate (not done here: the exact string keeps
+    the operator value-replayable by an external SQL engine, and a
+    same-length span COLLISION would fuse two different spans).
+    ``min_occ`` counts all occurrences, so a span repeated within one
+    document is duplicated too — exactly the paper's contract.
+    """
+    from .dedup import shingle_array
+
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        # non-attribute generator input: keeps the optimizer from planting
+        # a size()>0 filter that re-inlines (and re-runs) the tokenizer
+        F.posexplode(shingle_array(F.col(text_col), k)).alias("start", "span"),
+    )
+    freq = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occ)
+    )
+    return spans.join(freq, "span").select("id", "start", "span", "n_occ")
+
+
+def trim_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    min_occ: int = 2,
+) -> DataFrame:
+    """Cut every token covered by a duplicated sliding span and rebuild the
+    document — the destructive half of Lee et al.'s dedup: the corpus
+    keeps ONE copy of nothing; all occurrences of a duplicated run are
+    removed (their most aggressive variant, deterministic and
+    engine-replayable).
+
+    Returns one row per input doc: (id, n_words, n_dup_spans, n_covered,
+    cleaned_text) — counts of duplicated window starts and covered token
+    positions, plus the reconstructed text (normalized-token join; ''
+    when the whole doc was covered). Docs shorter than ``k`` words have
+    no windows and pass through untouched.
+
+    Plan: the (small, duplicates-only) span table persists once and fans
+    into the start-count and the covered-position blacklist; the
+    blacklist anti-joins the positional token explode; reconstruction is
+    one sorted collect_list per doc. Every shuffle is doc- or
+    position-keyed; the only fan-out beyond tokenization is
+    k x n_dup_spans blacklist rows.
+    """
+    from .cache import tracked_persist
+
+    base = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w")
+    ).select("id", "__w", F.size("__w").alias("n_words"))
+    dup = tracked_persist(
+        duplicate_spans(df, id_col, text_col, k=k, min_occ=min_occ).select(
+            "id", "start"
+        )
+    )
+    cov = dup.select(
+        "id", F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))).alias("pos")
+    ).distinct()
+    toks = base.select("id", F.posexplode("__w").alias("pos", "tok"))
+    kept = toks.join(cov, ["id", "pos"], "left_anti")
+    cleaned = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("cleaned_text")
+    )
+    n_dup = dup.groupBy("id").agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    n_cov = cov.groupBy("id").agg(F.count(F.lit(1)).alias("n_covered"))
+    return (
+        base.select("id", "n_words")
+        .join(n_dup, "id", "left")
+        .join(n_cov, "id", "left")
+        .join(cleaned, "id", "left")
+        .select(
+            "id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     id_col: str,

@@ -707,3 +707,59 @@ def q34_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
     cc = D.connected_components_star(pairs)
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+_SPAN_K = 10
+
+
+@query(
+    "r47_span_dedup",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    win AS (
+        SELECT doc_id, i AS start,
+               array_to_string(words[(i + 1):(i + {_SPAN_K})], ' ') AS span
+        FROM w, LATERAL unnest(generate_series(0, len(words) - {_SPAN_K})) AS t(i)
+        WHERE len(words) >= {_SPAN_K}
+    ),
+    dupspan AS (SELECT span FROM win GROUP BY span HAVING count(*) >= 2),
+    dup AS (SELECT doc_id, start FROM win JOIN dupspan USING (span)),
+    cov AS (
+        SELECT DISTINCT doc_id, start + j AS pos
+        FROM dup, LATERAL unnest(generate_series(0, {_SPAN_K - 1})) AS u(j)
+    ),
+    toks AS (
+        SELECT doc_id, i - 1 AS pos, words[i] AS tok
+        FROM w, LATERAL unnest(generate_series(1, len(words))) AS t(i)
+    ),
+    kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t ANTI JOIN cov c USING (doc_id, pos)),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text FROM kept GROUP BY doc_id),
+    d AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans FROM dup GROUP BY doc_id),
+    c2 AS (SELECT doc_id, count(*)::BIGINT AS n_covered FROM cov GROUP BY doc_id)
+    SELECT w.doc_id AS id, len(w.words)::BIGINT AS n_words,
+           coalesce(d.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           coalesce(c2.n_covered, 0)::BIGINT AS n_covered,
+           coalesce(agg.cleaned_text, '') AS cleaned_text
+    FROM w
+    LEFT JOIN d ON d.doc_id = w.doc_id
+    LEFT JOIN c2 ON c2.doc_id = w.doc_id
+    LEFT JOIN agg ON agg.doc_id = w.doc_id
+    """,
+    doc="Exact-substring span dedup with destructive trimming (Lee et "
+    "al. ACL 2022, the suffix-array pass re-expressed as a sliding "
+    f"{_SPAN_K}-word rolling window over a hash-groupBy — "
+    "operators/curation.py::trim_duplicate_spans): any run of >= k "
+    "words whose normalized text occurs twice anywhere in the corpus "
+    "(including twice in ONE doc) is cut from every document, and the "
+    "text is rebuilt from the surviving token positions. Catches the "
+    "boundary-straddling and offset-shifted duplicates the fixed "
+    "10-word passage form (q81) structurally misses. The oracle "
+    "replays windows, frequency cut, position blacklist, and the "
+    "ordered reconstruction value-for-value, cleaned text included.",
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def r47_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import trim_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return trim_duplicate_spans(docs, "doc_id", "text", k=_SPAN_K, min_occ=2)

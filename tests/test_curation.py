@@ -396,3 +396,57 @@ class TestLengthBucketBatches:
         r = C.length_bucket_batches(df, "doc_id", "text", batch_size=2).first()
         assert r["padded_tokens"] == 12 and r["padding_waste"] == 4
         assert r["efficiency"] == pytest.approx(8 / 12, abs=1e-6)
+
+
+class TestSpanDedup:
+    """trim_duplicate_spans: sliding-window exact-substring dedup (Lee et
+    al. 2022 shape) — duplicated >=k-word runs are cut from EVERY
+    occurrence, at any offset, including twice within one doc."""
+
+    RUN = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 words
+
+    def _trim(self, spark, rows, k=10):
+        out = C.trim_duplicate_spans(_docs(spark, rows), "doc_id", "text", k=k)
+        return {r["id"]: r for r in out.collect()}
+
+    def test_offset_shifted_duplicate_cut_from_both(self, spark):
+        # the shared run starts at offset 0 in doc 1 and offset 3 in doc 2
+        # — the fixed-passage form only catches aligned duplicates
+        rows = [
+            (1, f"{self.RUN} one two three"),
+            (2, f"x y z {self.RUN} four"),
+        ]
+        got = self._trim(spark, rows)
+        assert got[1]["n_dup_spans"] == 1 and got[1]["n_covered"] == 10
+        assert got[1]["cleaned_text"] == "one two three"
+        assert got[2]["cleaned_text"] == "x y z four"
+
+    def test_within_doc_repeat_cut_everywhere(self, spark):
+        rows = [(1, f"{self.RUN} filler {self.RUN}")]
+        got = self._trim(spark, rows)
+        # both occurrences removed (all-copies variant), filler survives
+        assert got[1]["cleaned_text"] == "filler"
+        assert got[1]["n_covered"] == 20
+
+    def test_overlapping_windows_merge_via_position_blacklist(self, spark):
+        # an 11-word shared run = two overlapping duplicated 10-windows;
+        # covered positions union to 11, not 20
+        run11 = self.RUN + " lambda"
+        rows = [(1, f"{run11} tail"), (2, f"head {run11}")]
+        got = self._trim(spark, rows)
+        assert got[1]["n_dup_spans"] == 2 and got[1]["n_covered"] == 11
+        assert got[1]["cleaned_text"] == "tail"
+        assert got[2]["cleaned_text"] == "head"
+
+    def test_short_and_unique_docs_untouched(self, spark):
+        rows = [(1, "too short to window"), (2, "a completely unique sentence " * 3)]
+        got = self._trim(spark, rows)
+        for r in got.values():
+            assert r["n_dup_spans"] == 0 and r["n_covered"] == 0
+        assert got[1]["cleaned_text"] == "too short to window"
+
+    def test_fully_covered_doc_yields_empty_text(self, spark):
+        rows = [(1, self.RUN), (2, self.RUN)]
+        got = self._trim(spark, rows)
+        assert got[1]["cleaned_text"] == "" and got[1]["n_covered"] == 10
+        assert got[2]["cleaned_text"] == ""

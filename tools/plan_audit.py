@@ -91,6 +91,16 @@ def main() -> None:
         "zlib compression ratio). "
         "CartesianProduct anywhere fails the audit.",
         "",
+        "Two reading notes: (1) exchange counts are TEXTUAL — the "
+        "co_occurrence mirror union (q21/q48) embeds its distinct subtree "
+        "twice in the compiled plan and runtime exchange reuse dedups the "
+        "actual shuffle work, so those rows overcount what executes "
+        "(measured faster than the pre-mirror form). (2) stats-gated "
+        "hybrids compile to their SMALL-GRAPH route at this audit's scale "
+        "(q34's closure is a driver union-find over the bounded pair "
+        "graph, hence 0 exchanges); the distributed plans they take past "
+        "their thresholds are exercised and measured at sf1 in SCALE.md.",
+        "",
         header,
         "|---|---|---|---|---|---|",
     ]

@@ -763,3 +763,132 @@ def r47_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return trim_duplicate_spans(docs, "doc_id", "text", k=_SPAN_K, min_occ=2)
+
+
+@query(
+    "r48_cluster_agreement",
+    f"""
+    WITH RECURSIVE lshp AS (
+        SELECT id_a, id_b FROM ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42)})
+    ),
+    exp_ AS (
+        SELECT id_a, id_b FROM ({_NAIVE_T03})
+    ),
+    ea AS (SELECT id_a AS u, id_b AS v FROM lshp UNION SELECT id_b, id_a FROM lshp),
+    eb AS (SELECT id_a AS u, id_b AS v FROM exp_ UNION SELECT id_b, id_a FROM exp_),
+    ra AS (
+        SELECT u AS id, u AS label FROM (SELECT DISTINCT u FROM ea)
+        UNION
+        SELECT e.v, r.label FROM ra r JOIN ea e ON r.id = e.u
+    ),
+    rb AS (
+        SELECT u AS id, u AS label FROM (SELECT DISTINCT u FROM eb)
+        UNION
+        SELECT e.v, r.label FROM rb r JOIN eb e ON r.id = e.u
+    ),
+    ca AS (SELECT id, min(label) AS c FROM ra GROUP BY id),
+    cb AS (SELECT id, min(label) AS c FROM rb GROUP BY id),
+    part AS (
+        SELECT d.doc_id,
+               coalesce(ca.c, d.doc_id) AS c_lsh,
+               coalesce(cb.c, d.doc_id) AS c_exact
+        FROM documents d
+        LEFT JOIN ca ON ca.id = d.doc_id
+        LEFT JOIN cb ON cb.id = d.doc_id
+    ),
+    cont AS (SELECT c_lsh, c_exact, count(*) AS nij FROM part GROUP BY 1, 2),
+    arow AS (SELECT c_lsh, sum(nij) AS ai FROM cont GROUP BY 1),
+    bcol AS (SELECT c_exact, sum(nij) AS bj FROM cont GROUP BY 1),
+    s AS (
+        SELECT (SELECT count(*) FROM part)::BIGINT AS n,
+               (SELECT count(*) FROM arow)::BIGINT AS clusters_lsh,
+               (SELECT count(*) FROM bcol)::BIGINT AS clusters_exact,
+               (SELECT sum(nij * (nij - 1) / 2) FROM cont)::BIGINT AS comb_ij,
+               (SELECT sum(ai * (ai - 1) / 2) FROM arow)::BIGINT AS comb_a,
+               (SELECT sum(bj * (bj - 1) / 2) FROM bcol)::BIGINT AS comb_b
+    )
+    SELECT n AS n_docs, clusters_lsh, clusters_exact, comb_ij, comb_a, comb_b,
+           CASE WHEN (comb_a + comb_b) / 2.0 - comb_a::DOUBLE * comb_b / (n * (n - 1) / 2.0) = 0
+                THEN NULL
+                ELSE round((comb_ij - comb_a::DOUBLE * comb_b / (n * (n - 1) / 2.0))
+                           / ((comb_a + comb_b) / 2.0 - comb_a::DOUBLE * comb_b / (n * (n - 1) / 2.0)), 6)
+           END AS ari
+    FROM s
+    """,
+    doc="CLUSTER-level agreement between the MinHash-LSH dedup partition "
+    "and the exact-Jaccard partition — the Adjusted Rand Index over the "
+    "two cluster assignments (q37 answers 'which candidate PAIRS does "
+    "the sketch miss'; this answers 'how differently would the corpus "
+    "actually partition', the metric that matters when a whole near-dup "
+    "GROUP fuses or splits). Both pipelines run in-engine: pairs -> "
+    "connected components -> full partition (unpaired docs are "
+    "singletons of their own id) -> contingency table -> pair-counting "
+    "ARI from C(n,2) sums, all integer until the final division. The "
+    "oracle replays both sketches, both recursive closures, and the "
+    "arithmetic; ARI is NULL when the expected and maximum indices "
+    "coincide (both partitions all-singletons).",
+    tags=("dedup", "evaluation", "llm-pipeline"),
+)
+def r48_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lsh = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True
+    )
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    pa = D.connected_components(lsh)
+    pb = D.connected_components(exact)
+    part = (
+        docs.select("doc_id")
+        .join(pa.withColumnsRenamed({"id": "doc_id", "cluster_id": "__ca"}), "doc_id", "left")
+        .join(pb.withColumnsRenamed({"id": "doc_id", "cluster_id": "__cb"}), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__ca", "doc_id").alias("c_lsh"),
+            F.coalesce("__cb", "doc_id").alias("c_exact"),
+        )
+    )
+    cont = part.groupBy("c_lsh", "c_exact").agg(F.count(F.lit(1)).alias("nij"))
+    comb = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
+    s = (
+        cont.agg(
+            F.sum(comb("nij")).alias("comb_ij"),
+            F.sum("nij").alias("n"),
+            F.count(F.lit(1)).alias("_cells"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cont.groupBy("c_lsh")
+                .agg(F.sum("nij").alias("ai"))
+                .agg(
+                    F.sum(comb("ai")).alias("comb_a"),
+                    F.count(F.lit(1)).alias("clusters_lsh"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cont.groupBy("c_exact")
+                .agg(F.sum("nij").alias("bj"))
+                .agg(
+                    F.sum(comb("bj")).alias("comb_b"),
+                    F.count(F.lit(1)).alias("clusters_exact"),
+                )
+            )
+        )
+    )
+    exp_idx = F.col("comb_a").cast("double") * F.col("comb_b") / (
+        F.col("n") * (F.col("n") - 1) / F.lit(2.0)
+    )
+    max_idx = (F.col("comb_a") + F.col("comb_b")) / F.lit(2.0)
+    ari = F.when(
+        max_idx - exp_idx == 0, F.lit(None).cast("double")
+    ).otherwise(F.round((F.col("comb_ij") - exp_idx) / (max_idx - exp_idx), 6))
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("clusters_lsh").cast("long").alias("clusters_lsh"),
+        F.col("clusters_exact").cast("long").alias("clusters_exact"),
+        F.col("comb_ij").cast("long").alias("comb_ij"),
+        F.col("comb_a").cast("long").alias("comb_a"),
+        F.col("comb_b").cast("long").alias("comb_b"),
+        ari.alias("ari"),
+    )

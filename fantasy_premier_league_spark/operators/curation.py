@@ -801,3 +801,158 @@ def length_bucket_batches(
             ).alias("efficiency"),
         )
     )
+
+
+def waterfill_budgets(
+    df: DataFrame,
+    group_col: str | list[str],
+    *,
+    total_budget: int | None = None,
+    budget_frac: float | None = None,
+    capacity: "F.Column",
+    group_weight: "F.Column | None" = None,
+) -> DataFrame:
+    """Budget-constrained proportional allocation across domains
+    (water-filling): split ``total_budget`` tokens over groups in
+    proportion to ``weight``, capped at each group's ``capacity``, with
+    every capped group's surplus redistributed proportionally among the
+    uncapped — the step that turns a mixture spec ("weights w_i, budget
+    B") into the per-domain budgets ``token_budget_sample`` then enforces.
+
+    Exact closed form, no iteration: allocation_i = min(c_i, lambda*w_i)
+    where lambda makes the allocations sum to min(B, sum c). Sorting
+    groups by c_i/w_i ascending makes the saturated set a PREFIX of the
+    order: row j saturates iff c_j * Wrem_{j-1} <= w_j * (B - C_{j-1})
+    (cumulative sums over prior rows only), and once a row fails every
+    later row fails too — c/w is non-decreasing while the per-row water
+    level (B - C)/Wrem only falls below the true lambda after the first
+    failure. One pass of window algebra replaces the textbook iterative
+    waterfall.
+
+    Scale shape: one bounded-key groupBy collapses the corpus to
+    n_groups rows; every window after that runs over the tiny aggregate
+    (single-partition is fine at domain cardinality), and the two scalar
+    totals broadcast back as 1-row cross joins. 100 TB of documents
+    collapses before any of the allocation arithmetic runs.
+
+    ``capacity`` is a per-row Column summed per group (e.g. a token
+    count); ``group_weight`` is a Column over the AGGREGATED frame
+    (columns ``capacity`` and ``n_docs`` are in scope) — default
+    ``sqrt(n_docs)``, the temperature-0.5 mixture weight (sqrt, not
+    pow, because IEEE-754 guarantees sqrt correctly rounded on every
+    engine, keeping the oracle bit-exact). Weights must be strictly
+    positive.
+    """
+    keys = [group_col] if isinstance(group_col, str) else list(group_col)
+    if group_weight is None:
+        group_weight = F.sqrt(F.col("n_docs").cast("double"))
+    g = df.groupBy(*keys).agg(
+        F.sum(capacity).cast("double").alias("capacity"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).withColumn("weight", group_weight)
+    totals = g.agg(
+        F.sum("capacity").alias("__total_cap"), F.sum("weight").alias("__total_w")
+    )
+    order = [(F.col("capacity") / F.col("weight")).asc(), *[F.col(k).asc() for k in keys]]
+    prev = W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    if (total_budget is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of total_budget / budget_frac")
+    # budget_frac keys the budget to the corpus itself (scale-invariant
+    # specs like "train on 85% of available tokens"); __total_cap is in
+    # scope everywhere b is evaluated (both sides of the totals cross join)
+    b = (
+        F.lit(float(total_budget))
+        if total_budget is not None
+        else F.lit(float(budget_frac)) * F.col("__total_cap")
+    )
+    flagged = (
+        g.crossJoin(F.broadcast(totals))
+        .withColumn("__cap_prev", F.coalesce(F.sum("capacity").over(prev), F.lit(0.0)))
+        .withColumn("__w_prev", F.coalesce(F.sum("weight").over(prev), F.lit(0.0)))
+        .withColumn(
+            "saturated",
+            # whole-corpus-fits short-circuit: everyone saturates at c_i
+            (F.col("__total_cap") <= b)
+            | (
+                F.col("capacity") * (F.col("__total_w") - F.col("__w_prev"))
+                <= F.col("weight") * (b - F.col("__cap_prev"))
+            ),
+        )
+    )
+    sat = flagged.agg(
+        F.sum(F.when(F.col("saturated"), F.col("capacity")).otherwise(F.lit(0.0))).alias("__sat_cap"),
+        F.sum(F.when(F.col("saturated"), F.col("weight")).otherwise(F.lit(0.0))).alias("__sat_w"),
+    )
+    lam = F.when(
+        F.col("__total_w") - F.col("__sat_w") > 0,
+        (b - F.col("__sat_cap")) / (F.col("__total_w") - F.col("__sat_w")),
+    ).otherwise(F.lit(0.0))
+    alloc = F.when(F.col("saturated"), F.col("capacity")).otherwise(
+        F.least(F.col("capacity"), lam * F.col("weight"))
+    )
+    return (
+        flagged.crossJoin(F.broadcast(sat))
+        .select(
+            *keys,
+            F.col("capacity").cast("long").alias("capacity"),
+            F.round("weight", 6).alias("weight"),
+            F.col("saturated"),
+            F.round(alloc, 4).alias("allocation"),
+            F.round(alloc / F.col("capacity"), 6).alias("fill_rate"),
+        )
+    )
+
+
+def epoch_interleave(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    salt: str = "ep",
+) -> DataFrame:
+    """Deterministic shuffled, domain-interleaved global training order.
+
+    A trainer reading a multi-domain corpus front-to-back wants every
+    domain spread uniformly through the epoch, not concatenated blocks —
+    otherwise the model sees 100% web for hours, then 100% code (the
+    ordering half of mixture materialization; ``materialize_mixture``
+    decides HOW MANY copies, this decides WHERE they land). Stride
+    scheduling: within each domain, docs take seeded-hash order (uniform
+    + reproducible across engines/runs); doc with within-domain rank r of
+    n_g lands at fraction (r - 0.5) / n_g, and the global order sorts by
+    that fraction. Any contiguous slice of the output then contains each
+    domain in proportion to its size — the property that makes
+    sequential-read training sample the mixture correctly.
+
+    Scale shape: one per-group window (the same single-shuffle rank as
+    token_budget_sample) + the two-phase global rank from operators/rank
+    (range sort + partition-offset join, no single-partition window over
+    the data).
+    """
+    from .rank import global_rank
+
+    n_w = W.partitionBy(group_col)
+    order_key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    rk = W.partitionBy(group_col).orderBy(order_key, F.col(id_col))
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.row_number().over(rk).cast("long").alias("domain_rank"),
+        F.count(F.lit(1)).over(n_w).cast("long").alias("domain_n"),
+    ).withColumn(
+        "stride_frac",
+        (F.col("domain_rank").cast("double") - F.lit(0.5)) / F.col("domain_n"),
+    )
+    out = global_rank(
+        ranked,
+        [F.col("stride_frac").asc(), F.col(group_col).asc(), F.col(id_col).asc()],
+        out="position",
+    )
+    return out.select(
+        "position",
+        id_col,
+        group_col,
+        "domain_rank",
+        "domain_n",
+        F.round("stride_frac", 6).alias("stride_frac"),
+    )

@@ -495,3 +495,99 @@ def r44_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q59_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.length_bucket_batches(docs, "doc_id", "text", batch_size=32)
+
+
+@query(
+    "r49_budget_waterfill",
+    f"""
+    WITH g AS (
+        SELECT lang,
+               sum(len({_WORDS}))::DOUBLE AS capacity,
+               sqrt(count(*)::DOUBLE) AS weight
+        FROM documents GROUP BY lang
+    ),
+    t AS (SELECT sum(capacity) AS total_cap, sum(weight) AS total_w FROM g),
+    f AS (
+        SELECT g.*, t.total_cap, t.total_w, 0.85 * t.total_cap AS b,
+               coalesce(sum(capacity) OVER pre, 0) AS cap_prev,
+               coalesce(sum(weight) OVER pre, 0) AS w_prev
+        FROM g CROSS JOIN t
+        WINDOW pre AS (ORDER BY capacity / weight, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    s AS (
+        SELECT *,
+               (total_cap <= b
+                OR capacity * (total_w - w_prev) <= weight * (b - cap_prev))
+               AS saturated
+        FROM f
+    ),
+    l AS (
+        SELECT sum(CASE WHEN saturated THEN capacity ELSE 0 END) AS sat_cap,
+               sum(CASE WHEN saturated THEN weight ELSE 0 END) AS sat_w
+        FROM s
+    )
+    SELECT lang, capacity::BIGINT AS capacity, round(weight, 6) AS weight, saturated,
+           round(CASE WHEN saturated THEN capacity
+                      ELSE least(capacity,
+                                 CASE WHEN total_w - sat_w > 0
+                                      THEN (b - sat_cap) / (total_w - sat_w)
+                                      ELSE 0 END * weight) END, 4) AS allocation,
+           round(CASE WHEN saturated THEN capacity
+                      ELSE least(capacity,
+                                 CASE WHEN total_w - sat_w > 0
+                                      THEN (b - sat_cap) / (total_w - sat_w)
+                                      ELSE 0 END * weight) END / capacity, 6) AS fill_rate
+    FROM s CROSS JOIN l
+    """,
+    doc="Budget-constrained water-filling allocation (operators/curation.py::"
+    "waterfill_budgets): split a budget of 85% of corpus tokens over "
+    "languages proportionally to sqrt(n_docs) temperature weights, capped "
+    "at each language's token capacity, capped surplus redistributed among "
+    "the uncapped — exact closed form via one c/w-sorted window pass (the "
+    "saturated set is a prefix of that order), no iteration. en is the "
+    "heavy unsaturated tail at every SF; the four small languages saturate. "
+    "The corpus collapses to n_langs rows in the first bounded-key groupBy; "
+    "all allocation algebra runs on the tiny aggregate.",
+    tags=("curation", "mixing", "llm-pipeline"),
+)
+def r49_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.waterfill_budgets(
+        docs,
+        "lang",
+        budget_frac=0.85,
+        capacity=F.size(D.words(F.col("text"))),
+    )
+
+
+@query(
+    "r50_epoch_interleave",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5('ep:' || doc_id::VARCHAR), doc_id) AS domain_rank,
+               count(*) OVER (PARTITION BY source) AS domain_n
+        FROM documents
+    ),
+    f AS (
+        SELECT *, (domain_rank - 0.5) / domain_n AS stride_frac FROM ranked
+    )
+    SELECT row_number() OVER (ORDER BY stride_frac, source, doc_id) AS position,
+           doc_id, source, domain_rank, domain_n,
+           round(stride_frac, 6) AS stride_frac
+    FROM f
+    """,
+    doc="Deterministic domain-interleaved epoch order (operators/curation.py::"
+    "epoch_interleave): stride scheduling lands within-domain hash-rank r "
+    "of n at fraction (r-0.5)/n; the global sort on that fraction spreads "
+    "every domain uniformly through the epoch, so any contiguous slice a "
+    "sequential trainer reads samples the mixture in proportion. Global "
+    "positions come from the two-phase rank (range sort + partition-offset "
+    "join) — no single-partition window over the data.",
+    tags=("curation", "mixing", "llm-pipeline"),
+)
+def r50_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.epoch_interleave(docs, "doc_id", "source", salt="ep")

@@ -450,3 +450,92 @@ class TestSpanDedup:
         got = self._trim(spark, rows)
         assert got[1]["cleaned_text"] == "" and got[1]["n_covered"] == 10
         assert got[2]["cleaned_text"] == ""
+
+
+class TestWaterfillBudgets:
+    def _frame(self, spark):
+        # group g1: 3 docs x 4 tokens = 12 cap; g2: 1 doc x 100 tokens;
+        # g3: 2 docs x 2 tokens = 4 cap (tiny, saturates first)
+        rows = [
+            (1, "g1", "a b c d"), (2, "g1", "a b c d"), (3, "g1", "a b c d"),
+            (4, "g2", " ".join(f"w{i}" for i in range(100))),
+            (5, "g3", "a b"), (6, "g3", "c d"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, grp string, text string")
+
+    def _run(self, spark, **kw):
+        from fantasy_premier_league_spark.operators.dedup import words
+        df = self._frame(spark)
+        out = C.waterfill_budgets(
+            df, "grp", capacity=F.size(words(F.col("text"))), **kw
+        )
+        return {r["grp"]: r.asDict() for r in out.collect()}
+
+    def test_conservation_and_cap(self, spark):
+        # budget 60 of 116 capacity, weights sqrt(n_docs): g1 w=sqrt(3),
+        # g3 w=sqrt(2) — both saturate (tiny capacity per weight); g2 takes
+        # the remainder, below its capacity
+        by = self._run(spark, total_budget=60)
+        assert by["g1"]["saturated"] and by["g3"]["saturated"]
+        assert by["g1"]["allocation"] == 12.0 and by["g3"]["allocation"] == 4.0
+        assert not by["g2"]["saturated"]
+        assert by["g2"]["allocation"] == pytest.approx(60 - 12 - 4, abs=1e-3)
+        assert by["g2"]["fill_rate"] == pytest.approx(44 / 100, abs=1e-5)
+        # conservation: allocations sum to the budget exactly
+        assert sum(r["allocation"] for r in by.values()) == pytest.approx(60, abs=1e-3)
+
+    def test_budget_exceeds_capacity(self, spark):
+        by = self._run(spark, total_budget=10_000)
+        assert all(r["saturated"] for r in by.values())
+        assert all(r["fill_rate"] == 1.0 for r in by.values())
+        assert sum(r["allocation"] for r in by.values()) == 116.0
+
+    def test_nobody_saturates_proportional_split(self, spark):
+        # budget so small that lambda*w < capacity everywhere: allocations
+        # are exactly weight-proportional
+        by = self._run(spark, total_budget=6)
+        assert not any(r["saturated"] for r in by.values())
+        import math
+        w = {"g1": math.sqrt(3.0), "g2": 1.0, "g3": math.sqrt(2.0)}
+        lam = 6 / sum(w.values())
+        for g, r in by.items():
+            assert r["allocation"] == pytest.approx(lam * w[g], abs=1e-3)
+
+    def test_budget_frac(self, spark):
+        by = self._run(spark, budget_frac=0.5)
+        assert sum(r["allocation"] for r in by.values()) == pytest.approx(58, abs=1e-3)
+
+    def test_exactly_one_budget_arg(self, spark):
+        with pytest.raises(ValueError):
+            self._run(spark)
+        with pytest.raises(ValueError):
+            self._run(spark, total_budget=5, budget_frac=0.5)
+
+
+class TestEpochInterleave:
+    def test_positions_unique_and_mixture_proportional_in_prefix(self, spark):
+        # 80 docs from "big" (4x) and 20 from "small": every 25% slice of
+        # the epoch should hold ~20 big and ~5 small (stride scheduling)
+        rows = [(i, "big") for i in range(80)] + [(1000 + i, "small") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        out = C.epoch_interleave(df, "doc_id", "src").collect()
+        assert sorted(r["position"] for r in out) == list(range(1, 101))
+        for q in range(4):
+            sl = [r for r in out if q * 25 < r["position"] <= (q + 1) * 25]
+            n_small = sum(1 for r in sl if r["src"] == "small")
+            assert 4 <= n_small <= 6, f"quarter {q}: {n_small} small docs"
+
+    def test_deterministic_across_runs(self, spark):
+        rows = [(i, "a" if i % 3 else "b") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        a = [(r["position"], r["doc_id"]) for r in C.epoch_interleave(df, "doc_id", "src").collect()]
+        b = [(r["position"], r["doc_id"]) for r in C.epoch_interleave(df, "doc_id", "src").collect()]
+        assert sorted(a) == sorted(b)
+
+    def test_singleton_domain_lands_midway(self, spark):
+        # one doc in its own domain has stride_frac 0.5 — never first/last
+        rows = [(i, "big") for i in range(99)] + [(500, "solo")]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        solo = [r for r in C.epoch_interleave(df, "doc_id", "src").collect() if r["src"] == "solo"][0]
+        assert solo["stride_frac"] == pytest.approx(0.5)
+        assert 40 <= solo["position"] <= 60

@@ -419,14 +419,34 @@ def duplicate_spans(
     ``min_occ`` counts all occurrences, so a span repeated within one
     document is duplicated too — exactly the paper's contract.
     """
-    from .dedup import shingle_array
+    base = _words_frame(df, id_col, text_col)
+    return _duplicate_spans_from_words(base, k, min_occ)
 
-    spans = df.select(
-        F.col(id_col).alias("id"),
-        # non-attribute generator input: keeps the optimizer from planting
-        # a size()>0 filter that re-inlines (and re-runs) the tokenizer
-        F.posexplode(shingle_array(F.col(text_col), k)).alias("start", "span"),
+
+def _words_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Lazily-materialized (id, __w words-array) frame — the tokenizer,
+    the per-row-dominant stage of every span operator, runs exactly once;
+    all shingling/slicing downstream works on the cached attribute
+    (array-typed → RDD layer, blocks build inside the caller's first
+    action — the dedup-family lazy-checkpoint pattern)."""
+    from .cache import tracked_materialize
+
+    return tracked_materialize(
+        df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w")),
+        eager=False,
     )
+
+
+def _duplicate_spans_from_words(base: DataFrame, k: int, min_occ: int) -> DataFrame:
+    from .dedup import shingle_array_from_words
+
+    spans = base.select(
+        "id",
+        F.posexplode(shingle_array_from_words(F.col("__w"), k)).alias("start", "span"),
+    )
+    # spans feeds BOTH sides of the frequency self-join (freq derives from
+    # it, so exchange reuse cannot fire) — but each evaluation is now
+    # slice/concat over the cached words arrays, never the tokenizer
     freq = (
         spans.groupBy("span")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -464,13 +484,13 @@ def trim_duplicate_spans(
     """
     from .cache import tracked_persist
 
-    base = df.select(
-        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w")
-    ).select("id", "__w", F.size("__w").alias("n_words"))
+    # ONE tokenization for the whole operator: the span-frequency pass,
+    # the positional token explode, and the final per-doc join all read
+    # the same cached words arrays
+    wf = _words_frame(df, id_col, text_col)
+    base = wf.select("id", "__w", F.size("__w").alias("n_words"))
     dup = tracked_persist(
-        duplicate_spans(df, id_col, text_col, k=k, min_occ=min_occ).select(
-            "id", "start"
-        )
+        _duplicate_spans_from_words(wf, k, min_occ).select("id", "start")
     )
     cov = dup.select(
         "id", F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))).alias("pos")

@@ -130,9 +130,19 @@ def shingle_array(text_col: F.Column, n: int) -> F.Column:
     ``element_at`` lambdas: Catalyst inlines the underlying
     split(regexp_replace(...)) into every subexpression, so the lambda form
     re-tokenizes the document O(n * shingles) times per row; the slice form
-    costs O(n) tokenizations per row (measured 4x faster at sf0.1).
+    costs O(n) tokenizations per row (measured 4x faster at sf0.1). For
+    large n (sliding spans use n=10), even O(n) tokenizations dominate —
+    materialize a ``words`` projection and call
+    :func:`shingle_array_from_words` on the cached attribute instead
+    (a same-plan alias does NOT help: ProjectCollapse re-inlines it).
     """
-    w = words(text_col)
+    return shingle_array_from_words(words(text_col), n)
+
+
+def shingle_array_from_words(w: F.Column, n: int) -> F.Column:
+    """:func:`shingle_array` over an already-tokenized words array —
+    zero tokenizer runs when ``w`` is an attribute of a materialized
+    frame (the slices/zip then cost O(tokens) array ops per row)."""
     length = F.greatest(F.size(w) - n + 1, F.lit(0))
     zipped = F.arrays_zip(*[F.slice(w, j + 1, length) for j in range(n)])
     gram = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))

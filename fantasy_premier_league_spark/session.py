@@ -38,7 +38,12 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
         # converts to micros (matching DuckDB's truncation semantics)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs everything in the driver JVM, so this IS the
+        # engine heap: 8g showed GC-driven 2-3x per-query variance across
+        # a 141-query bench run; 24g (of the 128 GiB profile) settles it
+        # (measured medians: 199s @ 8g -> 178s @ 24g for the full sf0.1
+        # inventory). On a real cluster this knob moves to executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
         .config("spark.executor.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

@@ -321,3 +321,145 @@ def compression_ratio(
             )
 
     return src.mapInPandas(batches, schema=out_schema)
+
+
+def domain_kl_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    smoothing: float = 0.5,
+    top_tokens: int = 5,
+) -> DataFrame:
+    """Per-domain unigram KL divergence from the corpus-wide distribution
+    — the drift fingerprint a curation pipeline monitors when a new
+    source lands: a domain whose token distribution diverges hard from
+    the pool either needs its own mixture weight or is contaminated
+    (boilerplate, markup, wrong language).
+
+    KL(P_g || P_corpus) = sum_w P_g(w) ln(P_g(w) / P(w)), both
+    distributions additive-smoothed over the corpus vocabulary (tokens a
+    domain never uses contribute nothing under the P_g(w)=~0 convention
+    — smoothing keeps the estimator finite without materializing the
+    full domain x vocab grid; only OBSERVED (domain, token) cells carry
+    mass, so the frame stays |distinct pairs|, never |domains| x |vocab|).
+    Also reports each domain's top ``top_tokens`` most over-represented
+    tokens (highest pointwise log-ratio contribution) as a diagnostic.
+
+    Scale shape: one (group, token) aggregate (map-side combined), one
+    token-keyed join against the corpus-frequency aggregate, windows
+    partitioned by the bounded group key. 100 TB collapses to the
+    (domain, distinct-token) aggregate in the first shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import words
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(words(F.col(text_col))).alias("tok"),
+    )
+    gt = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("n_gt"))
+    g_tot = gt.groupBy("grp").agg(F.sum("n_gt").alias("n_g"))
+    t_tot = gt.groupBy("tok").agg(F.sum("n_gt").alias("n_t"))
+    vocab = gt.agg(
+        F.countDistinct("tok").alias("v"), F.sum("n_gt").alias("n_all")
+    )
+    s = float(smoothing)
+    scored = (
+        gt.join(F.broadcast(g_tot), "grp")
+        .join(t_tot, "tok")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p_g",
+            (F.col("n_gt") + F.lit(s)) / (F.col("n_g") + F.lit(s) * F.col("v")),
+        )
+        .withColumn(
+            "p_all",
+            (F.col("n_t") + F.lit(s)) / (F.col("n_all") + F.lit(s) * F.col("v")),
+        )
+        .withColumn("contrib", F.col("p_g") * F.log(F.col("p_g") / F.col("p_all")))
+        # the diagnostic ranking key is the RATIO, not the ln-contribution:
+        # +,*,/ are IEEE-correctly-rounded on every engine so the order is
+        # bit-deterministic, while two near-equal ln() results could rank
+        # differently across libm implementations
+        .withColumn("ratio", F.col("p_g") / F.col("p_all"))
+    )
+    w = W.partitionBy("grp").orderBy(F.col("ratio").desc(), F.col("tok").asc())
+    top = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_tokens)
+        .groupBy("grp")
+        .agg(
+            F.concat_ws(
+                " ", F.transform(F.array_sort(F.collect_list(F.struct("__rk", "tok"))), lambda x: x["tok"])
+            ).alias("top_overrepresented")
+        )
+    )
+    kl = scored.groupBy("grp").agg(
+        F.round(F.sum("contrib"), 6).alias("kl_divergence"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.max("n_g").cast("long").alias("n_tokens"),
+    )
+    return (
+        kl.join(top, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_distinct_tokens",
+            "kl_divergence",
+            "top_overrepresented",
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-domain out-of-vocabulary rate against the corpus top-``vocab_size``
+    vocabulary — the tokenizer-coverage check run before committing a
+    vocab: a domain with high OOV under the shared vocabulary will
+    fragment into long byte-level token sequences (cost) or unks
+    (quality), and either needs vocab budget or its own tokenizer.
+
+    The reference vocabulary is the corpus's own most-frequent tokens
+    (count desc, token asc tiebreak — deterministic across engines);
+    per-domain coverage is one anti-membership aggregate. Scale shape:
+    token frequency aggregate -> bounded top-V (two-phase global rank
+    not needed: V rows survive a single ordered limit) -> broadcast
+    semi-join against the (domain, token) aggregate. Nothing
+    domain x vocab sized ever materializes.
+    """
+    from .dedup import words
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(words(F.col(text_col))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = freq.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(int(vocab_size)).select("tok")
+    gt = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("n_gt"))
+    flagged = gt.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy("grp")
+        .agg(
+            F.sum("n_gt").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), F.col("n_gt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov"),
+            F.count(F.when(F.col("__in_vocab").isNull(), 1)).cast("long").alias("n_oov_types"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            "n_oov_types",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -293,3 +293,87 @@ def q97_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q58_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.bpe_token_count(docs, "doc_id", "text")
+
+
+@query(
+    "r51_domain_kl",
+    f"""
+    WITH toks AS (
+        SELECT source AS grp, unnest({_WORDS}) AS tok FROM documents
+    ),
+    gt AS (SELECT grp, tok, count(*) AS n_gt FROM toks GROUP BY grp, tok),
+    g_tot AS (SELECT grp, sum(n_gt) AS n_g FROM gt GROUP BY grp),
+    t_tot AS (SELECT tok, sum(n_gt) AS n_t FROM gt GROUP BY tok),
+    v AS (SELECT count(DISTINCT tok) AS v, sum(n_gt) AS n_all FROM gt),
+    scored AS (
+        SELECT gt.grp, gt.tok, n_gt, n_g, n_t, v.v, v.n_all,
+               (n_gt + 0.5) / (n_g + 0.5 * v.v) AS p_g,
+               (n_t + 0.5) / (n_all + 0.5 * v.v) AS p_all
+        FROM gt JOIN g_tot USING (grp) JOIN t_tot USING (tok) CROSS JOIN v
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY grp
+                                     ORDER BY p_g / p_all DESC, tok) AS rk
+        FROM scored
+    ),
+    top AS (
+        SELECT grp, string_agg(tok, ' ' ORDER BY rk) AS top_overrepresented
+        FROM ranked WHERE rk <= 5 GROUP BY grp
+    ),
+    kl AS (
+        SELECT grp,
+               round(sum(p_g * ln(p_g / p_all)), 6) AS kl_divergence,
+               count(*)::BIGINT AS n_distinct_tokens,
+               max(n_g)::BIGINT AS n_tokens
+        FROM scored GROUP BY grp
+    )
+    SELECT grp AS source, n_tokens, n_distinct_tokens, kl_divergence, top_overrepresented
+    FROM kl JOIN top USING (grp)
+    """,
+    doc="Per-source unigram KL divergence from the corpus distribution "
+    "(operators/textstats.py::domain_kl_divergence, smoothing 0.5) — the "
+    "drift fingerprint run when a new source lands: hard divergence means "
+    "the source needs its own mixture weight or is contaminated. Only "
+    "observed (domain, token) cells carry mass (never domains x vocab); "
+    "the diagnostic top-5 over-represented tokens rank by the pure-"
+    "rational p_g/p_all ratio so ordering is bit-deterministic across "
+    "engines (ln appears only inside the rounded KL sum).",
+    tags=("text", "curation", "llm-pipeline"),
+)
+def r51_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.domain_kl_divergence(docs, "source", "text", smoothing=0.5, top_tokens=5)
+
+
+@query(
+    "r52_oov_rate",
+    f"""
+    WITH toks AS (
+        SELECT source AS grp, unnest({_WORDS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM freq ORDER BY n DESC, tok LIMIT 1000),
+    gt AS (SELECT grp, tok, count(*) AS n_gt FROM toks GROUP BY grp, tok),
+    f AS (
+        SELECT gt.*, (vocab.tok IS NOT NULL) AS in_vocab
+        FROM gt LEFT JOIN vocab ON gt.tok = vocab.tok
+    )
+    SELECT grp AS source,
+           sum(n_gt)::BIGINT AS n_tokens,
+           sum(CASE WHEN NOT in_vocab THEN n_gt ELSE 0 END)::BIGINT AS n_oov,
+           count(CASE WHEN NOT in_vocab THEN 1 END)::BIGINT AS n_oov_types,
+           round(sum(CASE WHEN NOT in_vocab THEN n_gt ELSE 0 END)
+                 / sum(n_gt), 6) AS oov_rate
+    FROM f GROUP BY grp
+    """,
+    doc="Per-source out-of-vocabulary rate against the corpus top-1000 "
+    "vocabulary (operators/textstats.py::oov_rate) — the tokenizer-"
+    "coverage check before committing a shared vocab: high-OOV domains "
+    "fragment into byte-level sequences or unks and need vocab budget. "
+    "Deterministic vocab cut (count desc, token asc); one broadcast "
+    "semi-join against the bounded (domain, token) aggregate.",
+    tags=("text", "tokenization", "llm-pipeline"),
+)
+def r52_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.oov_rate(docs, "source", "text", vocab_size=1000)

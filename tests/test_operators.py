@@ -791,3 +791,71 @@ class TestCoOccurrenceNullGroups:
         )
         edges = {(r["src"], r["dst"]) for r in co_occurrence_edges(df, "g", "item").collect()}
         assert edges == {(10, 11), (11, 10)}
+
+
+class TestDomainKL:
+    def test_identical_domains_zero_kl(self, spark):
+        # two domains with the same token distribution: KL == 0 for both
+        df = spark.createDataFrame(
+            [(1, "a", "x y"), (2, "a", "x y"), (3, "b", "x y"), (4, "b", "x y")],
+            "doc_id long, src string, text string",
+        )
+        out = {r["src"]: r for r in textstats.domain_kl_divergence(df, "src", "text").collect()}
+        assert out["a"]["kl_divergence"] == 0.0 == out["b"]["kl_divergence"]
+        assert out["a"]["n_tokens"] == 4
+
+    def test_divergent_domain_ranks_higher(self, spark):
+        import math
+        # domain b is all one alien token; hand-compute its smoothed KL
+        df = spark.createDataFrame(
+            [(1, "a", "x y x y"), (2, "b", "z z z z")],
+            "doc_id long, src string, text string",
+        )
+        out = {r["src"]: r for r in textstats.domain_kl_divergence(df, "src", "text").collect()}
+        # both domains diverge from the pooled corpus (each holds half
+        # the mass the other lacks); check b against the closed form
+        assert out["a"]["kl_divergence"] > 0 and out["b"]["kl_divergence"] > 0
+        # b: only observed cell is z (n_gt=4, n_g=4, n_t=4, n_all=8, v=3, s=0.5)
+        p_g = 4.5 / (4 + 1.5)
+        p_all = 4.5 / (8 + 1.5)
+        assert out["b"]["kl_divergence"] == pytest.approx(p_g * math.log(p_g / p_all), abs=1e-6)
+        assert out["b"]["top_overrepresented"] == "z"
+
+    def test_top_tokens_ordered_by_ratio(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "heavy heavy heavy rare"), (2, "b", "heavy common common")],
+            "doc_id long, src string, text string",
+        )
+        out = {r["src"]: r for r in textstats.domain_kl_divergence(df, "src", "text", top_tokens=2).collect()}
+        # 'rare' is a-exclusive (max over-representation); 'heavy' next
+        assert out["a"]["top_overrepresented"] == "rare heavy"
+
+
+class TestOovRate:
+    def test_vocab_cut_and_rate(self, spark):
+        # corpus vocab (size 2, count desc, tok asc): 'x' (4), 'y' (2) -> 'z','w' OOV
+        df = spark.createDataFrame(
+            [(1, "a", "x x y z"), (2, "b", "x x y w")],
+            "doc_id long, src string, text string",
+        )
+        out = {r["src"]: r for r in textstats.oov_rate(df, "src", "text", vocab_size=2).collect()}
+        for s in ("a", "b"):
+            assert out[s]["n_tokens"] == 4
+            assert out[s]["n_oov"] == 1 and out[s]["n_oov_types"] == 1
+            assert out[s]["oov_rate"] == pytest.approx(0.25)
+
+    def test_full_vocab_no_oov(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "p q r")], "doc_id long, src string, text string"
+        )
+        r = textstats.oov_rate(df, "src", "text", vocab_size=10).collect()[0]
+        assert r["n_oov"] == 0 and r["oov_rate"] == 0.0
+
+    def test_tie_at_cut_is_deterministic(self, spark):
+        # 'a' and 'b' tie on count at the vocab boundary: asc token order
+        # keeps 'a', drops 'b'
+        df = spark.createDataFrame(
+            [(1, "s", "a b")], "doc_id long, src string, text string"
+        )
+        r = textstats.oov_rate(df, "src", "text", vocab_size=1).collect()[0]
+        assert r["n_oov"] == 1  # 'b' fell outside the 1-token vocab

@@ -591,3 +591,146 @@ def r49_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def r50_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.epoch_interleave(docs, "doc_id", "source", salt="ep")
+
+
+def _containment_lsh_oracle(threshold: float, ratio: float) -> str:
+    """DuckDB SQL replaying containment_lsh_pairs(portable=True,
+    num_hashes=32, seed=42): single-hash-band MinHash candidates (the
+    _minhash_oracle at bands=num_hashes and threshold 0 is exactly the
+    r=1 candidate set), exact shingle-count containment verify, size-
+    ratio scope filter."""
+    from .dedup import _minhash_oracle
+
+    cand_sql = _minhash_oracle(num_hashes=32, bands=32, threshold=0.0, seed=42)
+    return f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    cand AS (SELECT id_a, id_b FROM ({cand_sql})),
+    hv2 AS (
+        SELECT DISTINCT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        FROM sh
+    ),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM hv2 a JOIN hv2 b ON a.h = b.h AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT c.id_a, c.id_b, c.n_common::BIGINT AS n_common,
+           round(c.n_common / least(sa.n, sb.n), 6) AS containment
+    FROM common c
+    JOIN cand USING (id_a, id_b)
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE greatest(sa.n, sb.n) <= {ratio} * least(sa.n, sb.n)
+      AND c.n_common / least(sa.n, sb.n) >= {threshold}
+    """
+
+
+@query(
+    "r53_containment_lsh",
+    _containment_lsh_oracle(0.5, 4.0),
+    doc="Sketch-accelerated containment (operators/dedup.py::"
+    "containment_lsh_pairs, LSH-Ensemble style): candidates from single-"
+    "hash MinHash bands tuned for the containment->Jaccard bound "
+    "J >= t/(1+R-t) (0.111 at t=0.5, R=4; miss prob (1-J)^32 = 0.9% at "
+    "the bound), exact array-intersect verify on candidates only, "
+    "declared size-ratio scope R=4. Scores are EXACT — the sketch only "
+    "gates which pairs get verified; never all-pairs at any scale.",
+    tags=("dedup", "containment", "lsh", "llm-pipeline"),
+)
+def r53_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.containment_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_size_ratio=4.0,
+        num_hashes=32, seed=42, portable=True,
+    )
+
+
+@query(
+    "r54_containment_recall",
+    f"""
+    WITH sketch AS ({_containment_lsh_oracle(0.5, 4.0)}),
+    {_SH_CTE},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    exact AS (
+        SELECT id_a, id_b,
+               greatest(sa.n, sb.n) <= 4.0 * least(sa.n, sb.n) AS in_scope
+        FROM common c
+        JOIN sizes sa ON sa.id = c.id_a
+        JOIN sizes sb ON sb.id = c.id_b
+        WHERE c.n_common / least(sa.n, sb.n) >= 0.5
+    ),
+    j AS (
+        SELECT coalesce(e.in_scope, true) AS in_scope,
+               (e.id_a IS NOT NULL) AS is_exact,
+               (s.id_a IS NOT NULL) AS is_sketch
+        FROM exact e FULL OUTER JOIN sketch s USING (id_a, id_b)
+    )
+    SELECT sum(CASE WHEN is_exact AND in_scope THEN 1 ELSE 0 END)::BIGINT AS n_exact_scoped,
+           sum(CASE WHEN is_exact AND NOT in_scope THEN 1 ELSE 0 END)::BIGINT AS n_beyond_ratio,
+           sum(CASE WHEN is_sketch THEN 1 ELSE 0 END)::BIGINT AS n_sketch,
+           sum(CASE WHEN is_sketch AND is_exact THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           round(sum(CASE WHEN is_sketch AND is_exact THEN 1 ELSE 0 END)
+                 / greatest(sum(CASE WHEN is_exact AND in_scope THEN 1 ELSE 0 END), 1), 6) AS recall
+    FROM j
+    """,
+    doc="In-engine recall evaluation of the containment sketch path "
+    "against exact containment_pairs at the same threshold (q37's "
+    "LSH-vs-exact pattern for the containment family): one tagged "
+    "full-outer join counts exact-in-scope, beyond-ratio (the declared "
+    "out-of-scope set), sketch, and hit pairs in a single pass. "
+    "Precision is 1 by construction (the sketch path verifies exactly); "
+    "recall measures candidate-generation misses honestly.",
+    tags=("dedup", "containment", "evaluation", "llm-pipeline"),
+)
+def r54_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    exact = D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b", "n_common"
+    )
+    sizes_scope = D.doc_shingle_arrays(docs, "doc_id", "text", 3).select(
+        "id", F.size("__arr").alias("n")
+    )
+    exact = (
+        exact.join(sizes_scope.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes_scope.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.greatest("n_a", "n_b") <= F.lit(4.0) * F.least("n_a", "n_b")).alias("in_scope"),
+        )
+    )
+    sketch = D.containment_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_size_ratio=4.0,
+        num_hashes=32, seed=42, portable=True,
+    ).select("id_a", "id_b", F.lit(True).alias("__s"))
+    j = exact.join(sketch, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_scope", F.lit(True)).alias("in_scope"),
+        F.col("in_scope").isNotNull().alias("is_exact"),
+        F.col("__s").isNotNull().alias("is_sketch"),
+    )
+    return j.agg(
+        F.sum(F.when(F.col("is_exact") & F.col("in_scope"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_scoped"),
+        F.sum(F.when(F.col("is_exact") & ~F.col("in_scope"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_beyond_ratio"),
+        F.sum(F.when(F.col("is_sketch"), 1).otherwise(0)).cast("long").alias("n_sketch"),
+        F.sum(F.when(F.col("is_sketch") & F.col("is_exact"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.round(
+            F.sum(F.when(F.col("is_sketch") & F.col("is_exact"), 1).otherwise(0))
+            / F.greatest(
+                F.sum(F.when(F.col("is_exact") & F.col("in_scope"), 1).otherwise(0)),
+                F.lit(1),
+            ),
+            6,
+        ).alias("recall"),
+    )

@@ -859,3 +859,48 @@ class TestOovRate:
         )
         r = textstats.oov_rate(df, "src", "text", vocab_size=1).collect()[0]
         assert r["n_oov"] == 1  # 'b' fell outside the 1-token vocab
+
+
+class TestContainmentLsh:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_contained_doc_found_within_ratio(self, spark):
+        # doc 2 (5 shingles) fully inside doc 1 (14 shingles, ratio 2.8 <= 4)
+        inner = "alpha beta gamma delta epsilon zeta eta"
+        outer = inner + " one two three four five six seven eight nine"
+        df = self._docs(spark, [(1, outer), (2, inner), (3, "x y z w v u t")])
+        out = D.containment_lsh_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9, max_size_ratio=4.0,
+            num_hashes=32, portable=True,
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["containment"]) for r in out] == [(1, 2, 1.0)]
+
+    def test_beyond_ratio_is_out_of_scope_but_exact_finds_it(self, spark):
+        # doc 2 (3 shingles) inside a 10x-larger doc: the sketch path's
+        # declared scope (R=2) excludes it; the exact operator still finds it
+        inner = "alpha beta gamma delta epsilon"
+        filler = " ".join(f"w{i}" for i in range(30))
+        df = self._docs(spark, [(1, inner + " " + filler), (2, inner)])
+        sketch = D.containment_lsh_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9, max_size_ratio=2.0,
+            num_hashes=32, portable=True,
+        ).collect()
+        assert sketch == []
+        exact = D.containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+        assert [(r["id_a"], r["id_b"]) for r in exact] == [(1, 2)]
+
+    def test_sketch_subset_of_exact_scoped(self, spark):
+        rows = [(i, f"common phrase tail {' '.join(f'tok{i}x{j}' for j in range(i % 5))}") for i in range(1, 30)]
+        df = self._docs(spark, rows)
+        kw = dict(n=2, threshold=0.4)
+        sk = {(r["id_a"], r["id_b"], r["containment"]) for r in D.containment_lsh_pairs(
+            df, "doc_id", "text", max_size_ratio=100.0, num_hashes=32, portable=True, **kw
+        ).collect()}
+        ex = {(r["id_a"], r["id_b"], r["containment"]) for r in D.containment_pairs(
+            df, "doc_id", "text", **kw
+        ).collect()}
+        assert sk <= ex
+        # verified scores on the sketch path are EXACT, not estimates
+        for t in sk:
+            assert t in ex

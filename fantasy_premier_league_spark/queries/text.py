@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import textstats
-from ..operators.dedup import normalize_text, words
+from ..operators.dedup import words
 from . import query
 
 # DuckDB equivalents of the shared normalization in operators/dedup.py

@@ -45,8 +45,13 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
         # inventory). On a real cluster this knob moves to executor.memory.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
-        .config("spark.executor.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # ZGC: G1's multi-second full-heap pauses landed on random queries
+        # (measured 14-22s single-query spikes across 141-query bench runs
+        # with no code change); ZGC's sub-ms pauses bound the tail — worst
+        # query 5.4s vs 22.3s, full-inventory total 149-192s vs 161-239s
+        # over repeated runs. Throughput cost is within run-to-run noise.
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true -XX:+UseZGC")
+        .config("spark.executor.extraJavaOptions", "-Djava.net.preferIPv4Stack=true -XX:+UseZGC")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -877,6 +877,13 @@ def waterfill_budgets(
     prev = W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
     if (total_budget is None) == (budget_frac is None):
         raise ValueError("pass exactly one of total_budget / budget_frac")
+    # a non-positive budget would yield a negative water level and negative
+    # allocations (min(c, lambda*w) with lambda < 0) instead of an error;
+    # budget_frac > 1 would silently behave like the everything-fits case
+    if total_budget is not None and total_budget <= 0:
+        raise ValueError(f"total_budget must be positive, got {total_budget}")
+    if budget_frac is not None and not (0.0 < budget_frac <= 1.0):
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
     # budget_frac keys the budget to the corpus itself (scale-invariant
     # specs like "train on 85% of available tokens"); __total_cap is in
     # scope everywhere b is evaluated (both sides of the totals cross join)

@@ -283,7 +283,9 @@ def _jaccard_pairs_from_index(sh: DataFrame, threshold: float) -> DataFrame:
 _NAIVE_BROADCAST_POSTINGS = 2_000_000
 
 
-def _pair_overlap_counts(shs: DataFrame, *, broadcast: bool = False) -> DataFrame:
+def _pair_overlap_counts(
+    shs: DataFrame, *, broadcast: bool = False, max_size_ratio: float | None = None
+) -> DataFrame:
     """(id_a, id_b, n_common, n_a, n_b) for every id<id2 pair sharing a
     shingle, from a SIZE-CARRYING posting frame (id, n_shingles, shingle):
     self-join on shingle, then ONE pair-keyed aggregate emits n_common AND
@@ -295,11 +297,27 @@ def _pair_overlap_counts(shs: DataFrame, *, broadcast: bool = False) -> DataFram
     Shared by the Jaccard and containment scorers. ``broadcast=True``
     broadcasts the build side of the self-join (callers gate it on an
     exact posting count — see ``_NAIVE_BROADCAST_POSTINGS``).
+
+    ``max_size_ratio`` applies the lossless LENGTH FILTER inside the join
+    condition: pairs with max(|A|,|B|) > ratio*min(|A|,|B|) are dropped
+    before the pair-keyed aggregate ever sees their rows. Jaccard callers
+    pass 1/threshold (J >= t forces t|A| <= |B| <= |A|/t, so no surviving
+    pair is lost — the same filter the prefix route applies); containment
+    callers must NOT set it (a tiny doc inside a huge one is exactly the
+    containment case) unless they already scope by ratio.
     """
     a = shs.alias("a")
     b = F.broadcast(shs.alias("b")) if broadcast else shs.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
+    if max_size_ratio is not None:
+        r = F.lit(float(max_size_ratio))
+        cond = (
+            cond
+            & (F.col("b.n_shingles") * r >= F.col("a.n_shingles"))
+            & (F.col("a.n_shingles") * r >= F.col("b.n_shingles"))
+        )
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, cond)
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common"),
@@ -328,9 +346,14 @@ def _jaccard_pairs_from_sized_index(
 ) -> DataFrame:
     """Naive verify over a size-carrying posting frame — see
     :func:`_pair_overlap_counts`. Same output as
-    :func:`_jaccard_pairs_from_index`."""
+    :func:`_jaccard_pairs_from_index`; the length filter (lossless at a
+    Jaccard threshold) prunes size-incompatible pairs inside the join."""
     return (
-        _pair_overlap_counts(shs, broadcast=broadcast)
+        _pair_overlap_counts(
+            shs,
+            broadcast=broadcast,
+            max_size_ratio=(1.0 / float(threshold)) if threshold > 0 else None,
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -1511,8 +1534,23 @@ def prefix_filtered_jaccard_pairs(
         # exchanges cannot pay for themselves. This probe job is also
         # what materializes the lazy ``arr`` checkpoint, so the chosen
         # route reads cached blocks instead of re-shingling.
+        # The probe aggregates on xxhash64(shingle), not the string:
+        # the exchange ships 8-byte longs instead of ~25-byte shingles
+        # (~3x fewer shuffle bytes on the probe's one shuffle). A 64-bit
+        # collision could only merge two df counts — n_postings stays
+        # exact (sum of df is collision-invariant) so the broadcast gate
+        # is unaffected, and n_cand is a COST estimate feeding a
+        # route choice between two exact plans, where a vanishing
+        # ~n²/2^64 upward bias is irrelevant. The string-keyed ``freq``
+        # above is untouched — the prefix route's global shingle order
+        # still uses real shingles.
+        hfreq = (
+            arr.select(F.explode("__arr").alias("shingle"))
+            .groupBy(F.xxhash64("shingle").alias("__hs"))
+            .agg(F.count(F.lit(1)).alias("__df"))
+        )
         d = F.col("__df").cast("double")
-        probe = freq.agg(
+        probe = hfreq.agg(
             F.coalesce(F.sum(d), F.lit(0.0)).alias("n_postings"),
             F.coalesce(F.sum(d * (d - F.lit(1.0)) / F.lit(2.0)), F.lit(0.0)).alias("n_cand"),
         ).first()

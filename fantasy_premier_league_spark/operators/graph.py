@@ -39,6 +39,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 2,
+    local_finish_edges: int | None = 200_000,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -53,8 +54,8 @@ def pagerank(
 
     Plan shape: ONE bounded driver probe over the persisted nodes frame
     classifies the graph up front (node count for the literal teleport
-    term, dangling count, source-only count). On a *closed* graph —
-    every node has both in- and out-edges, which every symmetric
+    term, dangling count, source-only count, edge count). On a *closed*
+    graph — every node has both in- and out-edges, which every symmetric
     co-occurrence graph is — each round is exactly one hash join of the
     persisted edges x ranks plus one partial-agg groupBy: the per-round
     node-set rebuild join and the dangling-mass broadcast subtree are
@@ -62,6 +63,20 @@ def pagerank(
     time. Lineage is cut every ``checkpoint_every`` rounds (default 2,
     so it actually fires at the common 3-iteration depth) via
     localCheckpoint, keeping the unrolled plan shallow.
+
+    ``local_finish_edges``: when the probe shows the WHOLE graph is
+    driver-bounded (edges and nodes both under the bound), the power
+    iteration runs locally on the collected edge list instead of
+    unrolling ~8 exchanges per round for a toy graph — the same
+    stats-gated local-finish discipline as connected-components
+    (operators/dedup.py::_finish_components_locally), re-checked per
+    call from the probe the distributed route needs anyway. Identical
+    semantics (teleport, dangling redistribution, per-edge-row
+    contributions); rounding happens Spark-side on the returned frame
+    so both routes share F.round's HALF_UP. At corpus scale the probe
+    sends the distributed route — nothing edge-sized ever reaches the
+    driver there. Pass ``local_finish_edges=None`` to force the
+    distributed plan.
     """
     # edge list is the one big table → persist it; everything else (node
     # stats, rank vector) is nodes-sized. RDD-cache block locks make the
@@ -104,10 +119,19 @@ def pagerank(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("deg") == 0, 1)).alias("n_dangling"),
         F.count(F.when(F.col("__nin") == 0, 1)).alias("n_no_in"),
+        F.coalesce(F.sum("deg"), F.lit(0)).alias("n_edges"),
     ).first()
     n = int(probe["n"])
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
+    if (
+        local_finish_edges
+        and int(probe["n_edges"]) <= int(local_finish_edges)
+        and n <= int(local_finish_edges)
+    ):
+        return _pagerank_locally(
+            e, nodes, n=n, damping=float(damping), iterations=int(iterations)
+        )
     has_dangling = int(probe["n_dangling"]) > 0
     # closed graph: in-mass aggregation already covers the full node set
     closed = not has_dangling and int(probe["n_no_in"]) == 0
@@ -165,6 +189,47 @@ def pagerank(
             # checkpoint blocks release with the operator caches)
             ranks = tracked_local_checkpoint(ranks)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_locally(
+    e: DataFrame, nodes: DataFrame, *, n: int, damping: float, iterations: int
+) -> DataFrame:
+    """Driver-side power iteration for a probe-verified toy graph — both
+    frames are cached and bounded by ``local_finish_edges`` when this is
+    reached. Vectorized numpy (bincount gather/scatter per round), exact
+    same update rule as the distributed plan: w = rank/deg on
+    contributors, in-mass by destination, dangling mass spread
+    uniformly, teleport last. The unrounded doubles go back into a
+    nodes-sized DataFrame and rounding happens Spark-side (F.round,
+    HALF_UP) so rounding semantics stay identical across routes."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    node_rows = nodes.select("node", "deg").collect()
+    ids = [r["node"] for r in node_rows]
+    idx = {v: i for i, v in enumerate(ids)}
+    deg = np.array([r["deg"] for r in node_rows], dtype=np.float64)
+    edge_rows = e.collect()
+    m = len(edge_rows)
+    src = np.fromiter((idx[r["src"]] for r in edge_rows), dtype=np.int64, count=m)
+    dst = np.fromiter((idx[r["dst"]] for r in edge_rows), dtype=np.int64, count=m)
+    dangling = deg == 0
+    safe_deg = np.where(dangling, 1.0, deg)
+    teleport = (1.0 - damping) / n
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        w = np.where(dangling, 0.0, rank / safe_deg)
+        inmass = np.bincount(dst, weights=w[src], minlength=n)
+        dm = float(rank[dangling].sum()) if dangling.any() else 0.0
+        rank = teleport + damping * (inmass + dm / n)
+    spark = e.sparkSession
+    schema = T.StructType(
+        [nodes.schema["node"], T.StructField("rank", T.DoubleType(), False)]
+    )
+    out = spark.createDataFrame(
+        [(ids[i], float(rank[i])) for i in range(n)], schema=schema
+    )
+    return out.select("node", F.round("rank", 6).alias("rank"))
 
 
 def co_occurrence_edges(

@@ -440,9 +440,13 @@ def oov_rate(
         F.col(group_col).alias("grp"),
         F.explode(words(F.col(text_col))).alias("tok"),
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    vocab = freq.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(int(vocab_size)).select("tok")
     gt = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("n_gt"))
+    # corpus frequency derives from the bounded (grp, tok) aggregate, not
+    # from a second pass over the raw tokens — the scan+explode+tokenize
+    # subtree (the dominant per-row stage) runs exactly once and the
+    # (grp, tok) exchange is reused, matching domain_kl_divergence's t_tot
+    freq = gt.groupBy("tok").agg(F.sum("n_gt").alias("n"))
+    vocab = freq.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(int(vocab_size)).select("tok")
     flagged = gt.join(
         F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "tok", "left"
     )

@@ -849,32 +849,27 @@ def r48_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = part.groupBy("c_lsh", "c_exact").agg(F.count(F.lit(1)).alias("nij"))
     comb = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
-    s = (
-        cont.agg(
-            F.sum(comb("nij")).alias("comb_ij"),
-            F.sum("nij").alias("n"),
-            F.count(F.lit(1)).alias("_cells"),
-        )
-        .crossJoin(
-            F.broadcast(
-                cont.groupBy("c_lsh")
-                .agg(F.sum("nij").alias("ai"))
-                .agg(
-                    F.sum(comb("ai")).alias("comb_a"),
-                    F.count(F.lit(1)).alias("clusters_lsh"),
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                cont.groupBy("c_exact")
-                .agg(F.sum("nij").alias("bj"))
-                .agg(
-                    F.sum(comb("bj")).alias("comb_b"),
-                    F.count(F.lit(1)).alias("clusters_exact"),
-                )
-            )
-        )
+    # ONE grouping-sets pass over the contingency cells computes the row
+    # marginals (ai: gid=1), column marginals (bj: gid=2) and the global
+    # cell sums (gid=3) together — the previous shape fanned `cont` into
+    # three independent aggregate branches (global + two broadcast
+    # crossJoins), so part's joins+groupBy ran three times (VERDICT r8
+    # finding 2, the inventory's heaviest row). The Expand triples only
+    # the cluster-pair-cells-bounded cont rows, never the corpus; the
+    # second aggregate below runs over marginals-sized input.
+    gs = cont.groupingSets([["c_lsh"], ["c_exact"], []], "c_lsh", "c_exact").agg(
+        F.sum("nij").alias("tot"),
+        F.sum(comb("nij")).alias("combn"),
+        F.grouping_id().alias("gid"),
+    )
+    tot2 = (F.col("tot") * (F.col("tot") - 1) / 2).cast("long")
+    s = gs.agg(
+        F.max(F.when(F.col("gid") == 3, F.col("tot"))).alias("n"),
+        F.max(F.when(F.col("gid") == 3, F.col("combn"))).alias("comb_ij"),
+        F.sum(F.when(F.col("gid") == 1, tot2)).alias("comb_a"),
+        F.count(F.when(F.col("gid") == 1, 1)).alias("clusters_lsh"),
+        F.sum(F.when(F.col("gid") == 2, tot2)).alias("comb_b"),
+        F.count(F.when(F.col("gid") == 2, 1)).alias("clusters_exact"),
     )
     exp_idx = F.col("comb_a").cast("double") * F.col("comb_b") / (
         F.col("n") * (F.col("n") - 1) / F.lit(2.0)

@@ -26,6 +26,9 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
     """Build (or reuse) the session with the engine's standard config."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    _java_opts = os.environ.get(
+        "SPARK_GRAFT_JAVA_OPTS", "-Djava.net.preferIPv4Stack=true -XX:+UseZGC"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -50,8 +53,13 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
         # with no code change); ZGC's sub-ms pauses bound the tail — worst
         # query 5.4s vs 22.3s, full-inventory total 149-192s vs 161-239s
         # over repeated runs. Throughput cost is within run-to-run noise.
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true -XX:+UseZGC")
-        .config("spark.executor.extraJavaOptions", "-Djava.net.preferIPv4Stack=true -XX:+UseZGC")
+        # ZGC is production-quality on JDK >= 15 only, so the flag is an
+        # overridable default, not baked in: SPARK_GRAFT_JAVA_OPTS replaces
+        # the whole option string (set it to "-Djava.net.preferIPv4Stack=true"
+        # — or "" — on a cluster whose executors run an older JDK, the same
+        # escape hatch SPARK_GRAFT_DRIVER_MEM provides for the 24g heap).
+        .config("spark.driver.extraJavaOptions", _java_opts)
+        .config("spark.executor.extraJavaOptions", _java_opts)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -713,7 +713,7 @@ _SPAN_K = 10
 
 
 @query(
-    "r47_span_dedup",
+    "q05_span_dedup",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     win AS (
@@ -758,7 +758,7 @@ _SPAN_K = 10
     "ordered reconstruction value-for-value, cleaned text included.",
     tags=("dedup", "text", "llm-pipeline"),
 )
-def r47_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import trim_duplicate_spans
 
     docs = load(spark, sf_dir, "documents")
@@ -766,7 +766,7 @@ def r47_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r48_cluster_agreement",
+    "q11_cluster_agreement",
     f"""
     WITH RECURSIVE lshp AS (
         SELECT id_a, id_b FROM ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42)})
@@ -829,7 +829,7 @@ def r47_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coincide (both partitions all-singletons).",
     tags=("dedup", "evaluation", "llm-pipeline"),
 )
-def r48_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     lsh = D.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True

@@ -181,7 +181,7 @@ def q04_priority_with_late_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q05_customers_without_orders",
+    "r55_customers_without_orders",
     """
     SELECT c.c_custkey, c.c_name, c.c_nationkey
     FROM customer c
@@ -191,7 +191,7 @@ def q04_priority_with_late_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl/additional_fifa.py:303-311) as left_anti join.",
     tags=("anti-join",),
 )
-def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r55_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
@@ -402,7 +402,7 @@ def q10_roleswap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q11_common_parts",
+    "r56_common_parts",
     """
     SELECT l_partkey FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
@@ -413,7 +413,7 @@ def q10_roleswap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="INTERSECT J12/U4 (etl/additional_fifa.py:232-241).",
     tags=("setop",),
 )
-def q11_common_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r56_common_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -632,7 +632,7 @@ def q15_value_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q16_balance_bins",
+    "r57_balance_bins",
     """
     SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
                 WHEN c_acctbal < 1000 THEN 'low'
@@ -645,7 +645,7 @@ def q15_value_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as a when-chain; plus group stats.",
     tags=("binning", "agg"),
 )
-def q16_balance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r57_balance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     bin_col = (
         F.when(F.col("c_acctbal") < 0, "negative")
@@ -657,6 +657,88 @@ def q16_balance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.groupBy(bin_col.alias("bal_bin"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
     )
+
+
+@query(
+    "q16_league_table",
+    """
+    WITH f AS (
+        SELECT o_orderkey % 25 AS away_id,
+               o_custkey % 25 AS home_id,
+               (o_orderstatus = 'F') AS fin,
+               CASE WHEN o_orderstatus = 'F' THEN o_orderkey % 5 END AS hs,
+               CASE WHEN o_orderstatus = 'F' THEN o_custkey % 4 END AS aws
+        FROM orders
+    ),
+    tr AS (
+        SELECT home_id AS team_id, hs AS gs, aws AS gc, fin,
+               (fin AND hs > aws) AS win, (fin AND hs = aws) AS draw,
+               (fin AND hs < aws) AS loss
+        FROM f
+        UNION ALL
+        SELECT away_id, aws, hs, fin,
+               (fin AND aws > hs), (fin AND aws = hs), (fin AND aws < hs)
+        FROM f
+    ),
+    agg AS (
+        SELECT team_id,
+               coalesce(sum(CASE WHEN win THEN 3 WHEN draw THEN 1 ELSE 0 END), 0)::BIGINT AS points,
+               coalesce(sum(gs - gc), 0)::BIGINT AS goal_difference,
+               coalesce(sum(fin::INT), 0)::BIGINT AS played,
+               coalesce(sum(win::INT), 0)::BIGINT AS win,
+               coalesce(sum(draw::INT), 0)::BIGINT AS draw,
+               coalesce(sum(loss::INT), 0)::BIGINT AS loss,
+               coalesce(sum(gs), 0)::BIGINT AS goals_scored,
+               coalesce(sum(gc), 0)::BIGINT AS goals_conceded
+        FROM tr GROUP BY team_id
+    )
+    SELECT (row_number() OVER (ORDER BY points DESC, goal_difference DESC,
+                               goals_scored DESC, a.team_id ASC) - 1)::BIGINT AS table_position,
+           a.team_id::BIGINT AS team_id, n.n_name AS team_name_long,
+           points, goal_difference, played, win, draw, loss,
+           goals_scored, goals_conceded
+    FROM agg a JOIN nation n ON n.n_nationkey = a.team_id
+    """,
+    doc="ETL CAPSTONE through the reference-parity transform path "
+    "(etl/transform.py::build_team_results + build_league_table — the "
+    "reference's run_transform.py:373-447 league table): a fixtures-shaped "
+    "frame is derived deterministically from `orders` (25 'teams' = "
+    "nation keys; home/away scores from key arithmetic, NULL-masked on "
+    "unfinished orders exactly like postponed fixtures), then the real "
+    "J14 role-swap union, the A1 masked-null group-sums (win/draw/loss "
+    "NULL on unplayed games, pandas-skipna semantics via coalesce), and "
+    "the W4/O2 (points, goal_difference, goals_scored) desc ranking with "
+    "0-based table_position run end-to-end. The oracle replays the "
+    "derivation and the full aggregation in SQL, so the driver gate "
+    "value-checks the ETL path the golden pytest suite previously "
+    "covered alone.",
+    tags=("etl", "league-table", "capstone"),
+)
+def q16_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..etl.transform import build_league_table, build_team_results
+
+    orders = load(spark, sf_dir, "orders")
+    fixtures = orders.select(
+        F.col("o_orderkey").cast("long").alias("fixture_id_long"),
+        F.col("o_orderkey").cast("int").alias("fixture_id"),
+        F.month("o_orderdate").alias("gameweek_id"),
+        F.col("o_orderdate").cast("timestamp").alias("fixture_kickoff_datetime"),
+        (F.col("o_custkey") % 25).cast("long").alias("home_team_id"),
+        (F.col("o_orderkey") % 25).cast("long").alias("away_team_id"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey") % 5)
+        .cast("long")
+        .alias("home_team_score"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_custkey") % 4)
+        .cast("long")
+        .alias("away_team_score"),
+        (F.col("o_orderstatus") == "F").alias("fixture_finished"),
+    )
+    teams = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("team_id"),
+        F.col("n_name").alias("team_name_long"),
+    )
+    table = build_league_table(build_team_results(fixtures), teams)
+    return table.withColumn("table_position", F.col("table_position").cast("long"))
 
 
 # --------------------------------------------------------------------------

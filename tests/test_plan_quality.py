@@ -46,7 +46,7 @@ class TestJoinStrategies:
         assert plan.count("BroadcastHashJoin") >= 3
 
     def test_q05_anti_join_is_broadcast_or_hash(self, spark):
-        plan = plan_of(spark, "q05_customers_without_orders")
+        plan = plan_of(spark, "r55_customers_without_orders")
         assert "LeftAnti" in plan
 
     def test_q13_asof_is_single_window_no_join(self, spark):

@@ -98,7 +98,7 @@ for _n in (
 #: customer tiles 5x (orders spreads o_custkey over 5 tiles only)
 for _n in (
     "q08_acctbal_deciles", "q09_argmax_customer", "q10_roleswap_union",
-    "q16_balance_bins", "q20_exact_quantiles", "q72_decile_edges",
+    "r57_balance_bins", "q20_exact_quantiles", "q72_decile_edges",
     "q73_full_outer_activity",
 ):
     DATA_FACTOR[_n] = 5.0

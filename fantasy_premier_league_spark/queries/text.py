@@ -16,6 +16,39 @@ from . import query
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS = f"string_split({_NORM}, ' ')"
 
+# MLlib's default English stop-word list (StopWordsRemover.
+# loadDefaultStopWords("english") — org/apache/spark/ml/feature/stopwords/
+# english.txt), embedded so the q62 oracle can replay the topic pipeline's
+# pre-LDA stages in DuckDB without a JVM. Pinned against the live list in
+# tests/test_fifa_ml_extras.py so an MLlib upgrade cannot drift silently.
+MLLIB_EN_STOPWORDS = (
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his",
+    "himself", "she", "her", "hers", "herself", "it", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had", "having",
+    "do", "does", "did", "doing", "a", "an", "the", "and", "but", "if",
+    "or", "because", "as", "until", "while", "of", "at", "by", "for",
+    "with", "about", "against", "between", "into", "through", "during",
+    "before", "after", "above", "below", "to", "from", "up", "down", "in",
+    "out", "on", "off", "over", "under", "again", "further", "then",
+    "once", "here", "there", "when", "where", "why", "how", "all", "any",
+    "both", "each", "few", "more", "most", "other", "some", "such", "no",
+    "nor", "not", "only", "own", "same", "so", "than", "too", "very", "s",
+    "t", "can", "will", "just", "don", "should", "now", "i'll", "you'll",
+    "he'll", "she'll", "we'll", "they'll", "i'd", "you'd", "he'd",
+    "she'd", "we'd", "they'd", "i'm", "you're", "he's", "she's", "it's",
+    "we're", "they're", "i've", "we've", "you've", "they've", "isn't",
+    "aren't", "wasn't", "weren't", "haven't", "hasn't", "hadn't",
+    "don't", "doesn't", "didn't", "won't", "wouldn't", "shan't",
+    "shouldn't", "mustn't", "can't", "couldn't", "cannot", "could",
+    "here's", "how's", "let's", "ought", "that's", "there's", "what's",
+    "when's", "where's", "who's", "why's", "would",
+)
+
+_SW_SQL = ", ".join("'" + w.replace("'", "''") + "'" for w in MLLIB_EN_STOPWORDS)
+
 
 @query(
     "q30_token_stats",
@@ -130,23 +163,67 @@ def q74_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q62_topic_features",
-    None,  # LDA inference is engine-internal; rows-only check
-    doc="Topic-model features M13 (news-text LDA, M1.ipynb § 28-29) over "
-    "the documents table: clean -> stopword removal -> 1-2-gram counts -> "
-    "seeded LDA; one row per doc with its dominant topic. Deterministic "
-    "given the seed.",
+    f"""
+    WITH cleaned AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                                                  '[^a-z\\s\\d]', '', 'g'),
+                                   '\\s+', ' ', 'g')) AS tc
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(tc, ' '),
+                           t -> t NOT IN ({_SW_SQL})) AS tok
+        FROM cleaned
+    ),
+    bags AS (
+        SELECT doc_id, tok,
+               list_concat(
+                   tok,
+                   CASE WHEN len(tok) >= 2
+                        THEN list_transform(generate_series(1, len(tok) - 1),
+                                            i -> tok[i] || ' ' || tok[i+1])
+                        ELSE []::VARCHAR[] END) AS bag
+        FROM toks
+    )
+    SELECT doc_id,
+           len(tok)::BIGINT AS n_terms,
+           len(list_distinct(bag))::BIGINT AS n_distinct_grams,
+           coalesce(list_sum(list_transform(
+               bag, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)), 0)::BIGINT
+               AS bag_hash_sum
+    FROM bags
+    """,
+    doc="Topic-model pipeline M13 (news-text LDA, M1.ipynb § 28-29) over "
+    "the documents table: clean -> MLlib StopWordsRemover -> 1-2-gram bag "
+    "-> CountVectorizer -> seeded LDA, run through the real pipeline "
+    "stages (ml/text.py::topic_features — the CountVectorizer and LDA "
+    "FITS execute inside this query). The ORACLE'D PROJECTION is the "
+    "deterministic pre-LDA surface: post-stopword term count, distinct "
+    "1-2-gram count, and an order-insensitive md5 hash-sum over the "
+    "whole n-gram bag — value-checking the clean/tokenize/stopword/"
+    "n-gram stages content-exactly (the bag hash-sum pins every gram "
+    "string). Topic ASSIGNMENT stays out of the projection: LDA "
+    "training is iterative/engine-internal (the round-8 rows-only "
+    "rationale) and CountVectorizer's vocab tie-break is not oracle-"
+    "replayable; model quality is pytest-gated instead "
+    "(tests/test_fifa_ml_extras.py).",
     tags=("text", "ml", "lda"),
 )
 def q62_topic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.functions import vector_to_array
-
     from ..ml.text import topic_features
 
     docs = load(spark, sf_dir, "documents")
     _, out = topic_features(docs, text_col="text", n_topics=4, vocab_size=100, max_ngram=2, lda_max_iter=6)
-    arr = vector_to_array("topicDistribution")
-    dominant = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
-    return out.select("doc_id", dominant.alias("dominant_topic"))
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    bag_sum = F.aggregate("__bag", F.lit(0).cast("long"), lambda acc, x: acc + h(x))
+    return out.select(
+        "doc_id",
+        F.size("__tok_clean").cast("long").alias("n_terms"),
+        F.size(F.array_distinct("__bag")).cast("long").alias("n_distinct_grams"),
+        bag_sum.alias("bag_hash_sum"),
+    )
 
 
 @query(

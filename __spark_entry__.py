@@ -6,10 +6,12 @@
   ``fantasy_premier_league_spark.queries`` (one entry per implemented
   operator family, SURVEY.md §2).
 - ``oracle_sql()`` — DuckDB-runnable SQL per query. Omitted only for
-  genuinely non-replayable operators: iterative MLlib training (q54
-  KMeans-IVF, q62 LDA) and approximate sketches (q69 HLL/quantile) —
-  every hash-sketch query (MinHash, SimHash, LSH, PQ, seeded IVF) runs
-  portable hashing and IS value-hash checked.
+  genuinely non-replayable operators: approximate engine-internal
+  sketches (q69 HLL/quantile, r20 HLL merge state) and zlib DEFLATE
+  (r31) — every hash-sketch query (MinHash, SimHash, LSH, PQ, IVF) runs
+  portable hashing and IS value-hash checked, including the trained
+  quantizer (q54 unrolls its Lloyd's rounds in the oracle) and the
+  topic pipeline's deterministic pre-LDA stages (q62).
 """
 
 from __future__ import annotations

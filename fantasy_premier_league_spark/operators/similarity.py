@@ -40,28 +40,41 @@ _IVF_INLINE_PROBE_ROWS = 262_144
 _IVF_TRAIN_SAMPLE = 32_768
 
 
-def _local_lloyds(x: np.ndarray, *, k: int, iters: int, seed: int) -> np.ndarray:
-    """Seeded Lloyd's k-means on a BOUNDED sample (driver-side, numpy).
+def _local_lloyds(x: np.ndarray, *, k: int, iters: int, seed: int = 42) -> np.ndarray:
+    """DETERMINISTIC Lloyd's k-means on a BOUNDED sample (driver-side,
+    numpy), every step engine-portable so an external SQL engine can
+    replay the whole training loop value-for-value (the q54 oracle does):
 
-    Distances via the (x² + c² − 2x·c) expansion so memory stays
-    O(n·k), not O(n·k·d); empty clusters keep their previous centroid
-    (deterministic). Ties go to the first (lowest-index) centroid —
-    the same rule the Spark-side assignment expression uses.
+    - init = the FIRST k sample rows — the sample arrives md5-hash-
+      ordered (a fixed random permutation of the corpus), so this is
+      random init that any engine reproduces; ``seed`` is retained for
+      API stability but the hash order is the randomness source,
+    - per-round distances are round(sqrt(Σ(x-c)²), 6) with first-index
+      tie-break — the same rounded metric the Spark-side assignment and
+      probe expressions use, so a knife-edge assignment cannot diverge
+      between training, serving, and the oracle,
+    - per-round centroid means round to 6 dp (absorbs float-sum ordering
+      across numpy / Spark / DuckDB),
+    - empty clusters keep their previous centroid.
+
+    Early termination is unnecessary for replay correctness: once
+    assignments repeat, the rounded means are a fixpoint, so a fixed
+    ``iters`` replay and a converged shorter run agree exactly.
     """
-    rng = np.random.RandomState(seed)
     n = len(x)
     if n == 0:
         raise ValueError("ivf_topk: empty corpus — nothing to train the quantizer on")
     k_eff = min(k, n)
-    cent = x[rng.choice(n, size=k_eff, replace=False)].copy()
-    x2 = (x * x).sum(axis=1)
+    cent = x[:k_eff].copy()
     for _ in range(iters):
-        d = x2[:, None] + (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
-        a = d.argmin(axis=1)
+        d = np.empty((n, k_eff), dtype=np.float64)
+        for j in range(k_eff):
+            d[:, j] = np.round(np.sqrt(((x - cent[j]) ** 2).sum(axis=1)), 6)
+        a = d.argmin(axis=1)  # argmin takes the first (lowest-index) min
         for j in range(k_eff):
             members = x[a == j]
             if len(members):
-                cent[j] = members.mean(axis=0)
+                cent[j] = np.round(members.mean(axis=0), 6)
     return cent
 
 
@@ -380,13 +393,19 @@ def ivf_topk(
     from n_probe, so training to convergence buys nothing.
 
     The coarse quantizer trains DRIVER-SIDE on a bounded, seeded sample
-    (``_IVF_TRAIN_SAMPLE`` rows, hash-ordered so it is deterministic and
-    engine-independent) — the FAISS convention, and the right call at any
-    scale: 16-256 centroids never need a distributed fit over the full
-    corpus, and a local Lloyd's loop replaces ~2x ``max_iter`` scheduled
-    jobs. Cell ASSIGNMENT is a map-side argmin against the broadcast
-    centroid array (one projection inside codegen — no shuffle, no model
-    transform), so the corpus-side plan is scan → project → join.
+    (``_IVF_TRAIN_SAMPLE`` rows, portable-md5-hash-ordered so it is
+    deterministic and engine-independent) — the FAISS convention, and the
+    right call at any scale: 16-256 centroids never need a distributed
+    fit over the full corpus, and a local Lloyd's loop replaces ~2x
+    ``max_iter`` scheduled jobs. Training, assignment and probing all
+    use the ROUNDED metric (round(sqrt(L2²), 6), first-index tie-break)
+    and rounded per-round means, so the whole trained pipeline is
+    replayable value-for-value in an external SQL engine whenever the
+    corpus fits the sample bound (the q54 oracle replays all
+    ``max_iter`` Lloyd's rounds in DuckDB). Cell ASSIGNMENT is a
+    map-side argmin against the broadcast centroid array (one projection
+    inside codegen — no shuffle, no model transform), so the
+    corpus-side plan is scan → project → join.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -394,15 +413,16 @@ def ivf_topk(
     )
     spark = corpus.sparkSession
     # bounded deterministic sample → local Lloyd's. Hash order (not head)
-    # keeps the sample unbiased under any input partitioning/sort.
+    # keeps the sample unbiased under any input partitioning/sort; the
+    # md5-derived hash (not xxhash64) keeps the permutation replayable
+    # by the oracle.
+    sample_hash = F.conv(
+        F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     sample = np.array(
         [
             r["cvec"]
-            for r in c.select(
-                "cvec",
-                "neighbor_id",
-                F.xxhash64(F.col("neighbor_id").cast("string")).alias("__h"),
-            )
+            for r in c.select("cvec", "neighbor_id", sample_hash.alias("__h"))
             # id tiebreak: a hash collision must not leave the cut-off
             # row dependent on partition order across runs
             .orderBy("__h", "neighbor_id")
@@ -421,7 +441,9 @@ def ivf_topk(
         "aggregate(zip_with(cvec, __ctrs[%d], (a, b) -> (a - b) * (a - b)),"
         " cast(0.0 as double), (acc, x) -> acc + x)"
     )
-    dists = "array(%s)" % ", ".join(l2sq % i for i in range(len(centroids)))
+    dists = "array(%s)" % ", ".join(
+        f"round(sqrt({l2sq % i}), 6)" for i in range(len(centroids))
+    )
     assigned = c.withColumn("__ctrs", F.expr(cent_sql)).withColumn(
         # argmin with first-index tie-break — same rule as the local fit
         "cell",
@@ -444,12 +466,15 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
     )
-    l2 = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("qvec"), F.col("ctr"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("qvec"), F.col("ctr"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
     )
     probes = (
         q.crossJoin(F.broadcast(cent))

@@ -14,6 +14,87 @@ from . import query
 _EMB_DIM = 64  # testdata embeddings are fixed 64-dim (TESTDATA.md)
 
 
+def _ivf_lloyd_oracle(
+    *, n_centroids: int, n_probe: int, iters: int, k: int,
+    sample: int, query_pred: str, dim: int = _EMB_DIM,
+) -> str:
+    """DuckDB SQL replaying ivf_topk's TRAINED quantizer value-for-value:
+    the engine's coarse quantizer is deterministic Lloyd's on a portable-
+    md5-hash-ordered bounded sample with a 6-dp-rounded metric and
+    6-dp-rounded per-round means (operators/similarity.py::_local_lloyds),
+    so the full training loop unrolls here as ``iters`` CTE pairs
+    (assign -> recompute means; empty cells keep their previous
+    centroid), followed by the same rounded-metric corpus assignment,
+    n_probe cell probe, and rounded-cosine rerank the engine runs.
+    Faithful at ANY corpus size (the sample LIMIT is replayed), exact
+    whenever round-boundary coincidences don't occur — the engine's
+    standard rounded-expression determinism convention."""
+    l2 = (
+        "round(sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> ({a}.v[i] - {c}.cv[i]) * ({a}.v[i] - {c}.cv[i])))), 6)"
+    )
+    rounds = []
+    for t in range(1, iters + 1):
+        d = l2.format(dim=dim, a="s", c="c")
+        rounds.append(f"""
+    a{t} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT s.vec_id, s.v, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id ORDER BY {d}, c.cell) AS rn
+            FROM s CROSS JOIN c{t - 1} c) WHERE rn = 1
+    ),
+    m{t} AS (
+        SELECT cell, gs.i AS i, round(avg(v[gs.i]), 6) AS m
+        FROM a{t}, generate_series(1, {dim}) gs(i)
+        GROUP BY cell, gs.i
+    ),
+    c{t} AS MATERIALIZED (
+        SELECT c.cell, coalesce(mm.cv, c.cv) AS cv
+        FROM c{t - 1} c
+        LEFT JOIN (SELECT cell, list(m ORDER BY i) AS cv FROM m{t} GROUP BY cell) mm
+        ON mm.cell = c.cell
+    )""")
+    d_final = l2.format(dim=dim, a="e", c="c")
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sh AS (
+        SELECT vec_id, v,
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM e
+    ),
+    s AS MATERIALIZED (SELECT vec_id, v FROM sh ORDER BY h, vec_id LIMIT {sample}),
+    c0 AS (
+        SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cell, v AS cv
+        FROM sh ORDER BY h, vec_id LIMIT {n_centroids}
+    ),{",".join(rounds)},
+    assign AS (
+        SELECT vec_id AS neighbor_id, v AS cvec, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_final}, c.cell) AS rn
+            FROM e CROSS JOIN c{iters} c) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qvec, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_final}, c.cell) AS rn
+            FROM e CROSS JOIN c{iters} c WHERE {query_pred}) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qvec, cvec)
+                     / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))),
+                     4) AS cosine
+        FROM probes JOIN assign USING (cell)
+        WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id))::INT AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 def _lsh_oracle(n_planes: int, k: int, seed: int, n_tables: int = 1) -> str:
     """DuckDB SQL replaying lsh_bucket_topk exactly: the same seeded
     hyperplanes (np.random.default_rng(seed), identical row-major draw
@@ -143,10 +224,19 @@ def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q54_ivf_topk",
-    None,  # KMeans cell assignment is engine-internal; rows-only check
-    doc="IVF ANN: KMeans-partitioned corpus, n_probe nearest cells "
-    "searched with exact cosine rerank — the partition-pruning ANN shape "
-    "(scanned fraction ~ n_probe/n_centroids). Deterministic (seeded).",
+    _ivf_lloyd_oracle(
+        n_centroids=16, n_probe=4, iters=8, k=3, sample=32_768,
+        query_pred="e.vec_id < 10",
+    ),
+    doc="IVF ANN with the TRAINED coarse quantizer: deterministic "
+    "Lloyd's k-means (md5-hash-ordered bounded sample, first-k init, "
+    "6-dp-rounded metric and means — operators/similarity.py::"
+    "_local_lloyds), n_probe nearest cells searched with exact cosine "
+    "rerank — the partition-pruning ANN shape (scanned fraction ~ "
+    "n_probe/n_centroids). The oracle unrolls ALL 8 Lloyd's rounds as "
+    "CTE pairs and replays sample order, assignment, probing and "
+    "rerank value-for-value (ex-rows-only; the training loop itself "
+    "is now under the value-hash gate).",
     tags=("similarity", "ann", "ivf"),
 )
 def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
+
 #: largest probe table (rows = queries x n_probe) shipped WITH inline query
 #: vectors through a driver broadcast; bigger batches broadcast only the
 #: slim (query_id, cell) routing pairs and re-join vectors distributed
@@ -76,6 +78,58 @@ def _local_lloyds(x: np.ndarray, *, k: int, iters: int, seed: int = 42) -> np.nd
             if len(members):
                 cent[j] = np.round(members.mean(axis=0), 6)
     return cent
+
+
+def _train_quantizer(
+    c: "DataFrame", *, id_field: str, vec_field: str, k: int, iters: int, seed: int = 42
+) -> np.ndarray:
+    """Bounded deterministic sample → local Lloyd's (see
+    :func:`_local_lloyds`). Hash order (not head) keeps the sample
+    unbiased under any input partitioning/sort; the md5-derived hash
+    (not xxhash64) keeps the permutation replayable by SQL oracles."""
+    sample_hash = F.conv(
+        F.substring(F.md5(F.col(id_field).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sample = np.array(
+        [
+            r[vec_field]
+            for r in c.select(vec_field, id_field, sample_hash.alias("__h"))
+            # id tiebreak: a hash collision must not leave the cut-off
+            # row dependent on partition order across runs
+            .orderBy("__h", id_field)
+            .limit(_IVF_TRAIN_SAMPLE)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    return _local_lloyds(sample, k=k, iters=iters, seed=seed)
+
+
+def _assign_cells(c: "DataFrame", centroids: np.ndarray, *, vec_field: str) -> "DataFrame":
+    """Map-side argmin cell assignment against the centroid LITERAL
+    (rounded sqrt metric, first-index tie-break — the exact rule the
+    trainer used): one projection inside codegen, no shuffle, no model
+    transform. The centroid table rides as ONE server-parsed literal
+    (nested-Column form would cost n_centroids x dim py4j round-trips
+    of plan-build)."""
+    cent_sql = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(repr(float(x)) for x in ctr) for ctr in centroids
+    )
+    l2sq = (
+        f"aggregate(zip_with({vec_field}, __ctrs[%d], (a, b) -> (a - b) * (a - b)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    dists = "array(%s)" % ", ".join(
+        f"round(sqrt({l2sq % i}), 6)" for i in range(len(centroids))
+    )
+    return (
+        c.withColumn("__ctrs", F.expr(cent_sql))
+        .withColumn(
+            "cell",
+            F.expr(f"cast(array_position({dists}, array_min({dists})) - 1 as int)"),
+        )
+        .drop("__ctrs")
+    )
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -412,43 +466,9 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
     spark = corpus.sparkSession
-    # bounded deterministic sample → local Lloyd's. Hash order (not head)
-    # keeps the sample unbiased under any input partitioning/sort; the
-    # md5-derived hash (not xxhash64) keeps the permutation replayable
-    # by the oracle.
-    sample_hash = F.conv(
-        F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    sample = np.array(
-        [
-            r["cvec"]
-            for r in c.select("cvec", "neighbor_id", sample_hash.alias("__h"))
-            # id tiebreak: a hash collision must not leave the cut-off
-            # row dependent on partition order across runs
-            .orderBy("__h", "neighbor_id")
-            .limit(_IVF_TRAIN_SAMPLE)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    centroids = _local_lloyds(sample, k=n_centroids, iters=max_iter, seed=seed)
-    # centroid table as ONE server-parsed literal (nested-Column form would
-    # cost n_centroids x dim py4j round-trips of plan-build)
-    cent_sql = "array(%s)" % ", ".join(
-        "array(%s)" % ", ".join(repr(float(x)) for x in ctr) for ctr in centroids
-    )
-    l2sq = (
-        "aggregate(zip_with(cvec, __ctrs[%d], (a, b) -> (a - b) * (a - b)),"
-        " cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    dists = "array(%s)" % ", ".join(
-        f"round(sqrt({l2sq % i}), 6)" for i in range(len(centroids))
-    )
-    assigned = c.withColumn("__ctrs", F.expr(cent_sql)).withColumn(
-        # argmin with first-index tie-break — same rule as the local fit
-        "cell",
-        F.expr(f"cast(array_position({dists}, array_min({dists})) - 1 as int)"),
-    ).drop("__ctrs")
+    centroids = _train_quantizer(c, id_field="neighbor_id", vec_field="cvec",
+                                 k=n_centroids, iters=max_iter, seed=seed)
+    assigned = _assign_cells(c, centroids, vec_field="cvec")
 
     # probe ASSIGNMENT stays in-engine: the only driver-sized state is the
     # codebook itself (n_centroids rows — model output, bounded by
@@ -572,6 +592,82 @@ def ivf_topk_seeded(
     scored = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    max_iter: int = 8,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning — k-means-bucket the embedding space, compare
+    cosine only WITHIN each cluster, drop every document that has a
+    duplicate (cosine >= threshold) with a lower id (deterministic
+    keep-first survivor rule, the same representative convention as
+    exact dedup's min-id).
+
+    Returns one row per input vector: (id, cell, n_dup_partners, keep).
+    ``n_dup_partners`` counts same-cell neighbors above the threshold
+    (either side); ``keep`` is false iff a lower-id duplicate exists.
+
+    Scale shape — the whole point of the paper's clustering step: the
+    quadratic comparison is per-CELL, never corpus-wide. The quantizer
+    trains driver-side on the bounded deterministic sample
+    (:func:`_train_quantizer` — same replayable Lloyd's as ivf_topk, so
+    the oracle can replay training, assignment, pairing and the keep
+    rule value-for-value); assignment is a map-side argmin (no
+    shuffle); the pair join shuffles on the cell key only, with
+    expected cell population n/k. Degenerate input (a corpus of
+    byte-identical texts ⇒ identical embeddings ⇒ one cell) is the
+    standard quadratic hazard: run exact dedup (content-key groupBy,
+    q40) first — the paper's own preprocessing — and raise
+    ``n_clusters`` until cells bound the per-task pair volume.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    centroids = _train_quantizer(
+        c, id_field="id", vec_field="v", k=n_clusters, iters=max_iter, seed=seed
+    )
+    assigned = tracked_persist(_assign_cells(c, centroids, vec_field="v"))
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        round_digits,
+    )
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    pairs = tracked_persist(pairs)
+    partners = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct().withColumn(
+        "__drop", F.lit(1)
+    )
+    return (
+        assigned.join(partners, "id", "left")
+        .join(dropped, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_dup_partners"),
+            F.col("__drop").isNull().alias("keep"),
+        )
+    )
 
 
 def lsh_bucket_topk(

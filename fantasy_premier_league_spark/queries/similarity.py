@@ -14,28 +14,27 @@ from . import query
 _EMB_DIM = 64  # testdata embeddings are fixed 64-dim (TESTDATA.md)
 
 
-def _ivf_lloyd_oracle(
-    *, n_centroids: int, n_probe: int, iters: int, k: int,
-    sample: int, query_pred: str, dim: int = _EMB_DIM,
-) -> str:
-    """DuckDB SQL replaying ivf_topk's TRAINED quantizer value-for-value:
-    the engine's coarse quantizer is deterministic Lloyd's on a portable-
-    md5-hash-ordered bounded sample with a 6-dp-rounded metric and
-    6-dp-rounded per-round means (operators/similarity.py::_local_lloyds),
-    so the full training loop unrolls here as ``iters`` CTE pairs
-    (assign -> recompute means; empty cells keep their previous
-    centroid), followed by the same rounded-metric corpus assignment,
-    n_probe cell probe, and rounded-cosine rerank the engine runs.
-    Faithful at ANY corpus size (the sample LIMIT is replayed), exact
-    whenever round-boundary coincidences don't occur — the engine's
-    standard rounded-expression determinism convention."""
-    l2 = (
-        "round(sqrt(list_sum(list_transform(generate_series(1, {dim}), "
-        "i -> ({a}.v[i] - {c}.cv[i]) * ({a}.v[i] - {c}.cv[i])))), 6)"
-    )
+_LLOYD_L2 = (
+    "round(sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> ({a}.v[i] - {c}.cv[i]) * ({a}.v[i] - {c}.cv[i])))), 6)"
+)
+
+
+def _lloyd_ctes(*, n_centroids: int, iters: int, sample: int, dim: int = _EMB_DIM) -> str:
+    """Shared WITH-body replaying the deterministic Lloyd's trainer
+    (operators/similarity.py::_local_lloyds) in DuckDB: md5-hash-ordered
+    bounded sample, first-k init, ``iters`` unrolled (assign ->
+    rounded-means) CTE pairs; empty cells keep their previous centroid.
+    Ends at CTE ``c{iters}`` (the trained codebook); ``e`` holds the
+    full corpus as (vec_id, v). CTEs the chain references twice are
+    MATERIALIZED — DuckDB inlines CTEs by default, which re-evaluates
+    the training chain exponentially (measured: 48s -> 12.5s at 8
+    rounds). Faithful at ANY corpus size (the sample LIMIT is
+    replayed); exact whenever round-boundary coincidences don't occur —
+    the engine's standard rounded-expression determinism convention."""
     rounds = []
     for t in range(1, iters + 1):
-        d = l2.format(dim=dim, a="s", c="c")
+        d = _LLOYD_L2.format(dim=dim, a="s", c="c")
         rounds.append(f"""
     a{t} AS (
         SELECT vec_id, v, cell FROM (
@@ -54,9 +53,7 @@ def _ivf_lloyd_oracle(
         LEFT JOIN (SELECT cell, list(m ORDER BY i) AS cv FROM m{t} GROUP BY cell) mm
         ON mm.cell = c.cell
     )""")
-    d_final = l2.format(dim=dim, a="e", c="c")
-    return f"""
-    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sh AS (
         SELECT vec_id, v,
                ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
@@ -66,7 +63,20 @@ def _ivf_lloyd_oracle(
     c0 AS (
         SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cell, v AS cv
         FROM sh ORDER BY h, vec_id LIMIT {n_centroids}
-    ),{",".join(rounds)},
+    ),{",".join(rounds)}"""
+
+
+def _ivf_lloyd_oracle(
+    *, n_centroids: int, n_probe: int, iters: int, k: int,
+    sample: int, query_pred: str, dim: int = _EMB_DIM,
+) -> str:
+    """DuckDB SQL replaying ivf_topk's TRAINED quantizer value-for-value
+    (see :func:`_lloyd_ctes`), followed by the same rounded-metric corpus
+    assignment, n_probe cell probe, and rounded-cosine rerank the engine
+    runs."""
+    d_final = _LLOYD_L2.format(dim=dim, a="e", c="c")
+    return f"""
+    WITH {_lloyd_ctes(n_centroids=n_centroids, iters=iters, sample=sample, dim=dim)},
     assign AS (
         SELECT vec_id AS neighbor_id, v AS cvec, cell FROM (
             SELECT e.vec_id, e.v, c.cell,
@@ -284,6 +294,66 @@ def q56_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk_seeded(emb, queries, k=3, n_cells=16, n_probe=4)
+
+
+def _semantic_dedup_oracle(
+    *, n_clusters: int, iters: int, threshold: float, sample: int, dim: int = _EMB_DIM,
+) -> str:
+    """DuckDB SQL replaying semantic_dedup end-to-end: the shared Lloyd's
+    training chain (:func:`_lloyd_ctes`), the rounded-metric cell
+    assignment, within-cell rounded-cosine pairing, partner counts, and
+    the keep-first (min-id survivor) rule."""
+    d_final = _LLOYD_L2.format(dim=dim, a="e", c="c")
+    return f"""
+    WITH {_lloyd_ctes(n_centroids=n_clusters, iters=iters, sample=sample, dim=dim)},
+    assign AS MATERIALIZED (
+        SELECT vec_id AS id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_final}, c.cell) AS rn
+            FROM e CROSS JOIN c{iters} c) WHERE rn = 1
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                    4) >= {threshold}
+    ),
+    partners AS (
+        SELECT id, count(*) AS n FROM (
+            SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs
+        ) GROUP BY id
+    ),
+    dropped AS (SELECT DISTINCT id_b AS id FROM pairs)
+    SELECT a.id, a.cell,
+           coalesce(p.n, 0)::BIGINT AS n_dup_partners,
+           (d.id IS NULL) AS keep
+    FROM assign a
+    LEFT JOIN partners p ON p.id = a.id
+    LEFT JOIN dropped d ON d.id = a.id
+    """
+
+
+@query(
+    "r58_semantic_dedup",
+    _semantic_dedup_oracle(n_clusters=16, iters=8, threshold=0.35, sample=32_768),
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — operators/"
+    "similarity.py::semantic_dedup): k-means-bucket the embedding space "
+    "with the deterministic replayable Lloyd's quantizer, compare "
+    "rounded cosine WITHIN cells only (the clustering step is what "
+    "keeps the quadratic per-cell, never corpus-wide), drop every "
+    "vector with a lower-id duplicate at cosine >= 0.35 (the corpus's "
+    "implanted near-dup band, same threshold as the q53 family). The "
+    "oracle replays training, assignment, pairing, partner counts and "
+    "the keep rule value-for-value.",
+    tags=("similarity", "dedup", "semantic", "llm-pipeline"),
+)
+def r58_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        n_clusters=16, threshold=0.35, max_iter=8,
+    )
 
 
 @query(

@@ -904,3 +904,50 @@ class TestContainmentLsh:
         # verified scores on the sketch path are EXACT, not estimates
         for t in sk:
             assert t in ex
+
+
+class TestSemanticDedup:
+    """SemDeDup (operators/similarity.py::semantic_dedup): within-cell
+    cosine pruning with the deterministic keep-first survivor rule."""
+
+    def test_keep_first_partner_counts_and_cells(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.randn(20, 8))]
+        # implant two exact duplicates of id 3
+        rows.append((100, rows[3][1]))
+        rows.append((101, rows[3][1]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["id"]: r
+            for r in similarity.semantic_dedup(
+                df, n_clusters=4, threshold=0.999
+            ).collect()
+        }
+        assert len(out) == 22  # one row per input, kept or not
+        # identical vectors land in the same cell and only the lowest id
+        # survives (keep-first rule)
+        assert out[3]["cell"] == out[100]["cell"] == out[101]["cell"]
+        assert out[3]["keep"] and not out[100]["keep"] and not out[101]["keep"]
+        # each member of the triple pairs with the other two
+        assert (
+            out[3]["n_dup_partners"]
+            == out[100]["n_dup_partners"]
+            == out[101]["n_dup_partners"]
+            == 2
+        )
+        # random 8-dim vectors don't reach cosine 0.999: everything else
+        # is duplicate-free and kept
+        others = [r for i, r in out.items() if i not in (3, 100, 101)]
+        assert all(r["keep"] and r["n_dup_partners"] == 0 for r in others)
+
+    def test_deterministic_across_runs(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.randn(30, 8))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = sorted(map(tuple, similarity.semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
+        b = sorted(map(tuple, similarity.semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
+        assert a == b

@@ -219,6 +219,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word n-gram sets, for every
     pair sharing >= 1 shingle, filtered to >= threshold.
@@ -227,7 +228,16 @@ def ngram_jaccard_pairs(
     count common shingles per pair → join per-doc set sizes → |∩|/|∪|.
     ``max_doc_freq`` drops super-frequent shingles before pairing (standard
     blocking at scale; changes recall slightly, so default off).
+
+    ``shingle_arrays``: a pre-built (id, __arr) frame from
+    :func:`doc_shingle_arrays` — the TOKENIZE-ONCE hook for compositions
+    that run several shingle consumers over one corpus (the cluster-
+    agreement eval runs this and the MinHash sketch side by side; without
+    the shared frame each pipeline re-tokenizes). The caller owns its
+    materialization/tracking.
     """
+    if max_doc_freq is not None and shingle_arrays is not None:
+        raise ValueError("shingle_arrays requires max_doc_freq=None")
     if max_doc_freq is None:
         # materialize the docs-sized array frame LAZILY (the caller's one
         # action full-scans it via the self-join, so the blocks build
@@ -235,7 +245,11 @@ def ngram_jaccard_pairs(
         # job, the round-7 bench regression), explode lazily, carry the
         # set size with each posting: the verify collapses to self-join
         # + one pair-keyed aggregate (see _jaccard_pairs_from_sized_index)
-        arr = tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n), eager=False)
+        arr = (
+            shingle_arrays
+            if shingle_arrays is not None
+            else tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n), eager=False)
+        )
         shs = arr.select(
             "id", F.size("__arr").alias("n_shingles"), F.explode("__arr").alias("shingle")
         )
@@ -709,11 +723,16 @@ def minhash_dedup_pairs(
     seed: int = 42,
     portable: bool = False,
     max_bucket_size: int | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup pairs with signature-estimated Jaccard.
 
     Candidates from banded LSH; estimate = fraction of agreeing signature
     components (unbiased for Jaccard). No second pass over the raw text.
+
+    ``shingle_arrays``: pre-built (id, __arr) frame — the tokenize-once
+    hook (see :func:`ngram_jaccard_pairs`); signatures then derive via
+    :func:`minhash_signatures_from_arrays`, same hash family and output.
     """
     # signatures feed banding + both verify-join sides → materialize once
     # (num_hashes longs per doc; tiny next to the corpus); LAZY — the
@@ -722,7 +741,11 @@ def minhash_dedup_pairs(
     # (the round-7 bench regression); tracked so a long-lived session can
     # bulk-release via cache.release_operator_caches
     sigs = tracked_materialize(
-        minhash_signatures(
+        minhash_signatures_from_arrays(
+            shingle_arrays, num_hashes=num_hashes, seed=seed, portable=portable
+        )
+        if shingle_arrays is not None
+        else minhash_signatures(
             df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed, portable=portable
         ),
         eager=False,

@@ -831,10 +831,23 @@ def q05_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    lsh = D.minhash_dedup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True
+    # TOKENIZE ONCE: the sketch side and the exact side both consume the
+    # per-doc shingle arrays — without the shared frame each pipeline
+    # re-tokenizes the corpus (measured ~0.5s of the sf0.1 warm runtime).
+    # Eager: two independent subtrees consume it inside one action, so a
+    # lazy cut would race them into recomputing (cache.py contract).
+    from ..operators.cache import tracked_materialize
+
+    arr = tracked_materialize(
+        D.doc_shingle_arrays(docs, "doc_id", "text", 3), eager=True
     )
-    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    lsh = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3,
+        portable=True, shingle_arrays=arr,
+    )
+    exact = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, shingle_arrays=arr
+    )
     pa = D.connected_components(lsh)
     pb = D.connected_components(exact)
     part = (

@@ -635,11 +635,20 @@ def semantic_dedup(
     centroids = _train_quantizer(
         c, id_field="id", vec_field="v", k=n_clusters, iters=max_iter, seed=seed
     )
-    assigned = tracked_persist(_assign_cells(c, centroids, vec_field="v"))
+    # per-vector norm computed ONCE before the pair join: higher-order
+    # array functions are interpreted per evaluation, so norm-per-pair
+    # would fold 64-element arrays 3x per candidate (measured 5-6s at
+    # sf0.1); with the norm carried, each pair pays one zip_with fold
+    # (~2.5x faster) and cosine = dot/(na*nb) is the arithmetically
+    # IDENTICAL expression the oracle computes (sqrt per vector, not a
+    # reformulation — no rounding-boundary risk).
+    assigned = tracked_persist(
+        _assign_cells(c, centroids, vec_field="v").withColumn("nrm", _norm(F.col("v")))
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
         round_digits,
     )
     pairs = (

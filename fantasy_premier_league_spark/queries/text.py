@@ -162,6 +162,170 @@ def q74_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r59_ngram_diversity",
+    f"""
+    WITH toks AS (
+        SELECT source, w
+        FROM (SELECT source, unnest({_WORDS}) AS w FROM documents)
+        WHERE w <> ''
+    ),
+    uni AS (
+        SELECT source, count(*)::BIGINT AS n_tokens,
+               count(DISTINCT w)::BIGINT AS n_types
+        FROM toks GROUP BY source
+    ),
+    bg AS (
+        SELECT source,
+               unnest(CASE WHEN len(w) >= 2
+                           THEN list_transform(generate_series(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1])
+                           ELSE []::VARCHAR[] END) AS g
+        FROM (SELECT source, {_WORDS} AS w FROM documents)
+    ),
+    bi AS (
+        SELECT source, count(*)::BIGINT AS n_bigrams,
+               count(DISTINCT g)::BIGINT AS n_distinct_bigrams
+        FROM bg GROUP BY source
+    )
+    SELECT u.source, n_tokens, n_types,
+           round(n_types / n_tokens, 6) AS type_token_ratio,
+           coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(n_distinct_bigrams, 0)::BIGINT AS n_distinct_bigrams,
+           round(coalesce(n_distinct_bigrams / n_bigrams, 0), 6) AS distinct_2
+    FROM uni u LEFT JOIN bi ON bi.source = u.source
+    """,
+    doc="Per-domain lexical-diversity fingerprint: type-token ratio and "
+    "distinct-2 (unique bigrams / total bigrams) per source — the "
+    "standard repetitiveness/diversity diagnostic a curation pipeline "
+    "reads before weighting a source (a templated or boilerplate-heavy "
+    "domain shows a collapsed distinct-2 long before perplexity "
+    "filters flag it; complements q82's per-document repetition score "
+    "with a corpus-level view). Scale shape: two (source, gram) "
+    "aggregates with map-side partial counts — bounded group keys, "
+    "nothing corpus-sized past the first shuffle.",
+    tags=("text", "diversity", "llm-pipeline"),
+)
+def r59_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_array
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    uni = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_types"),
+    )
+    bg = docs.select("source", F.explode(shingle_array(F.col("text"), 2)).alias("g"))
+    bi = bg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.countDistinct("g").cast("long").alias("n_distinct_bigrams"),
+    )
+    return uni.join(bi, "source", "left").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("n_distinct_bigrams", F.lit(0)).cast("long").alias("n_distinct_bigrams"),
+        F.round(
+            F.coalesce(F.col("n_distinct_bigrams") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("distinct_2"),
+    )
+
+
+@query(
+    "r60_length_drift",
+    f"""
+    WITH lens AS (
+        SELECT source, len(list_filter({_WORDS}, w -> w <> '')) AS l
+        FROM documents
+    ),
+    pts AS (SELECT DISTINCT l FROM lens),
+    src AS (SELECT source, count(*)::BIGINT AS n_s FROM lens GROUP BY source),
+    tot AS (SELECT count(*)::BIGINT AS n FROM lens),
+    gcum AS (
+        SELECT p.l, count(x.l)::BIGINT AS c_g
+        FROM pts p LEFT JOIN lens x ON x.l <= p.l
+        GROUP BY p.l
+    ),
+    scnt AS (SELECT source, l, count(*)::BIGINT AS c FROM lens GROUP BY source, l),
+    grid AS (
+        SELECT s.source, p.l, s.n_s,
+               sum(coalesce(sc.c, 0)) OVER (PARTITION BY s.source ORDER BY p.l) AS c_s
+        FROM src s CROSS JOIN pts p
+        LEFT JOIN scnt sc ON sc.source = s.source AND sc.l = p.l
+    )
+    SELECT g.source,
+           any_value(g.n_s) AS n_docs,
+           round(max(abs(g.c_s / g.n_s - gc.c_g / t.n)), 6) AS ks_stat
+    FROM grid g
+    JOIN gcum gc ON gc.l = g.l
+    CROSS JOIN tot t
+    GROUP BY g.source
+    """,
+    doc="Per-domain document-LENGTH drift: the exact two-sample KS "
+    "statistic between each source's token-length distribution and the "
+    "corpus-wide one — the sibling of r51's token-distribution KL for "
+    "the length axis (a source of fragments or concatenated pages "
+    "shifts lengths before it shifts vocabulary). Exact sup over the "
+    "union of jump points: both ECDFs are step functions, so the "
+    "supremum is attained at an observed length; the evaluation grid "
+    "is sources x distinct-lengths — BOUNDED (domain cardinality x "
+    "observed length values), never corpus-sized, with the per-source "
+    "cumulative built by one window over the grid. Same pattern as "
+    "q24's windowed KS, lifted to group-vs-corpus.",
+    tags=("text", "drift", "evaluation", "llm-pipeline"),
+)
+def r60_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.cache import tracked_persist
+
+    docs = load(spark, sf_dir, "documents")
+    # five consumers (points, per-source sizes, global/per-source counts,
+    # total) — persist the 2-column lengths frame so the tokenizer runs
+    # once per document, not once per subtree
+    lens = tracked_persist(
+        docs.select(
+            "source",
+            F.size(F.filter(words(F.col("text")), lambda w: w != F.lit(""))).alias("l"),
+        )
+    )
+    pts = lens.select("l").distinct()
+    src = lens.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    n_total = F.broadcast(lens.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    # global ECDF at each observed length: cumulative window over the
+    # bounded per-length counts
+    gcnt = lens.groupBy("l").agg(F.count(F.lit(1)).alias("c"))
+    gcum = gcnt.withColumn(
+        "c_g", F.sum("c").over(W.orderBy("l").rowsBetween(W.unboundedPreceding, 0))
+    ).select("l", "c_g")
+    scnt = lens.groupBy("source", "l").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        src.crossJoin(F.broadcast(pts))
+        .join(scnt, ["source", "l"], "left")
+        .withColumn(
+            "c_s",
+            F.sum(F.coalesce("c", F.lit(0))).over(
+                W.partitionBy("source").orderBy("l").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        grid.join(F.broadcast(gcum), "l")
+        .crossJoin(n_total)
+        .groupBy("source")
+        .agg(
+            F.any_value("n_s").alias("n_docs"),
+            F.round(
+                F.max(F.abs(F.col("c_s") / F.col("n_s") - F.col("c_g") / F.col("n"))), 6
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@query(
     "q62_topic_features",
     f"""
     WITH cleaned AS (

@@ -114,7 +114,10 @@ def main() -> None:
                 cold[name] = elapsed
             else:
                 warm.append(elapsed)
-        if warm:
+        # a query listed under errors must not also count in the headline
+        # (a transient second-warm-run failure would otherwise report a
+        # single-run timing with no marker); cold stays informational
+        if warm and name not in errors:
             timings[name] = min(warm)
     total = round(sum(timings.values()), 3)
     out = {

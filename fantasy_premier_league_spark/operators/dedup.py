@@ -301,7 +301,7 @@ def _pair_overlap_counts(
     shs: DataFrame,
     *,
     broadcast: bool = False,
-    max_size_ratio: float | None = None,
+    jaccard_threshold: float | None = None,
     anchor_filter: "F.Column | None" = None,
 ) -> DataFrame:
     """(id_a, id_b, n_common, n_a, n_b) for every id<id2 pair sharing a
@@ -316,13 +316,20 @@ def _pair_overlap_counts(
     broadcasts the build side of the self-join (callers gate it on an
     exact posting count — see ``_NAIVE_BROADCAST_POSTINGS``).
 
-    ``max_size_ratio`` applies the lossless LENGTH FILTER inside the join
-    condition: pairs with max(|A|,|B|) > ratio*min(|A|,|B|) are dropped
-    before the pair-keyed aggregate ever sees their rows. Jaccard callers
-    pass 1/threshold (J >= t forces t|A| <= |B| <= |A|/t, so no surviving
-    pair is lost — the same filter the prefix route applies); containment
-    callers must NOT set it (a tiny doc inside a huge one is exactly the
-    containment case) unless they already scope by ratio.
+    ``jaccard_threshold`` applies the lossless LENGTH FILTER inside the
+    join condition: J >= t forces t|A| <= |B| and t|B| <= |A|, so
+    size-incompatible pairs are dropped before the pair-keyed aggregate
+    ever sees their rows. The comparison uses an INTEGER-SLACK form
+    (|B| + 1 > t*|A|): sizes are integers, so the real-arithmetic
+    implication |B| >= t|A| always satisfies the slack form while the
+    naive float comparison can round t*|A| a few ulps ABOVE an exactly-
+    qualifying |B| (t=0.65, |A|=60, |B|=39: 39/60 == t exactly, but
+    0.65*60 rounds to 39.0000000000000014 in binary, dropping the pair
+    — caught by code review, pinned in tests). The <= 1-unit slack only
+    admits a handful of knife-edge candidates that the exact Jaccard
+    filter rejects downstream. Containment callers must NOT set it (a
+    tiny doc inside a huge one is exactly the containment case) unless
+    they already scope by ratio.
 
     ``anchor_filter`` (a predicate over the posting frame's ``id``)
     restricts the ANCHOR side of the self-join — because the join is
@@ -337,12 +344,12 @@ def _pair_overlap_counts(
     a = a_src.alias("a")
     b = F.broadcast(shs.alias("b")) if broadcast else shs.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
-    if max_size_ratio is not None:
-        r = F.lit(float(max_size_ratio))
+    if jaccard_threshold is not None:
+        t = F.lit(float(jaccard_threshold))
         cond = (
             cond
-            & (F.col("b.n_shingles") * r >= F.col("a.n_shingles"))
-            & (F.col("a.n_shingles") * r >= F.col("b.n_shingles"))
+            & (F.col("b.n_shingles") + 1 > t * F.col("a.n_shingles"))
+            & (F.col("a.n_shingles") + 1 > t * F.col("b.n_shingles"))
         )
     return (
         a.join(b, cond)
@@ -380,7 +387,7 @@ def _jaccard_pairs_from_sized_index(
         _pair_overlap_counts(
             shs,
             broadcast=broadcast,
-            max_size_ratio=(1.0 / float(threshold)) if threshold > 0 else None,
+            jaccard_threshold=float(threshold) if threshold > 0 else None,
         )
         .withColumn(
             "jaccard",
@@ -1686,16 +1693,20 @@ def prefix_filtered_jaccard_pairs(
     )
     # the prefix index feeds both self-join sides
     pre = tracked_persist(pre)
-    # length filter (also lossless): J >= t forces t|A| <= |B| <= |A|/t,
-    # so size-incompatible pairs never reach verification
+    # length filter (also lossless): J >= t forces t|A| <= |B| and
+    # t|B| <= |A|, so size-incompatible pairs never reach verification.
+    # Integer-slack comparison (|B| + 1 > t*|A|) — a bare float compare
+    # can round t*|A| a few ulps above an exactly-qualifying integer
+    # size and drop a pair sitting exactly on the threshold (same fix
+    # as _pair_overlap_counts; pinned in tests)
     cand = (
         pre.alias("a")
         .join(
             pre.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.n_shingles") >= F.lit(float(threshold)) * F.col("a.n_shingles"))
-            & (F.col("b.n_shingles") * F.lit(float(threshold)) <= F.col("a.n_shingles")),
+            & (F.col("b.n_shingles") + 1 > F.lit(float(threshold)) * F.col("a.n_shingles"))
+            & (F.col("a.n_shingles") + 1 > F.lit(float(threshold)) * F.col("b.n_shingles")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

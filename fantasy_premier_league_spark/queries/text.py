@@ -206,17 +206,22 @@ def q74_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "diversity", "llm-pipeline"),
 )
 def r59_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import shingle_array
+    from ..operators.cache import tracked_persist
+    from ..operators.dedup import shingle_array_from_words
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(words(F.col("text"))).alias("w")
-    ).filter(F.col("w") != "")
+    # tokenize once: the unigram and bigram subtrees both read the
+    # persisted words frame (shingle_array on raw text would re-run the
+    # tokenizer O(n) more times per row — its own docstring's warning)
+    wf = tracked_persist(docs.select("source", words(F.col("text")).alias("w")))
+    toks = wf.select("source", F.explode("w").alias("t")).filter(F.col("t") != "")
     uni = toks.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.countDistinct("w").cast("long").alias("n_types"),
+        F.countDistinct("t").cast("long").alias("n_types"),
     )
-    bg = docs.select("source", F.explode(shingle_array(F.col("text"), 2)).alias("g"))
+    bg = wf.select(
+        "source", F.explode(shingle_array_from_words(F.col("w"), 2)).alias("g")
+    )
     bi = bg.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.countDistinct("g").cast("long").alias("n_distinct_bigrams"),

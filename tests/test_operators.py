@@ -951,3 +951,33 @@ class TestSemanticDedup:
         a = sorted(map(tuple, similarity.semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
         b = sorted(map(tuple, similarity.semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
         assert a == b
+
+
+class TestJaccardThresholdBoundary:
+    """A pair sitting EXACTLY on the Jaccard threshold must survive the
+    lossless length filter: the bare float compare rounds t*|A| a few
+    ulps above an exactly-qualifying integer size (0.65*60 ->
+    39.0000000000000014), which silently dropped J == t pairs before the
+    integer-slack form (code-review regression, round 9)."""
+
+    def test_exact_threshold_pair_survives_length_filter(self, spark):
+        vocab = [f"w{i:03d}" for i in range(62)]
+        # |A| = 60 shingles, B = prefix of A with 39 shingles (subset):
+        # J = 39/60 = 0.65 exactly
+        docs = spark.createDataFrame(
+            [(1, " ".join(vocab)), (2, " ".join(vocab[:41]))],
+            "doc_id long, text string",
+        )
+        for make in (
+            lambda: D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.65),
+            lambda: D.prefix_filtered_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.65
+            ),
+            lambda: D.prefix_filtered_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.65, naive_candidate_ratio=None
+            ),
+        ):
+            rows = make().collect()
+            assert [(r["id_a"], r["id_b"], r["n_common"], r["jaccard"]) for r in rows] == [
+                (1, 2, 39, 0.65)
+            ]

@@ -197,6 +197,64 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r61_source_overlap",
+    f"""
+    WITH pairs AS ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.5, seed=42)}),
+    meta AS (SELECT doc_id, source FROM documents),
+    tagged AS (
+        SELECT least(ma.source, mb.source) AS source_a,
+               greatest(ma.source, mb.source) AS source_b,
+               p.id_a, p.id_b
+        FROM pairs p
+        JOIN meta ma ON ma.doc_id = p.id_a
+        JOIN meta mb ON mb.doc_id = p.id_b
+    )
+    SELECT source_a, source_b,
+           count(*)::BIGINT AS n_dup_pairs,
+           count(DISTINCT id_a)::BIGINT + count(DISTINCT id_b)::BIGINT AS n_docs_involved
+    FROM tagged
+    GROUP BY source_a, source_b
+    """,
+    doc="Cross-SOURCE duplication matrix: MinHash-LSH near-dup pairs "
+    "(est. Jaccard >= 0.5) tagged with both documents' sources and "
+    "aggregated per unordered source pair — the 'which domains "
+    "duplicate each other' diagnostic a curation pipeline reads before "
+    "setting mixture weights (two mirrors of the same crawl show up as "
+    "an off-diagonal spike; within-source boilerplate as a diagonal "
+    "one). Reuses the portable sketch, so the oracle replays hashing, "
+    "banding, estimation, the source tagging and the matrix exactly. "
+    "Scale shape: the sketch's own shuffles plus two broadcast-able "
+    "doc->source joins and a source-pair-bounded aggregate.",
+    tags=("dedup", "curation", "llm-pipeline"),
+)
+def r61_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.5, portable=True
+    )
+    meta = docs.select("doc_id", "source")
+    # no explicit broadcast on the doc->source joins: the meta frame is
+    # corpus-sized (AQE broadcasts it at test SFs; at 100 TB these are
+    # id-keyed shuffle joins of a 2-column projection, which is correct)
+    tagged = (
+        pairs.join(meta.withColumnsRenamed({"doc_id": "id_a", "source": "__sa"}), "id_a")
+        .join(meta.withColumnsRenamed({"doc_id": "id_b", "source": "__sb"}), "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "id_a",
+            "id_b",
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        (F.countDistinct("id_a") + F.countDistinct("id_b"))
+        .cast("long")
+        .alias("n_docs_involved"),
+    )
+
+
+@query(
     "q45_curate_corpus",
     f"""
     WITH t AS (

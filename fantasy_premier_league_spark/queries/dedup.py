@@ -918,16 +918,27 @@ def q11_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__cb", "doc_id").alias("c_exact"),
         )
     )
+    return pair_counting_ari(part)
+
+
+def pair_counting_ari(part: DataFrame) -> DataFrame:
+    """Pair-counting Adjusted Rand Index over a (doc_id, c_lsh, c_exact)
+    partition frame — one row: (n_docs, clusters_lsh, clusters_exact,
+    comb_ij, comb_a, comb_b, ari); ARI is NULL when expected and maximum
+    indices coincide (both partitions all-singletons).
+
+    ONE grouping-sets pass over the contingency cells computes the row
+    marginals (ai: gid=1), column marginals (bj: gid=2) and the global
+    cell sums (gid=3) together — the previous shape fanned the
+    contingency into three independent aggregate branches (global + two
+    broadcast crossJoins), so the upstream joins+groupBy ran three times
+    (VERDICT r8 finding 2). The Expand triples only the cluster-pair-
+    cells-bounded cont rows, never the corpus; the second aggregate runs
+    over marginals-sized input. All arithmetic is integer until the
+    final division. Unit-pinned against a hand-computed contingency in
+    tests/test_operators.py::TestPairCountingAri."""
     cont = part.groupBy("c_lsh", "c_exact").agg(F.count(F.lit(1)).alias("nij"))
     comb = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
-    # ONE grouping-sets pass over the contingency cells computes the row
-    # marginals (ai: gid=1), column marginals (bj: gid=2) and the global
-    # cell sums (gid=3) together — the previous shape fanned `cont` into
-    # three independent aggregate branches (global + two broadcast
-    # crossJoins), so part's joins+groupBy ran three times (VERDICT r8
-    # finding 2, the inventory's heaviest row). The Expand triples only
-    # the cluster-pair-cells-bounded cont rows, never the corpus; the
-    # second aggregate below runs over marginals-sized input.
     gs = cont.groupingSets([["c_lsh"], ["c_exact"], []], "c_lsh", "c_exact").agg(
         F.sum("nij").alias("tot"),
         F.sum(comb("nij")).alias("combn"),

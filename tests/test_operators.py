@@ -981,3 +981,46 @@ class TestJaccardThresholdBoundary:
             assert [(r["id_a"], r["id_b"], r["n_common"], r["jaccard"]) for r in rows] == [
                 (1, 2, 39, 0.65)
             ]
+
+
+class TestPairCountingAri:
+    """Unit pin for the grouping-sets ARI kernel (queries/dedup.py::
+    pair_counting_ari) against a hand-computed contingency — the q11
+    oracle covers it end-to-end; this isolates the gid mapping."""
+
+    def test_hand_computed_partition(self, spark):
+        from fantasy_premier_league_spark.queries.dedup import pair_counting_ari
+
+        # A = {1,2,3}{4,5}{6}, B = {1,2}{3,4,5}{6}:
+        # nij = 2,1,2,1 -> comb_ij = 1+0+1+0 = 2
+        # ai = 3,2,1 -> comb_a = 3+1+0 = 4; bj = 2,3,1 -> comb_b = 4
+        # exp = 4*4/15, max = 4 -> ARI = (2 - 16/15)/(4 - 16/15) = 0.318182
+        part = spark.createDataFrame(
+            [(1, "a1", "b1"), (2, "a1", "b1"), (3, "a1", "b2"),
+             (4, "a2", "b2"), (5, "a2", "b2"), (6, "a3", "b3")],
+            "doc_id long, c_lsh string, c_exact string",
+        )
+        r = pair_counting_ari(part).first()
+        assert (r["n_docs"], r["clusters_lsh"], r["clusters_exact"]) == (6, 3, 3)
+        assert (r["comb_ij"], r["comb_a"], r["comb_b"]) == (2, 4, 4)
+        assert r["ari"] == 0.318182
+
+    def test_all_singletons_is_null(self, spark):
+        from fantasy_premier_league_spark.queries.dedup import pair_counting_ari
+
+        part = spark.createDataFrame(
+            [(i, f"a{i}", f"b{i}") for i in range(1, 5)],
+            "doc_id long, c_lsh string, c_exact string",
+        )
+        r = pair_counting_ari(part).first()
+        assert r["ari"] is None and r["comb_a"] == 0 and r["comb_b"] == 0
+
+    def test_identical_partitions_ari_one(self, spark):
+        from fantasy_premier_league_spark.queries.dedup import pair_counting_ari
+
+        part = spark.createDataFrame(
+            [(1, "x", "x"), (2, "x", "x"), (3, "y", "y"), (4, "y", "y")],
+            "doc_id long, c_lsh string, c_exact string",
+        )
+        r = pair_counting_ari(part).first()
+        assert r["ari"] == 1.0

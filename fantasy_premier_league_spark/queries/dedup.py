@@ -208,11 +208,14 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs p
         JOIN meta ma ON ma.doc_id = p.id_a
         JOIN meta mb ON mb.doc_id = p.id_b
+    ),
+    ex AS (
+        SELECT source_a, source_b, unnest([id_a, id_b]) AS doc FROM tagged
     )
     SELECT source_a, source_b,
-           count(*)::BIGINT AS n_dup_pairs,
-           count(DISTINCT id_a)::BIGINT + count(DISTINCT id_b)::BIGINT AS n_docs_involved
-    FROM tagged
+           (count(*) / 2)::BIGINT AS n_dup_pairs,
+           count(DISTINCT doc)::BIGINT AS n_docs_involved
+    FROM ex
     GROUP BY source_a, source_b
     """,
     doc="Cross-SOURCE duplication matrix: MinHash-LSH near-dup pairs "
@@ -246,11 +249,16 @@ def r61_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
     )
-    return tagged.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
-        (F.countDistinct("id_a") + F.countDistinct("id_b"))
-        .cast("long")
-        .alias("n_docs_involved"),
+    # one endpoint-exploded pass: every pair contributes exactly 2 rows
+    # (so pairs = rows/2) and the distinct-doc count is over the UNION of
+    # endpoints — countDistinct(id_a) + countDistinct(id_b) would count a
+    # doc appearing on both sides of different pairs twice (code review)
+    ex = tagged.select(
+        "source_a", "source_b", F.explode(F.array("id_a", "id_b")).alias("doc")
+    )
+    return ex.groupBy("source_a", "source_b").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_dup_pairs"),
+        F.countDistinct("doc").cast("long").alias("n_docs_involved"),
     )
 
 
@@ -881,7 +889,8 @@ def q05_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "GROUP fuses or splits). Both pipelines run in-engine: pairs -> "
     "connected components -> full partition (unpaired docs are "
     "singletons of their own id) -> contingency table -> pair-counting "
-    "ARI from C(n,2) sums, all integer until the final division. The "
+    "ARI from C(n,2) sums in 64-bit integer arithmetic (exactness "
+    "bounds documented on pair_counting_ari). The "
     "oracle replays both sketches, both recursive closures, and the "
     "arithmetic; ARI is NULL when the expected and maximum indices "
     "coincide (both partitions all-singletons).",
@@ -927,6 +936,14 @@ def pair_counting_ari(part: DataFrame) -> DataFrame:
     comb_ij, comb_a, comb_b, ari); ARI is NULL when expected and maximum
     indices coincide (both partitions all-singletons).
 
+    Arithmetic stays in 64-bit integers until the ARI division, with the
+    usual long-arithmetic bounds: the C(c,2) terms compute c*(c-1) in a
+    long (exact while the largest cluster or marginal stays below ~3e9
+    members) through a double-precision /2 (exact while the pair counts
+    stay below 2^53 ≈ 9e15 — a ~10^8-doc marginal). Past those bounds
+    the combinatorial counts themselves outgrow 64-bit pair arithmetic
+    and the metric needs a decimal-typed variant, not this kernel.
+
     ONE grouping-sets pass over the contingency cells computes the row
     marginals (ai: gid=1), column marginals (bj: gid=2) and the global
     cell sums (gid=3) together — the previous shape fanned the
@@ -934,9 +951,8 @@ def pair_counting_ari(part: DataFrame) -> DataFrame:
     broadcast crossJoins), so the upstream joins+groupBy ran three times
     (VERDICT r8 finding 2). The Expand triples only the cluster-pair-
     cells-bounded cont rows, never the corpus; the second aggregate runs
-    over marginals-sized input. All arithmetic is integer until the
-    final division. Unit-pinned against a hand-computed contingency in
-    tests/test_operators.py::TestPairCountingAri."""
+    over marginals-sized input. Unit-pinned against a hand-computed
+    contingency in tests/test_operators.py::TestPairCountingAri."""
     cont = part.groupBy("c_lsh", "c_exact").agg(F.count(F.lit(1)).alias("nij"))
     comb = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
     gs = cont.groupingSets([["c_lsh"], ["c_exact"], []], "c_lsh", "c_exact").agg(

@@ -352,7 +352,7 @@ def r42_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q36_global_rank",
+    "r63_global_rank",
     """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
@@ -366,7 +366,7 @@ def r42_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any row count (the W4 at-scale form).",
     tags=("window", "rank", "scale"),
 )
-def q36_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r63_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rank import global_rank
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")

@@ -197,7 +197,7 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r61_source_overlap",
+    "q36_source_overlap",
     f"""
     WITH pairs AS ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.5, seed=42)}),
     meta AS (SELECT doc_id, source FROM documents),
@@ -230,7 +230,7 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc->source joins and a source-pair-bounded aggregate.",
     tags=("dedup", "curation", "llm-pipeline"),
 )
-def r61_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.5, portable=True

@@ -371,7 +371,7 @@ def q09_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q10_roleswap_union",
+    "r62_roleswap_union",
     """
     WITH balances AS (
         SELECT c_nationkey AS nationkey, 'customer' AS role, c_acctbal AS acctbal FROM customer
@@ -385,7 +385,7 @@ def q09_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl/run_transform.py:385-419) via tagged unionByName.",
     tags=("union", "agg"),
 )
-def q10_roleswap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r62_roleswap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     supp = load(spark, sf_dir, "supplier")
     c = cust.select(

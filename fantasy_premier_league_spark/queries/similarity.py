@@ -335,7 +335,7 @@ def _semantic_dedup_oracle(
 
 
 @query(
-    "r58_semantic_dedup",
+    "q10_semantic_dedup",
     _semantic_dedup_oracle(n_clusters=16, iters=8, threshold=0.35, sample=32_768),
     doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — operators/"
     "similarity.py::semantic_dedup): k-means-bucket the embedding space "
@@ -348,7 +348,7 @@ def _semantic_dedup_oracle(
     "the keep rule value-for-value.",
     tags=("similarity", "dedup", "semantic", "llm-pipeline"),
 )
-def r58_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding",

@@ -129,11 +129,11 @@ class TestNewOperatorPlans:
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 3
         assert plan.count("Generate explode") == 1
 
-    def test_q36_global_rank_pure_dataframe(self, spark):
+    def test_r63_global_rank_pure_dataframe(self, spark):
         # two-phase rank must stay JVM-side: no Python row round-trip, and
         # the expensive range sort must be evaluated once (exchange reuse
         # joins the count branch and the rank branch at execution time)
-        q = all_queries()["q36_global_rank"]
+        q = all_queries()["r63_global_rank"]
         df = q.fn(spark, SF)
         df.collect()  # reuse is resolved during execution under AQE
         plan = df._jdf.queryExecution().executedPlan().toString()

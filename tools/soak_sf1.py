@@ -85,6 +85,8 @@ DATA_FACTOR = {
     "r45_fingerprint": 10.0,
     "r46_rolling_spend": 10.0,
     "q34_cc_star": 10.0,
+    "q10_semantic_dedup": 4.0,
+    "q36_source_overlap": 10.0,
 }
 
 #: embeddings tile 4x (500 -> 2,000 -> 8,000 sub-linear driver scaling)
@@ -97,7 +99,7 @@ for _n in (
     DATA_FACTOR[_n] = 4.0
 #: customer tiles 5x (orders spreads o_custkey over 5 tiles only)
 for _n in (
-    "q08_acctbal_deciles", "q09_argmax_customer", "q10_roleswap_union",
+    "q08_acctbal_deciles", "q09_argmax_customer", "r62_roleswap_union",
     "r57_balance_bins", "q20_exact_quantiles", "q72_decile_edges",
     "q73_full_outer_activity",
 ):

@@ -62,7 +62,34 @@ def _local_lloyds(x: np.ndarray, *, k: int, iters: int, seed: int = 42) -> np.nd
     Early termination is unnecessary for replay correctness: once
     assignments repeat, the rounded means are a fixpoint, so a fixed
     ``iters`` replay and a converged shorter run agree exactly.
+
+    ``seed`` is a dead parameter since the hash-order init landed: the
+    md5 permutation is the sole randomness source, so every seed yields
+    the same quantizer. A non-default seed warns instead of silently
+    returning byte-identical output (ADVICE r9).
+
+    Rounding-mode note (accepted knife-edge flake mode, ADVICE r9):
+    training rounds with ``np.round`` (half-to-even on the scaled
+    double) while serving (``F.round``) and the DuckDB oracle round
+    HALF_UP on the exact decimal expansion. No double is exactly
+    halfway at 6 dp, so divergence needs the preceding float arithmetic
+    to land within 1 ulp of a .5000005e-6 boundary — never observed
+    across the q54/q10 corpora, and any vectorized "half-up" emulation
+    (floor(x*1e6+0.5)) has the SAME 1-ulp boundary against exact-decimal
+    HALF_UP, so switching would trade one coincidence for another while
+    decimal-exact rounding of the 4.2M per-call distance values is
+    ~10s of pure Python. If a knife-edge vector ever surfaces, the
+    failure is a value-hash mismatch on one row, not a silent wrong
+    answer.
     """
+    if seed != 42:
+        import warnings
+
+        warnings.warn(
+            "_local_lloyds: 'seed' is inert — init is the first-k rows of the "
+            "md5-hash order, so all seeds produce the same quantizer",
+            stacklevel=2,
+        )
     n = len(x)
     if n == 0:
         raise ValueError("ivf_topk: empty corpus — nothing to train the quantizer on")
@@ -594,16 +621,39 @@ def ivf_topk_seeded(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: semantic_dedup's auto-k derivation: k = clamp(n // cell, floor, cap).
+#: The paper's own scaling is k ∝ n (SemDeDup uses 11k clusters at web
+#: scale); a FIXED k lets per-cell population — and the within-cell
+#: quadratic — grow linearly with the corpus (VERDICT r9 finding 1).
+#: The floor keeps driver-SF corpora (<= 8k vectors) on the historical
+#: k=16; the cap bounds the centroid plan literal (k x dim doubles ride
+#: in one server-parsed expression — past ~2k centroids assignment
+#: should switch to a broadcast-join argmin instead).
+_SEMANTIC_TARGET_CELL = 512
+_SEMANTIC_K_FLOOR = 16
+_SEMANTIC_K_CAP = 2_048
+
+
+def derived_n_clusters(n_rows: int) -> int:
+    """Deterministic corpus-size-derived cluster count for
+    :func:`semantic_dedup` — replayable by an external SQL oracle as
+    ``greatest(16, least(2048, count(*) // 512))``."""
+    return int(
+        min(max(n_rows // _SEMANTIC_TARGET_CELL, _SEMANTIC_K_FLOOR), _SEMANTIC_K_CAP)
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
     max_iter: int = 8,
     seed: int = 42,
     round_digits: int = 4,
+    pair_block_rows: int = 4_096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning — k-means-bucket the embedding space, compare
@@ -616,66 +666,143 @@ def semantic_dedup(
     ``n_dup_partners`` counts same-cell neighbors above the threshold
     (either side); ``keep`` is false iff a lower-id duplicate exists.
 
-    Scale shape — the whole point of the paper's clustering step: the
-    quadratic comparison is per-CELL, never corpus-wide. The quantizer
-    trains driver-side on the bounded deterministic sample
-    (:func:`_train_quantizer` — same replayable Lloyd's as ivf_topk, so
-    the oracle can replay training, assignment, pairing and the keep
-    rule value-for-value); assignment is a map-side argmin (no
-    shuffle); the pair join shuffles on the cell key only, with
-    expected cell population n/k. Degenerate input (a corpus of
-    byte-identical texts ⇒ identical embeddings ⇒ one cell) is the
-    standard quadratic hazard: run exact dedup (content-key groupBy,
-    q40) first — the paper's own preprocessing — and raise
-    ``n_clusters`` until cells bound the per-task pair volume.
+    ``n_clusters=None`` (the default) derives k from the corpus count
+    (:func:`derived_n_clusters` — cell target ~512 vectors, floor 16,
+    cap 2048), so per-cell population stays bounded as the corpus grows
+    instead of the within-cell quadratic re-emerging at a fixed k. The
+    derivation is one count(*) — an oracle replays it with the same
+    expression in the init LIMIT.
+
+    Scale shape — the paper's clustering step keeps the quadratic
+    per-CELL, never corpus-wide; three further levers here:
+
+    - **exact-vector collapse first** (the paper's own exact-dedup
+      preprocessing, composed in rather than left to the caller):
+      byte-identical vectors group to their min-id representative
+      BEFORE pairing, so a block of d exact copies costs 1 rep — not
+      d²/2 materialized pairs — and the member-level output is
+      reconstructed LOSSLESSLY from group sizes (identical vectors
+      share cell, rounded cosine 1.0 >= any threshold, and the min-id
+      keep rule factors through representatives). Output is
+      value-identical to the uncollapsed pair join.
+    - **tiled-BLAS pairing**: per-cell pairs run as one
+      ``applyInPandas`` over the cell key — Arrow batch in, blocked
+      numpy matmul (``pair_block_rows`` x ``pair_block_rows`` gram
+      tiles, so a skewed cell never materializes an m x m matrix) —
+      instead of a per-pair interpreted zip_with fold. Same
+      dot/(sqrt*sqrt) arithmetic and 4-dp round as the q53 grid
+      operator, whose BLAS-vs-DuckDB value parity is oracle-pinned.
+    - the quantizer trains driver-side on the bounded deterministic
+      sample (:func:`_train_quantizer` — same replayable Lloyd's as
+      ivf_topk, training on the FULL corpus including exact dups, so
+      the oracle replay is unchanged by the collapse); assignment is a
+      map-side argmin on representatives only.
+
+    A pathologically skewed REAL cluster (distinct-but-close vectors)
+    still lands one cell in one task; raise ``n_clusters`` / lower
+    ``_SEMANTIC_TARGET_CELL`` there — memory stays bounded by the gram
+    tiling either way.
     """
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if n_clusters is None:
+        n_clusters = derived_n_clusters(c.count())
     centroids = _train_quantizer(
         c, id_field="id", vec_field="v", k=n_clusters, iters=max_iter, seed=seed
     )
-    # per-vector norm computed ONCE before the pair join: higher-order
-    # array functions are interpreted per evaluation, so norm-per-pair
-    # would fold 64-element arrays 3x per candidate (measured 5-6s at
-    # sf0.1); with the norm carried, each pair pays one zip_with fold
-    # (~2.5x faster) and cosine = dot/(na*nb) is the arithmetically
-    # IDENTICAL expression the oracle computes (sqrt per vector, not a
-    # reformulation — no rounding-boundary risk).
+    # exact-vector collapse: one groupBy on the vector key (the same
+    # one-shuffle shape as exact dedup), members carry (rep, gsz)
+    grp = c.groupBy("v").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    )
+    members = tracked_persist(c.join(grp, "v").select("id", "rep", "gsz"))
+    reps = grp.select(F.col("rep").alias("id"), "v", "gsz")
     assigned = tracked_persist(
-        _assign_cells(c, centroids, vec_field="v").withColumn("nrm", _norm(F.col("v")))
+        _assign_cells(reps, centroids, vec_field="v").select("id", "v", "cell", "gsz")
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
-        round_digits,
+    thr = float(threshold)
+    blk = int(pair_block_rows)
+
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        gsz = pdf["gsz"].to_numpy()[order]
+        mat = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        # norms row-wise first — the full gram matrix never materializes
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        out_a, out_b, out_ga, out_gb = [], [], [], []
+        m = len(ids)
+        for i0 in range(0, m, blk):
+            i1 = min(i0 + blk, m)
+            for j0 in range(i0, m, blk):
+                j1 = min(j0 + blk, m)
+                sims = np.round(
+                    (mat[i0:i1] @ mat[j0:j1].T)
+                    / np.outer(nrm[i0:i1], nrm[j0:j1]),
+                    round_digits,
+                )
+                ia, ib = np.nonzero(sims >= thr)
+                if i0 == j0:  # diagonal tile: keep strict upper triangle
+                    keep = ia < ib
+                    ia, ib = ia[keep], ib[keep]
+                if len(ia):
+                    out_a.append(ids[i0 + ia])
+                    out_b.append(ids[j0 + ib])
+                    out_ga.append(gsz[i0 + ia])
+                    out_gb.append(gsz[j0 + ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "gsz_a": pd.Series(dtype="int64"),
+                    "gsz_b": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "gsz_a": np.concatenate(out_ga),
+                "gsz_b": np.concatenate(out_gb),
+            }
+        )
+
+    pairs = tracked_persist(
+        assigned.groupBy("cell").applyInPandas(
+            cell_pairs, schema="id_a long, id_b long, gsz_a long, gsz_b long"
+        )
     )
-    pairs = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-    pairs = tracked_persist(pairs)
+    # rep-level partner mass: each partner contributes its WHOLE exact-dup
+    # group (every member of it is a >=threshold neighbor of every member
+    # of mine — identical vectors share the rep's rounded cosine)
     partners = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        pairs.select(F.col("id_a").alias("id"), F.col("gsz_b").alias("__g"))
+        .unionAll(pairs.select(F.col("id_b").alias("id"), F.col("gsz_a").alias("__g")))
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.sum("__g").alias("__pn"))
     )
     dropped = pairs.select(F.col("id_b").alias("id")).distinct().withColumn(
         "__drop", F.lit(1)
     )
-    return (
-        assigned.join(partners, "id", "left")
+    rep_state = (
+        assigned.select("id", "cell")
+        .join(partners, "id", "left")
         .join(dropped, "id", "left")
-        .select(
-            "id",
-            "cell",
-            F.coalesce("__n", F.lit(0)).cast("long").alias("n_dup_partners"),
-            F.col("__drop").isNull().alias("keep"),
-        )
+        .withColumnsRenamed({"id": "rep"})
+    )
+    # member-level reconstruction: (gsz-1) same-group partners plus the
+    # rep's partner mass; keep = is the group's min id AND the rep has no
+    # lower-id duplicate (a non-rep member always has one: its own rep)
+    return members.join(rep_state, "rep").select(
+        "id",
+        "cell",
+        (F.col("gsz") - 1 + F.coalesce("__pn", F.lit(0)))
+        .cast("long")
+        .alias("n_dup_partners"),
+        ((F.col("id") == F.col("rep")) & F.col("__drop").isNull()).alias("keep"),
     )
 
 

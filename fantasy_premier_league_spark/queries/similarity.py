@@ -20,7 +20,7 @@ _LLOYD_L2 = (
 )
 
 
-def _lloyd_ctes(*, n_centroids: int, iters: int, sample: int, dim: int = _EMB_DIM) -> str:
+def _lloyd_ctes(*, n_centroids: int | str, iters: int, sample: int, dim: int = _EMB_DIM) -> str:
     """Shared WITH-body replaying the deterministic Lloyd's trainer
     (operators/similarity.py::_local_lloyds) in DuckDB: md5-hash-ordered
     bounded sample, first-k init, ``iters`` unrolled (assign ->
@@ -246,7 +246,9 @@ def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n_probe/n_centroids). The oracle unrolls ALL 8 Lloyd's rounds as "
     "CTE pairs and replays sample order, assignment, probing and "
     "rerank value-for-value (ex-rows-only; the training loop itself "
-    "is now under the value-hash gate).",
+    "is now under the value-hash gate). Accepted flake mode: training "
+    "rounds half-even (np.round) vs HALF_UP on the serving/oracle side "
+    "— divergence needs a 1-ulp coincidence; see _local_lloyds.",
     tags=("similarity", "ann", "ivf"),
 )
 def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,13 +298,21 @@ def q56_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_seeded(emb, queries, k=3, n_cells=16, n_probe=4)
 
 
+#: SQL twin of operators/similarity.py::derived_n_clusters — the engine
+#: derives k from one count(*), the oracle derives it in the init LIMIT
+#: (DuckDB accepts any BIGINT expression there), so auto-k is replayed
+#: the same way Lloyd's training already is.
+_DERIVED_K_SQL = "greatest(16, least(2048, (SELECT count(*) FROM e) // 512))"
+
+
 def _semantic_dedup_oracle(
-    *, n_clusters: int, iters: int, threshold: float, sample: int, dim: int = _EMB_DIM,
+    *, n_clusters: int | str, iters: int, threshold: float, sample: int, dim: int = _EMB_DIM,
 ) -> str:
     """DuckDB SQL replaying semantic_dedup end-to-end: the shared Lloyd's
     training chain (:func:`_lloyd_ctes`), the rounded-metric cell
     assignment, within-cell rounded-cosine pairing, partner counts, and
-    the keep-first (min-id survivor) rule."""
+    the keep-first (min-id survivor) rule. ``n_clusters`` may be a SQL
+    expression (:data:`_DERIVED_K_SQL`) — the corpus-derived auto-k."""
     d_final = _LLOYD_L2.format(dim=dim, a="e", c="c")
     return f"""
     WITH {_lloyd_ctes(n_centroids=n_clusters, iters=iters, sample=sample, dim=dim)},
@@ -336,23 +346,31 @@ def _semantic_dedup_oracle(
 
 @query(
     "q10_semantic_dedup",
-    _semantic_dedup_oracle(n_clusters=16, iters=8, threshold=0.35, sample=32_768),
+    _semantic_dedup_oracle(
+        n_clusters=_DERIVED_K_SQL, iters=8, threshold=0.35, sample=32_768
+    ),
     doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — operators/"
     "similarity.py::semantic_dedup): k-means-bucket the embedding space "
-    "with the deterministic replayable Lloyd's quantizer, compare "
-    "rounded cosine WITHIN cells only (the clustering step is what "
-    "keeps the quadratic per-cell, never corpus-wide), drop every "
-    "vector with a lower-id duplicate at cosine >= 0.35 (the corpus's "
-    "implanted near-dup band, same threshold as the q53 family). The "
-    "oracle replays training, assignment, pairing, partner counts and "
-    "the keep rule value-for-value.",
+    "with the deterministic replayable Lloyd's quantizer — k DERIVED "
+    "from the corpus count (clamp(n//512, 16, 2048); the paper's own "
+    "k ∝ n scaling, so per-cell population stays bounded as the corpus "
+    "grows), exact-duplicate vectors collapsed to min-id reps before "
+    "pairing (the paper's exact-dedup preprocessing, reconstructed "
+    "losslessly), rounded cosine compared WITHIN cells via tiled BLAS, "
+    "drop every vector with a lower-id duplicate at cosine >= 0.35 "
+    "(the corpus's implanted near-dup band, same threshold as the q53 "
+    "family). The oracle replays training, the derived k (same "
+    "count-expression in the init LIMIT), assignment, pairing, partner "
+    "counts and the keep rule value-for-value. Accepted flake mode: "
+    "Lloyd's training rounds half-even vs the oracle's HALF_UP — "
+    "divergence needs a 1-ulp coincidence; see _local_lloyds.",
     tags=("similarity", "dedup", "semantic", "llm-pipeline"),
 )
 def q10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding",
-        n_clusters=16, threshold=0.35, max_iter=8,
+        n_clusters=None, threshold=0.35, max_iter=8,
     )
 
 

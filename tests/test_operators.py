@@ -624,6 +624,43 @@ class TestPageRank:
         out = pagerank(e, iterations=9, checkpoint_every=4).collect()
         assert len(out) == 3
 
+    def test_distributed_route_matches_local_finish(self, spark):
+        # the default local_finish_edges routes every toy graph through the
+        # numpy path — without this parity check the distributed loop
+        # (closed-graph specialization, dangling-mass broadcast subtree,
+        # checkpoint cadence) has no value-checked coverage and a
+        # regression there ships silently. local_finish_edges=None forces
+        # the distributed plan on the SAME graphs; both routes round 6dp
+        # Spark-side, so outputs must agree exactly.
+        from fantasy_premier_league_spark.operators.graph import pagerank
+
+        graphs = {
+            # symmetric 2-cycle: closed graph branch (no dangling, no
+            # source-only) — the single-join-per-round specialization
+            "closed": [(1, 2), (2, 1)],
+            # chain: node 1 has no in-edges, node 3 dangles — exercises the
+            # node-set rebuild join AND the dangling-mass broadcast subtree
+            "open": [(1, 2), (2, 3)],
+            # star + ring co-occurrence style: closed but irregular degrees,
+            # deep enough iterations to cross the checkpoint cadence
+            "irregular": [(0, i) for i in range(1, 5)]
+            + [(i, 0) for i in range(1, 5)]
+            + [(1, 2), (2, 1)],
+        }
+        for name, rows in graphs.items():
+            e = spark.createDataFrame(rows, "src long, dst long")
+            local = {
+                r["node"]: r["rank"]
+                for r in pagerank(e, iterations=5, checkpoint_every=2).collect()
+            }
+            dist = {
+                r["node"]: r["rank"]
+                for r in pagerank(
+                    e, iterations=5, checkpoint_every=2, local_finish_edges=None
+                ).collect()
+            }
+            assert dist == local, f"{name}: distributed {dist} != local {local}"
+
 
 class TestBM25:
     def test_exact_score_tiny_corpus(self, spark):
@@ -905,6 +942,38 @@ class TestContainmentLsh:
         for t in sk:
             assert t in ex
 
+    def test_recall_under_cap_on_boilerplate_heavy_corpus(self, spark):
+        # ADVICE r9: with r=1 bands, a true pair whose EVERY colliding
+        # shingle is super-frequent lives only in degenerate buckets —
+        # the exact corpus shape where max_bucket_size is a recall/perf
+        # tradeoff, not a free win. Construct it: one short doc of pure
+        # boilerplate contained in 80 long docs that all carry the same
+        # boilerplate, so every (short, long) collision bucket has ~81
+        # members. Pin both sides of the documented contract: at the
+        # default cap (256 > bucket size) candidate recall is exact; at
+        # a cap below the bucket size the true pairs ARE lost (the
+        # docstring's declared tradeoff — drops logged, not silent).
+        boiler = "tos alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+        rows = [
+            (i, f"{boiler} " + " ".join(f"u{i}x{j}" for j in range(12)))
+            for i in range(1, 81)
+        ] + [(999, boiler)]
+        df = self._docs(spark, rows)
+        kw = dict(n=3, threshold=0.9, max_size_ratio=4.0, num_hashes=32, portable=True)
+        uncapped = {(r["id_a"], r["id_b"]) for r in D.containment_lsh_pairs(
+            df, "doc_id", "text", max_bucket_size=None, **kw
+        ).collect()}
+        truth = {(i, 999) for i in range(1, 81)}
+        assert uncapped == truth  # short doc contained in every long doc
+        at_default = {(r["id_a"], r["id_b"]) for r in D.containment_lsh_pairs(
+            df, "doc_id", "text", max_bucket_size=256, **kw
+        ).collect()}
+        assert at_default == truth  # buckets fit under 256: recall 1.0
+        tiny_cap = {(r["id_a"], r["id_b"]) for r in D.containment_lsh_pairs(
+            df, "doc_id", "text", max_bucket_size=8, **kw
+        ).collect()}
+        assert tiny_cap < truth  # the tradeoff is real: under-cap loses pairs
+
 
 class TestSemanticDedup:
     """SemDeDup (operators/similarity.py::semantic_dedup): within-cell
@@ -951,6 +1020,47 @@ class TestSemanticDedup:
         a = sorted(map(tuple, similarity.semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
         b = sorted(map(tuple, similarity.semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
         assert a == b
+
+    def test_derived_k_clamps(self):
+        d = similarity.derived_n_clusters
+        assert d(0) == d(500) == d(8_191) == 16  # floor covers driver SFs
+        assert d(8_192) == 16 and d(16_384) == 32  # n // 512 past the floor
+        assert d(10_000_000) == 2_048  # cap bounds the centroid literal
+
+    def test_collapse_matches_bruteforce_member_semantics(self, spark):
+        # exact-dup groups WITH cross-group near-dup partners: the
+        # collapse/expand arithmetic (n_dup = gsz-1 + sum of partner group
+        # sizes; keep factors through the min-id rep) must equal the
+        # member-level all-pairs definition computed brute-force here.
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        base = rng.randn(12, 8)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+        rows += [(50, rows[2][1]), (51, rows[2][1])]  # dup group of 2
+        near = base[2] + rng.randn(8) * 1e-4  # near (not exact) dup of the group
+        rows += [(60, [float(x) for x in near]), (61, [float(x) for x in near])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["id"]: r
+            for r in similarity.semantic_dedup(
+                df, n_clusters=2, threshold=0.999
+            ).collect()
+        }
+        # brute-force member-level truth from the returned cell map
+        ids = sorted(out)
+        vec = {i: np.array(v, dtype=np.float64) for i, v in rows}
+        def cos(a, b):
+            return round(
+                float(vec[a] @ vec[b] / (np.linalg.norm(vec[a]) * np.linalg.norm(vec[b]))), 4
+            )
+        for x in ids:
+            partners = [
+                y for y in ids
+                if y != x and out[y]["cell"] == out[x]["cell"] and cos(x, y) >= 0.999
+            ]
+            assert out[x]["n_dup_partners"] == len(partners), x
+            assert out[x]["keep"] == (not any(y < x for y in partners)), x
 
 
 class TestJaccardThresholdBoundary:

@@ -893,11 +893,36 @@ def q05_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounds documented on pair_counting_ari). The "
     "oracle replays both sketches, both recursive closures, and the "
     "arithmetic; ARI is NULL when the expected and maximum indices "
-    "coincide (both partitions all-singletons).",
+    "coincide (both partitions all-singletons). Above 10k docs both "
+    "pipelines run on the same deterministic md5-sampled ~10k-doc "
+    "stratum (r54's convention: ground-truth evaluation is sampled at "
+    "scale, full-replayed at every driver/oracle SF).",
     tags=("dedup", "evaluation", "llm-pipeline"),
 )
 def q11_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # The exact n-gram side is evaluation ground truth exactly like
+    # r54's: full replay is super-linear in corpus density (sf1 measured
+    # 53.5s on 10x sf0.1's data) and exists only to grade the sketch.
+    # Past the bound, BOTH pipelines run on the same deterministic
+    # md5-sampled document stratum (~10k docs): the metric becomes the
+    # ARI between the two partitions OF THE SAMPLED SUBCORPUS — a
+    # consistent agreement estimate at bounded cost (documented with a
+    # measured estimate-vs-full row in SCALE.md) — while every
+    # driver/oracle SF stays below the bound on full replay,
+    # value-identical to the oracle SQL.
+    full_replay_max_docs = 10_000
+    n_docs = docs.count()
+    if n_docs > full_replay_max_docs:
+        p = full_replay_max_docs / n_docs
+        frac = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("q11:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double") / F.lit(4294967296.0)
+        docs = docs.filter(frac < F.lit(p))
     # TOKENIZE ONCE: the sketch side and the exact side both consume the
     # per-doc shingle arrays — without the shared frame each pipeline
     # re-tokenizes the corpus (measured ~0.5s of the sf0.1 warm runtime).

@@ -376,6 +376,87 @@ def r63_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r64_snapshot_asof",
+    r"""
+    WITH st AS (SELECT DISTINCT date_trunc('second', ts) AS s FROM events),
+    named AS (
+        SELECT concat('players_', strftime(s, '%Y%m%d-%H%M%S'),
+                      CASE WHEN date_part('second', s)::BIGINT % 7 = 0
+                           THEN '.tmp' ELSE '.json' END) AS file_name
+        FROM st
+    ),
+    listing AS (
+        SELECT file_name,
+               strptime(regexp_extract(file_name, '(\d{8}-\d{6})', 1),
+                        '%Y%m%d-%H%M%S') AS date_extracted
+        FROM named
+        WHERE regexp_matches(file_name, '^players_\d{8}-\d{6}\.json$')
+    ),
+    d AS (SELECT DISTINCT date_trunc('day', ts) AS deadline_ts FROM events),
+    ranked AS (
+        SELECT d.deadline_ts,
+               l.date_extracted AS snapshot_ts,
+               l.file_name AS snapshot_file_name,
+               row_number() OVER (
+                   PARTITION BY d.deadline_ts
+                   ORDER BY l.date_extracted DESC NULLS LAST
+               ) AS rn
+        FROM d LEFT JOIN listing l ON l.date_extracted < d.deadline_ts
+    )
+    SELECT deadline_ts, snapshot_ts, snapshot_file_name FROM ranked WHERE rn = 1
+    """,
+    doc="Point-in-time snapshot reconstruction capstone (reference "
+    "M1.ipynb § 20 get_closest_dates; S15+F11+J10 composed): a snapshot "
+    "LOG derived from events (one 'players_YYYYmmdd-HHMMSS.json' name "
+    "per distinct event second, ~1 in 7 given a non-matching .tmp "
+    "extension) flows through the production listing semantics — regex "
+    "name filter, timestamp extraction via the SAME TS_PATTERN/TS_FORMAT "
+    "constants sources/files.py::snapshot_listing uses — then "
+    "snapshots_asof_deadlines picks, for each daily deadline, the latest "
+    "snapshot STRICTLY before it via the union-merge as-of join (one "
+    "shuffle of |L|+|R| rows, no LxR pair materialization — the "
+    "reference cross-joins files x gameweeks). The oracle replays "
+    "naming, filtering, extraction, and the as-of with a windowed "
+    "argmax; deadlines with no prior snapshot keep their null row on "
+    "both sides. Only the filesystem walk itself (pytest-gated) is "
+    "outside the oracle — this closes the last reference-parity "
+    "composition that had no oracle row (VERDICT r9).",
+    tags=("source", "asof", "etl", "point-in-time"),
+)
+def r64_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.files import TS_FORMAT, TS_PATTERN, snapshots_asof_deadlines
+
+    ev = load(spark, sf_dir, "events")
+    snap_ts = ev.select(F.date_trunc("second", "ts").alias("st")).distinct()
+    named = snap_ts.select(
+        F.concat(
+            F.lit("players_"),
+            F.date_format("st", TS_FORMAT),
+            F.when(F.second("st") % 7 == 0, F.lit(".tmp")).otherwise(F.lit(".json")),
+        ).alias("file_name")
+    )
+    listing = (
+        named.filter(
+            F.regexp_like("file_name", F.lit(rf"^players_{TS_PATTERN}\.json$"))
+        )
+        .withColumn(
+            "date_extracted",
+            F.to_timestamp(F.regexp_extract("file_name", TS_PATTERN, 1), TS_FORMAT),
+        )
+        .withColumn("file_path", F.concat(F.lit("/snapshots/"), "file_name"))
+    )
+    deadlines = ev.select(
+        F.date_trunc("day", "ts").alias("gameweek_deadline_time")
+    ).distinct()
+    out = snapshots_asof_deadlines(listing, deadlines)
+    return out.select(
+        F.col("gameweek_deadline_time").alias("deadline_ts"),
+        F.col("snapshot_date_extracted").alias("snapshot_ts"),
+        "snapshot_file_name",
+    )
+
+
+@query(
     "q80_frame_samples",
     """
     WITH d AS (

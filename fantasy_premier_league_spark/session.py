@@ -26,8 +26,19 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
     """Build (or reuse) the session with the engine's standard config."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # -XX:-ZUncommit: the round-10 spike hunt (SCALE.md "Iterative-family
+    # tail spikes") root-caused the 2.5-11x p95 outliers to KERNEL time —
+    # a spike run executes the identical 564 tasks but burns 525 s of sys
+    # CPU vs ~30 s steady (event-log task metrics: same input/shuffle
+    # records, GC pauses < 0.3 ms, zero allocation stalls, code cache 43%,
+    # no deopt storm). ZGC's idle-heap uncommit makes the next heavy run
+    # recommit/remap hundreds of MB under the process-wide mmap lock with
+    # all 32 task threads faulting into it. Keeping the heap committed
+    # (+AlwaysPreTouch, measured free at startup) cut q48's 10-run p95
+    # from 15-40 s worst cases to <= 1.7x the floor.
     _java_opts = os.environ.get(
-        "SPARK_GRAFT_JAVA_OPTS", "-Djava.net.preferIPv4Stack=true -XX:+UseZGC"
+        "SPARK_GRAFT_JAVA_OPTS",
+        "-Djava.net.preferIPv4Stack=true -XX:+UseZGC -XX:-ZUncommit -XX:+AlwaysPreTouch",
     )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -36,7 +36,11 @@ from fantasy_premier_league_spark.session import get_spark
 #: UDF family and the mapInPandas scans) — anything else is a regression
 KNOWN_PYTHON = {
     "q26_pq_topk",  # ADC scan: mapInPandas over the encoded corpus
-    "q51_cosine_topk_block",  # blocked-BLAS pair grid: applyInPandas
+    "q51_cosine_topk_block",  # blocked-BLAS matmul: mapInPandas
+    "q53_embedding_near_dups",  # block pair grid: applyInPandas (was
+    # invisible before round 10 — FlatMapGroupsInPandas matched none of
+    # the old substrings, so the applyInPandas family escaped the audit)
+    "q10_semantic_dedup",  # per-cell tiled-BLAS pairing: applyInPandas
     "q61_multimodal_features",  # image decode UDF stage
     "q80_frame_samples",  # frame-sampling UDF stage
     "r31_compression_quality",  # zlib ratio: mapInPandas by necessity
@@ -66,7 +70,7 @@ def audit(sf_dir: str) -> tuple[list[dict], list[str]]:
             "smj": plan.count("SortMergeJoin"),
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
             "cartesian": plan.count("CartesianProduct"),
-            "python": int("Python" in plan or "ArrowEval" in plan or "MapInPandas" in plan),
+            "python": int("Python" in plan or "ArrowEval" in plan or "InPandas" in plan),
         }
         rows.append(row)
         if row["cartesian"]:
@@ -86,9 +90,10 @@ def main() -> None:
         f"Compiled (not executed) at `{sf_dir}`. Regenerate: "
         "`python tools/plan_audit.py [sf_dir] --write`. BHJ/SMJ/BNLJ = "
         "broadcast-hash / sort-merge / broadcast-nested-loop join counts; "
-        "`python` marks the five documented Arrow-UDF stages (PQ ADC scan, "
-        "blocked-BLAS pair grid, multimodal decode, frame sampling, "
-        "zlib compression ratio). "
+        "`python` marks the seven documented Arrow-UDF stages (PQ ADC scan, "
+        "blocked-BLAS top-k matmul, block pair grid, SemDeDup per-cell "
+        "pairing, multimodal decode, frame sampling, zlib compression "
+        "ratio). "
         "CartesianProduct anywhere fails the audit.",
         "",
         "Two reading notes: (1) exchange counts are TEXTUAL — the "

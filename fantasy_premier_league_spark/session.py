@@ -40,6 +40,18 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
         "SPARK_GRAFT_JAVA_OPTS",
         "-Djava.net.preferIPv4Stack=true -XX:+UseZGC -XX:-ZUncommit -XX:+AlwaysPreTouch",
     )
+    # Shuffle/scratch dir: this box's / (and /tmp) is ext4 mounted with
+    # inline `discard`, so every shuffle-file delete issues synchronous
+    # TRIM in the kernel — measured ~25s of sys CPU per q48 run against
+    # ~2-5s with a tmpfs local dir (SCALE.md spike section). Prefer
+    # /dev/shm when present (50% of the 128 GiB profile; per-query
+    # shuffle footprints here are <= a few GB and released between
+    # queries). On a real cluster spark.local.dir comes from the cluster
+    # manager's fast local disks — same escape hatch shape:
+    # SPARK_GRAFT_LOCAL_DIR overrides, empty string disables.
+    _local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if _local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        _local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -72,6 +84,8 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
         .config("spark.driver.extraJavaOptions", _java_opts)
         .config("spark.executor.extraJavaOptions", _java_opts)
     )
+    if _local_dir:
+        builder = builder.config("spark.local.dir", _local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -711,13 +711,20 @@ def semantic_dedup(
     centroids = _train_quantizer(
         c, id_field="id", vec_field="v", k=n_clusters, iters=max_iter, seed=seed
     )
-    # exact-vector collapse: one groupBy on the vector key (the same
-    # one-shuffle shape as exact dedup), members carry (rep, gsz)
-    grp = c.groupBy("v").agg(
-        F.min("id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    # exact-vector collapse: ONE shuffle on the vector key (the same
+    # one-shuffle shape as exact dedup) — min-id rep and group size as
+    # window aggregates over the vector partition, no re-join of the
+    # vectors back onto members
+    wv = W.partitionBy("v")
+    members = tracked_persist(
+        c.select(
+            "id",
+            "v",
+            F.min("id").over(wv).alias("rep"),
+            F.count(F.lit(1)).over(wv).alias("gsz"),
+        )
     )
-    members = tracked_persist(c.join(grp, "v").select("id", "rep", "gsz"))
-    reps = grp.select(F.col("rep").alias("id"), "v", "gsz")
+    reps = members.filter(F.col("id") == F.col("rep")).select("id", "v", "gsz")
     assigned = tracked_persist(
         _assign_cells(reps, centroids, vec_field="v").select("id", "v", "cell", "gsz")
     )

@@ -26,19 +26,28 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
     """Build (or reuse) the session with the engine's standard config."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    # -XX:-ZUncommit: the round-10 spike hunt (SCALE.md "Iterative-family
-    # tail spikes") root-caused the 2.5-11x p95 outliers to KERNEL time —
-    # a spike run executes the identical 564 tasks but burns 525 s of sys
-    # CPU vs ~30 s steady (event-log task metrics: same input/shuffle
-    # records, GC pauses < 0.3 ms, zero allocation stalls, code cache 43%,
-    # no deopt storm). ZGC's idle-heap uncommit makes the next heavy run
-    # recommit/remap hundreds of MB under the process-wide mmap lock with
-    # all 32 task threads faulting into it. Keeping the heap committed
-    # (+AlwaysPreTouch, measured free at startup) cut q48's 10-run p95
-    # from 15-40 s worst cases to <= 1.7x the floor.
+    # GC: G1 with a FIXED, PRE-TOUCHED heap (Xms = Xmx = driver memory).
+    # History, because each step was measured (SCALE.md "Iterative-family
+    # tail spikes"): G1 at 8g showed 14-22s random spikes -> rounds 6-9
+    # ran ZGC for its sub-ms pauses -> the round-10 spike hunt proved the
+    # remaining 2.5-11x p95 outliers were never GC pauses at all but
+    # KERNEL time (a spike run executes the identical 564 tasks and burns
+    # 525 s of sys CPU vs ~30 s steady; GC pauses < 0.3 ms throughout):
+    # first ZGC's idle-heap uncommit->recommit churn, then — with
+    # uncommit off — a residual futex/do_shared_fault convoy on ZGC's
+    # multi-mapped shmem heap as page views recycle (kernel-stack
+    # sampling: 26,763 futex_do_wait + 458 do_shared_fault samples in a
+    # 10s storm vs ~6,500/50 steady). A fixed pre-touched G1 heap is one
+    # anonymous mapping that never faults after startup: zero storms in
+    # 26 probe runs (q48 p95 4.95s vs floor 3.05) and the full 151-query
+    # bench dropped 129.9s -> 112.0s with the worst row 3.6s (ZGC: 5.4s).
+    # For a batch engine G1's throughput orientation is the right trade;
+    # old-JDK clusters override via SPARK_GRAFT_JAVA_OPTS (replaces the
+    # whole option string).
+    _mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     _java_opts = os.environ.get(
         "SPARK_GRAFT_JAVA_OPTS",
-        "-Djava.net.preferIPv4Stack=true -XX:+UseZGC -XX:-ZUncommit -XX:+AlwaysPreTouch",
+        f"-Djava.net.preferIPv4Stack=true -XX:+UseG1GC -Xms{_mem} -XX:+AlwaysPreTouch",
     )
     # Shuffle/scratch dir: this box's / (and /tmp) is ext4 mounted with
     # inline `discard`, so every shuffle-file delete issues synchronous
@@ -69,18 +78,8 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
         # a 141-query bench run; 24g (of the 128 GiB profile) settles it
         # (measured medians: 199s @ 8g -> 178s @ 24g for the full sf0.1
         # inventory). On a real cluster this knob moves to executor.memory.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", _mem)
         .config("spark.ui.enabled", "false")
-        # ZGC: G1's multi-second full-heap pauses landed on random queries
-        # (measured 14-22s single-query spikes across 141-query bench runs
-        # with no code change); ZGC's sub-ms pauses bound the tail — worst
-        # query 5.4s vs 22.3s, full-inventory total 149-192s vs 161-239s
-        # over repeated runs. Throughput cost is within run-to-run noise.
-        # ZGC is production-quality on JDK >= 15 only, so the flag is an
-        # overridable default, not baked in: SPARK_GRAFT_JAVA_OPTS replaces
-        # the whole option string (set it to "-Djava.net.preferIPv4Stack=true"
-        # — or "" — on a cluster whose executors run an older JDK, the same
-        # escape hatch SPARK_GRAFT_DRIVER_MEM provides for the 24g heap).
         .config("spark.driver.extraJavaOptions", _java_opts)
         .config("spark.executor.extraJavaOptions", _java_opts)
     )

@@ -444,15 +444,18 @@ def _duplicate_spans_from_words(base: DataFrame, k: int, min_occ: int) -> DataFr
         "id",
         F.posexplode(shingle_array_from_words(F.col("__w"), k)).alias("start", "span"),
     )
-    # spans feeds BOTH sides of the frequency self-join (freq derives from
-    # it, so exchange reuse cannot fire) — but each evaluation is now
-    # slice/concat over the cached words arrays, never the tokenizer
-    freq = (
-        spans.groupBy("span")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    # corpus-wide occurrence count as a WINDOW over the span key: the
+    # historical groupBy+join-back shape evaluated the explode twice
+    # (freq derived from spans, so exchange reuse could not fire) and
+    # shuffled the span strings twice; the window evaluates it once and
+    # shuffles once. Partitions are same-span groups — occurrence-count
+    # sized, never corpus-sized. Same rows, same values (measured sf1:
+    # q05 16.4-18.8 -> ~10s steady).
+    return (
+        spans.withColumn("n_occ", F.count(F.lit(1)).over(W.partitionBy("span")))
         .filter(F.col("n_occ") >= min_occ)
+        .select("id", "start", "span", "n_occ")
     )
-    return spans.join(freq, "span").select("id", "start", "span", "n_occ")
 
 
 def trim_duplicate_spans(

@@ -85,11 +85,12 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, q in sorted(registry.items()):
         # run 1 (first-touch at this SF: shuffle-file + code-path cold),
-        # runs 2-3 (cache-released warm; the headline is their MIN —
-        # rare multi-second GC/JIT spikes land on single runs even on an
-        # idle box, and min-of-2 is the spike-resistant steady-state
-        # estimate). One broken query must never zero the whole
-        # artifact: record the error and keep benchmarking the rest.
+        # runs 2-3 (cache-released warm; headline = their MIN when they
+        # agree, or the MEDIAN of three once a >1.5x disagreement pulls
+        # in the adjudication run below — rare multi-second kernel/JIT
+        # spikes can land on BOTH warm samples, which defeated plain
+        # min-of-2 in round 9). One broken query must never zero the
+        # whole artifact: record the error and keep benchmarking the rest.
         failed = False
         warm: list[float] = []
 

@@ -107,6 +107,19 @@ def portable_hash32_hi(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
 
 
+def md5_fraction(col: F.Column, *, salt: str) -> F.Column:
+    """Deterministic uniform [0, 1) fraction of a key: the first 32 md5
+    bits of ``salt || key`` over 2^32 — the shared hash-sampling
+    primitive behind the at-scale evaluation strata (q11's ARI stratum,
+    r54's containment-recall anchors). Portable: an external SQL engine
+    replays it as ``('0x' || substr(md5(salt || id), 1, 8))::BIGINT /
+    4294967296.0``. Distinct salts give independent strata over the same
+    keys (the q11 CI measurement relies on exactly that)."""
+    return portable_hash32(F.concat(F.lit(salt), col.cast("string"))).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+
+
 def normalize_text(col: F.Column) -> F.Column:
     """Lowercase, collapse whitespace, trim — the canonical content key."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))

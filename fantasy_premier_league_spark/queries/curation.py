@@ -718,12 +718,7 @@ def r54_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = full_replay_max_docs / n_docs
 
         def _sampled(col: str) -> "F.Column":
-            frac = F.conv(
-                F.substring(F.md5(F.concat(F.lit("r54:"), F.col(col).cast("string"))), 1, 8),
-                16,
-                10,
-            ).cast("double") / F.lit(4294967296.0)
-            return frac < F.lit(p)
+            return D.md5_fraction(F.col(col), salt="r54:") < F.lit(p)
 
         anchor = _sampled("id")
     exact = D.containment_pairs(

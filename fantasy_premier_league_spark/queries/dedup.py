@@ -915,14 +915,7 @@ def q11_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     if n_docs > full_replay_max_docs:
         p = full_replay_max_docs / n_docs
-        frac = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("q11:"), F.col("doc_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("double") / F.lit(4294967296.0)
-        docs = docs.filter(frac < F.lit(p))
+        docs = docs.filter(D.md5_fraction(F.col("doc_id"), salt="q11:") < F.lit(p))
     # TOKENIZE ONCE: the sketch side and the exact side both consume the
     # per-doc shingle arrays — without the shared frame each pipeline
     # re-tokenizes the corpus (measured ~0.5s of the sf0.1 warm runtime).

@@ -43,12 +43,30 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
     # bench dropped 129.9s -> 112.0s with the worst row 3.6s (ZGC: 5.4s).
     # For a batch engine G1's throughput orientation is the right trade;
     # old-JDK clusters override via SPARK_GRAFT_JAVA_OPTS (replaces the
-    # whole option string).
+    # whole option string for BOTH driver and executor, as before).
+    #
+    # The fixed-heap flags are guarded, not unconditional: -Xms +
+    # AlwaysPreTouch physically commits the whole heap at startup, which
+    # (a) would swap-thrash or OOM a box whose RAM is not comfortably
+    # above the heap (the 128 GiB profile is; a 16 GiB laptop is not),
+    # and (b) must never ride into executor.extraJavaOptions — a cluster
+    # whose executor memory is below the driver's 24g would abort with
+    # Xms > Xmx at executor launch. Driver-only, and only when MemTotal
+    # >= 2x the heap.
     _mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-    _java_opts = os.environ.get(
-        "SPARK_GRAFT_JAVA_OPTS",
-        f"-Djava.net.preferIPv4Stack=true -XX:+UseG1GC -Xms{_mem} -XX:+AlwaysPreTouch",
-    )
+    _base_opts = "-Djava.net.preferIPv4Stack=true -XX:+UseG1GC"
+    _driver_default = _base_opts
+    try:
+        _heap_gib = float(_mem.lower().rstrip("gm")) / (1024.0 if _mem.lower().endswith("m") else 1.0)
+        with open("/proc/meminfo") as fh:
+            _ram_gib = int(fh.readline().split()[1]) / (1024.0 * 1024.0)
+        if _ram_gib >= 2.0 * _heap_gib:
+            _driver_default = f"{_base_opts} -Xms{_mem} -XX:+AlwaysPreTouch"
+    except (OSError, ValueError, IndexError):
+        pass
+    _env_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    _driver_opts = _env_opts if _env_opts is not None else _driver_default
+    _executor_opts = _env_opts if _env_opts is not None else _base_opts
     # Shuffle/scratch dir: this box's / (and /tmp) is ext4 mounted with
     # inline `discard`, so every shuffle-file delete issues synchronous
     # TRIM in the kernel — measured ~25s of sys CPU per q48 run against
@@ -57,10 +75,19 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
     # shuffle footprints here are <= a few GB and released between
     # queries). On a real cluster spark.local.dir comes from the cluster
     # manager's fast local disks — same escape hatch shape:
-    # SPARK_GRAFT_LOCAL_DIR overrides, empty string disables.
+    # SPARK_GRAFT_LOCAL_DIR overrides, empty string disables. Guarded on
+    # generous FREE tmpfs (>= 32 GiB): tmpfs overflow is a hard
+    # no-space-left failure where a disk local dir merely runs slower,
+    # so the default only fires where the whole bench-scale shuffle
+    # footprint fits with a wide margin.
     _local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if _local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        _local_dir = "/dev/shm/spark-local"
+        try:
+            _st = os.statvfs("/dev/shm")
+            if _st.f_bavail * _st.f_frsize >= 32 * 2**30:
+                _local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -80,8 +107,8 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
         # inventory). On a real cluster this knob moves to executor.memory.
         .config("spark.driver.memory", _mem)
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", _java_opts)
-        .config("spark.executor.extraJavaOptions", _java_opts)
+        .config("spark.driver.extraJavaOptions", _driver_opts)
+        .config("spark.executor.extraJavaOptions", _executor_opts)
     )
     if _local_dir:
         builder = builder.config("spark.local.dir", _local_dir)

@@ -17,7 +17,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_coverage_citations_resolve():
-    text = open(os.path.join(_REPO, "COVERAGE.md")).read()
+    text = open(os.path.join(_REPO, "COVERAGE.md"), encoding="utf-8").read()
     live = text.split("\n## Round-")[0]
     cited = set(re.findall(r"\b([qr]\d{2})\b", live))
     assert cited, "no citations found — parsing broke"

@@ -975,6 +975,44 @@ class TestContainmentLsh:
         assert tiny_cap < truth  # the tradeoff is real: under-cap loses pairs
 
 
+class TestMd5Fraction:
+    def test_matches_duckdb_and_salts_are_independent(self, spark):
+        # the shared hash-sampling primitive behind q11's ARI stratum and
+        # r54's containment anchors: (a) the Spark expression must equal
+        # the documented portable SQL form an oracle would run, (b)
+        # fractions must lie in [0, 1), (c) distinct salts must give
+        # different strata over the same keys (the q11 CI measurement
+        # samples five salts and needs them independent)
+        import duckdb
+
+        from fantasy_premier_league_spark.operators.dedup import md5_fraction
+
+        ids = list(range(1, 201))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r["doc_id"]: r["f"]
+            for r in df.select(
+                "doc_id", md5_fraction(F.col("doc_id"), salt="q11:").alias("f")
+            ).collect()
+        }
+        want = dict(
+            duckdb.sql(
+                "SELECT i, ('0x' || substr(md5('q11:' || i::VARCHAR), 1, 8))::BIGINT"
+                " / 4294967296.0 FROM range(1, 201) t(i)"
+            ).fetchall()
+        )
+        assert got == pytest.approx(want)
+        assert all(0.0 <= v < 1.0 for v in got.values())
+        other = {
+            r["doc_id"]: r["f"]
+            for r in df.select(
+                "doc_id", md5_fraction(F.col("doc_id"), salt="q11b:").alias("f")
+            ).collect()
+        }
+        below = lambda m, p: {k for k, v in m.items() if v < p}  # noqa: E731
+        assert below(got, 0.2) != below(other, 0.2)  # strata differ by salt
+
+
 class TestSemanticDedup:
     """SemDeDup (operators/similarity.py::semantic_dedup): within-cell
     cosine pruning with the deterministic keep-first survivor rule."""

@@ -121,3 +121,83 @@ def estimate_distinct(state: DataFrame) -> DataFrame:
         "cnt",
         F.hll_sketch_estimate("hll_v").alias("approx_distinct"),
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch: the PORTABLE member of the
+#     sketch family. HLL state (above) is engine-specific register bytes;
+#     a KMV sketch is just the k smallest 60-bit md5 hashes of the
+#     distinct values, so an external SQL engine replays it bit-for-bit
+#     (row_number() over hash order) and the value-hash oracle gate
+#     applies to an *approximate* aggregate. Estimator: (k-1) * 2^60 /
+#     h_(k) when the sketch is full, exact |hashes| otherwise
+#     (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 unbiased form).
+#     Merge law is exact by construction: any hash in the global k
+#     smallest is in its part's k smallest, so
+#     kmv(A ∪ B) == k-smallest(kmv(A) ∪ kmv(B)), register-for-register —
+#     same exactness property the HLL family pins by pytest, but here it
+#     is visible to the DuckDB oracle too.
+
+#: 2^60 as an exact double — the KMV hash range; 15 md5 hex chars.
+KMV_RANGE = 1152921504606846976.0
+
+
+def kmv_hash(col: F.Column) -> F.Column:
+    """60-bit portable hash: ``('0x' || substr(md5(v::VARCHAR), 1, 15))::
+    BIGINT`` in ANSI SQL — uniform on [0, 2^60)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_state(df: DataFrame, keys: list[str], value_col: str, *, k: int = 256) -> DataFrame:
+    """Per-key KMV distinct-count state: (keys..., ``kmv_v`` = ascending
+    array of the k smallest distinct value hashes).
+
+    Plan shape at scale: one distinct on (keys, hash) — map-side partial
+    — then a window top-k per key and a bounded (≤ k elements)
+    collect_list. Nothing unbounded crosses the wire: the post-filter
+    frame is at most k rows per key.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_state needs k >= 2, got {k}")
+    from pyspark.sql import Window as W
+
+    hashed = df.select(*keys, kmv_hash(F.col(value_col)).alias("__h")).distinct()
+    w = W.partitionBy(*keys).orderBy("__h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return topk.groupBy(*keys).agg(F.array_sort(F.collect_list("__h")).alias("kmv_v"))
+
+
+def merge_kmv_state(*parts: DataFrame, k: int = 256) -> DataFrame:
+    """Combine KMV states by key: union the hash sets, keep the k
+    smallest. Exact — the merged sketch is identical to the sketch built
+    in one pass over the union, so maintenance order never changes the
+    estimate. Cost is state-sized (≤ k hashes per key per part)."""
+    if not parts:
+        raise ValueError("merge_kmv_state needs at least one partial frame")
+    from pyspark.sql import Window as W
+
+    keys = [c for c in parts[0].columns if c != "kmv_v"]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    hashes = unioned.select(*keys, F.explode("kmv_v").alias("__h")).distinct()
+    w = W.partitionBy(*keys).orderBy("__h")
+    topk = hashes.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return topk.groupBy(*keys).agg(F.array_sort(F.collect_list("__h")).alias("kmv_v"))
+
+
+def estimate_kmv(state: DataFrame, *, k: int = 256, round_to: int = 4) -> DataFrame:
+    """Read-time estimate from KMV state: (keys..., ``approx_distinct``).
+
+    A sketch holding fewer than k hashes saw fewer than k distinct
+    values — the estimate is exact. A full sketch estimates
+    (k-1) * 2^60 / h_(k): the k-th smallest of n uniform hashes sits at
+    ≈ k/n of the range. Relative error ~1/sqrt(k-2) (~6.3% at k=256).
+    Arithmetic is pure IEEE-double (2^60 and k-1 are exactly
+    representable), so an external engine reproduces it bit-for-bit
+    before the final half-up round."""
+    n = F.size("kmv_v")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_RANGE) / F.element_at("kmv_v", k).cast("double")
+    )
+    return state.select(
+        *[c for c in state.columns if c != "kmv_v"],
+        F.round(est, round_to).alias("approx_distinct"),
+    )

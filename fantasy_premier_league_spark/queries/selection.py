@@ -1136,6 +1136,204 @@ def r20_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r65_kmv_distinct",
+    """
+    WITH h AS (
+        SELECT DISTINCT o_orderpriority,
+               ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM orders
+    ),
+    topk AS (
+        SELECT o_orderpriority, hv FROM (
+            SELECT o_orderpriority, hv,
+                   row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+            FROM h
+        ) WHERE rn <= 256
+    ),
+    sk AS (
+        SELECT o_orderpriority, count(*) AS n_in, max(hv) AS kth
+        FROM topk GROUP BY o_orderpriority
+    ),
+    est AS (
+        SELECT o_orderpriority,
+               round(CASE WHEN n_in < 256 THEN n_in::DOUBLE
+                          ELSE 255.0 * 1152921504606846976.0 / kth::DOUBLE
+                     END, 4) AS approx_distinct
+        FROM sk
+    ),
+    ex AS (
+        SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS n_exact
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT ex.o_orderpriority, ex.n_exact, est.approx_distinct,
+           round(abs(est.approx_distinct - ex.n_exact) / ex.n_exact * 100, 4)
+               AS err_pct
+    FROM ex JOIN est USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+    doc="KMV (k-minimum-values) distinct sketch — the PORTABLE member of "
+    "the sketch family (operators/incremental.py::kmv_state): the per-key "
+    "state is the k=256 smallest 60-bit md5 hashes of the distinct "
+    "values, so unlike q69/r20's engine-specific HLL registers the whole "
+    "sketch — build, merge, AND estimate — replays bit-for-bit in the "
+    "DuckDB oracle, putting an approximate-distinct aggregate under the "
+    "full value-hash gate for the first time. The Spark side maintains "
+    "the sketch INCREMENTALLY (historical < 1998-01-01 and delta batches "
+    "sketched separately, then a state-sized merge) while the oracle "
+    "builds it in one pass over the union: hash equality proves the KMV "
+    "merge law kmv(A ∪ B) == k-smallest(kmv(A) ∪ kmv(B)) register-for-"
+    "register, the property that makes O(|delta|) sketch maintenance "
+    "sound at 100 TB. Estimator (k-1)·2^60/h_(k) (Bar-Yossef et al. "
+    "2002), exact below k; err_pct column shows the realized error "
+    "against the exact recount (~1/sqrt(k-2) ≈ 6%).",
+    tags=("agg", "incremental", "sketch", "llm-pipeline"),
+)
+def r65_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import incremental as INC
+
+    od = load(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    keys = ["o_orderpriority"]
+    hist = INC.kmv_state(od.filter(F.col("o_orderdate") < split), keys, "o_custkey")
+    delta = INC.kmv_state(od.filter(F.col("o_orderdate") >= split), keys, "o_custkey")
+    est = INC.estimate_kmv(INC.merge_kmv_state(hist, delta))
+    exact = od.groupBy(*keys).agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return (
+        exact.join(est, keys)
+        .select(
+            "o_orderpriority",
+            "n_exact",
+            "approx_distinct",
+            F.round(
+                F.abs(F.col("approx_distinct") - F.col("n_exact"))
+                / F.col("n_exact")
+                * 100,
+                4,
+            ).alias("err_pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "r66_kmv_resemblance",
+    f"""
+    WITH t AS (SELECT source, {_WORDS} AS w FROM documents),
+    d AS (
+        SELECT DISTINCT source, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv
+        FROM (SELECT source, unnest(w) AS word FROM t)
+    ),
+    sk AS (
+        SELECT source, hv FROM (
+            SELECT source, hv,
+                   row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+            FROM d
+        ) WHERE rn <= 128
+    ),
+    p AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM (SELECT DISTINCT source FROM sk) a,
+             (SELECT DISTINCT source FROM sk) b
+        WHERE a.source < b.source
+    ),
+    ph AS (
+        SELECT p.src_a, p.src_b, s.hv,
+               max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        FROM p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+        GROUP BY p.src_a, p.src_b, s.hv
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rn
+        FROM ph
+    ),
+    m AS (
+        SELECT src_a, src_b,
+               count(*) FILTER (WHERE rn <= 128) AS n_union_k,
+               count(*) FILTER (WHERE rn <= 128 AND in_a = 1 AND in_b = 1) AS n_both,
+               max(CASE WHEN rn = 128 THEN hv END) AS kth
+        FROM r GROUP BY src_a, src_b
+    ),
+    e AS (
+        SELECT src_a, src_b,
+               round(n_both::DOUBLE / n_union_k, 6) AS jaccard_est,
+               round(CASE WHEN n_union_k < 128 THEN n_union_k::DOUBLE
+                          ELSE 127.0 * 1152921504606846976.0 / kth::DOUBLE
+                     END, 4) AS union_est
+        FROM m
+    )
+    SELECT src_a, src_b, jaccard_est, union_est,
+           round(jaccard_est * union_est, 4) AS inter_est
+    FROM e ORDER BY src_a, src_b
+    """,
+    doc="Sketch-based domain VOCABULARY resemblance: per-source KMV "
+    "sketches (k=128 smallest 60-bit hashes of the distinct normalized "
+    "tokens) compared pairwise with the classic KMV resemblance "
+    "estimator — on the combined k-smallest union sketch, Jaccard ≈ "
+    "|both| / |union sketch| (Bar-Yossef et al. 2002; Beyer SIGMOD'07), "
+    "union size from the k-th hash, intersection = Jaccard × union. "
+    "Complements q36 (document-level near-dup counts between sources) "
+    "with token-DISTRIBUTION overlap — the 'are these two crawls the "
+    "same kind of text' signal mixture tuning reads. Scale shape: the "
+    "only corpus-sized pass is one distinct (source, hash) aggregate; "
+    "the pairwise stage is (n_sources choose 2) rows of bounded "
+    "(≤ 2k-element) array arithmetic, never corpus-sized — at 100 TB "
+    "the sketch frame is KB-sized state per domain, exactly how "
+    "cross-corpus resemblance is audited without an all-pairs token "
+    "join. Fully oracle-replayed (build, union top-k, estimator), "
+    "putting approximate set arithmetic under the value-hash gate.",
+    tags=("sketch", "dedup", "curation", "llm-pipeline"),
+)
+def r66_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from ..operators import incremental as INC
+
+    k = 128
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(D.words(F.col("text"))).alias("word")
+    )
+    sk = INC.kmv_state(toks, ["source"], "word", k=k)
+    a = sk.select(F.col("source").alias("src_a"), F.col("kmv_v").alias("__kv_a"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("kmv_v").alias("__kv_b"))
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    comb = F.slice(
+        F.array_sort(F.array_distinct(F.concat("__kv_a", "__kv_b"))), 1, k
+    )
+    paired = pairs.select(
+        "src_a",
+        "src_b",
+        F.size(comb).alias("__n_union_k"),
+        F.size(
+            F.array_intersect(F.array_intersect(comb, "__kv_a"), "__kv_b")
+        ).alias("__n_both"),
+        # try_: the combined sketch can hold < k hashes (tiny vocabularies);
+        # the when-guard on __n_union_k below never reads the null
+        F.try_element_at(comb, F.lit(k)).alias("__kth"),
+    )
+    union_est = F.when(
+        F.col("__n_union_k") < k, F.col("__n_union_k").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(INC.KMV_RANGE) / F.col("__kth").cast("double")
+    )
+    est = paired.select(
+        "src_a",
+        "src_b",
+        F.round(
+            F.col("__n_both").cast("double") / F.col("__n_union_k"), 6
+        ).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+    )
+    return est.select(
+        "src_a",
+        "src_b",
+        "jaccard_est",
+        "union_est",
+        F.round(F.col("jaccard_est") * F.col("union_est"), 4).alias("inter_est"),
+    ).orderBy("src_a", "src_b")
+
+
+@query(
     "r21_ab_conversion_test",
     """
     WITH pu AS (

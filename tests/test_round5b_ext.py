@@ -1056,3 +1056,109 @@ class TestStarConnectedComponents:
             assert all(c == 0 for _, c in hybrid)
         finally:
             release_operator_caches(blocking=True)
+
+
+class TestKmvDistinct:
+    """r65's sketch: build/merge/estimate laws the oracle also pins, plus
+    the edges the driver corpus can't reach (tiny k, empty parts)."""
+
+    def _df(self, spark):
+        rows = [(f"k{i % 2}", i % 311) for i in range(900)]
+        return spark.createDataFrame(rows, "k string, v long")
+
+    def test_merge_equals_single_pass_register_exact(self, spark):
+        from fantasy_premier_league_spark.operators.incremental import (
+            kmv_state,
+            merge_kmv_state,
+        )
+
+        df = self._df(spark)
+        k = 64
+        parts = [
+            kmv_state(df.filter(f"v % 3 = {i}"), ["k"], "v", k=k) for i in range(3)
+        ]
+        merged = {
+            r["k"]: r["kmv_v"] for r in merge_kmv_state(*parts, k=k).collect()
+        }
+        single = {r["k"]: r["kmv_v"] for r in kmv_state(df, ["k"], "v", k=k).collect()}
+        assert merged == single  # register-for-register, not just same estimate
+
+    def test_exact_regime_below_k(self, spark):
+        from fantasy_premier_league_spark.operators.incremental import (
+            estimate_kmv,
+            kmv_state,
+        )
+
+        rows = [("k", i) for i in range(40)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        est = estimate_kmv(kmv_state(df, ["k"], "v", k=256), k=256).collect()[0]
+        assert est["approx_distinct"] == 40.0  # sketch not full -> exact count
+
+    def test_estimate_within_error_bound(self, spark):
+        from fantasy_premier_league_spark.operators.incremental import (
+            estimate_kmv,
+            kmv_state,
+        )
+
+        n, k = 5000, 256
+        rows = [("k", i) for i in range(n)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        est = estimate_kmv(kmv_state(df, ["k"], "v", k=k), k=k).collect()[0]
+        # ~1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+        assert abs(est["approx_distinct"] - n) / n < 0.25
+
+    def test_duplicates_do_not_move_the_sketch(self, spark):
+        from fantasy_premier_league_spark.operators.incremental import kmv_state
+
+        base = spark.createDataFrame([("k", i) for i in range(300)], "k string, v long")
+        dup = base.union(base).union(base)
+        a = kmv_state(base, ["k"], "v", k=64).collect()[0]["kmv_v"]
+        b = kmv_state(dup, ["k"], "v", k=64).collect()[0]["kmv_v"]
+        assert a == b
+
+    def test_k_validation(self, spark):
+        import pytest
+
+        from fantasy_premier_league_spark.operators.incremental import kmv_state
+
+        df = spark.createDataFrame([("k", 1)], "k string, v long")
+        with pytest.raises(ValueError):
+            kmv_state(df, ["k"], "v", k=1)
+
+
+class TestKmvResemblance:
+    """r66's estimator edges: identical sets -> 1.0, disjoint sets -> 0."""
+
+    def _pair_est(self, spark, rows_a, rows_b):
+        from pyspark.sql import functions as F
+
+        from fantasy_premier_league_spark.operators.incremental import kmv_state
+
+        df = spark.createDataFrame(
+            [("a", v) for v in rows_a] + [("b", v) for v in rows_b],
+            "source string, word string",
+        )
+        k = 16
+        sk = kmv_state(df, ["source"], "word", k=k)
+        a = sk.filter("source = 'a'").select(F.col("kmv_v").alias("kv_a"))
+        b = sk.filter("source = 'b'").select(F.col("kmv_v").alias("kv_b"))
+        row = a.crossJoin(b).select(
+            F.slice(F.array_sort(F.array_distinct(F.concat("kv_a", "kv_b"))), 1, k).alias("comb"),
+            "kv_a",
+            "kv_b",
+        ).select(
+            (
+                F.size(F.array_intersect(F.array_intersect("comb", "kv_a"), "kv_b"))
+                / F.size("comb")
+            ).alias("j")
+        ).collect()[0]
+        return row["j"]
+
+    def test_identical_sets_estimate_one(self, spark):
+        vals = [f"w{i}" for i in range(50)]
+        assert self._pair_est(spark, vals, vals) == 1.0
+
+    def test_disjoint_sets_estimate_zero(self, spark):
+        a = [f"a{i}" for i in range(50)]
+        b = [f"b{i}" for i in range(50)]
+        assert self._pair_est(spark, a, b) == 0.0

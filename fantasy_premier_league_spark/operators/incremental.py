@@ -147,22 +147,43 @@ def kmv_hash(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
+#: salt buckets for the two-phase top-k — output is salt-invariant
+#: (the k smallest of per-bucket k-smallest IS the global k smallest),
+#: so this is purely a parallelism knob.
+KMV_SALT_BUCKETS = 32
+
+
 def kmv_state(df: DataFrame, keys: list[str], value_col: str, *, k: int = 256) -> DataFrame:
     """Per-key KMV distinct-count state: (keys..., ``kmv_v`` = ascending
     array of the k smallest distinct value hashes).
 
     Plan shape at scale: one distinct on (keys, hash) — map-side partial
-    — then a window top-k per key and a bounded (≤ k elements)
-    collect_list. Nothing unbounded crosses the wire: the post-filter
-    frame is at most k rows per key.
+    — then a SALTED two-phase top-k. A single window per key would make
+    one task sort every distinct value of that key (billions per key at
+    100 TB, and group keys are few); instead phase 1 takes the k
+    smallest within each of 32 salt buckets derived from the hash
+    itself (parallel, each bucket ~1/32 of the key's values), and
+    phase 2 takes the k smallest of the ≤ 32·k survivors. Top-k of
+    per-bucket top-ks is exactly the global top-k, so the state is
+    bit-identical to the single-window form and the salt count never
+    appears in the result — the same decomposition W4 uses for global
+    rank (operators/rank.py). Nothing unbounded crosses the final
+    wire: the post-filter frame is at most k rows per key.
     """
     if k < 2:
         raise ValueError(f"kmv_state needs k >= 2, got {k}")
     from pyspark.sql import Window as W
 
     hashed = df.select(*keys, kmv_hash(F.col(value_col)).alias("__h")).distinct()
-    w = W.partitionBy(*keys).orderBy("__h")
-    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    salted = hashed.withColumn("__salt", F.pmod(F.col("__h"), F.lit(KMV_SALT_BUCKETS)))
+    w1 = W.partitionBy(*keys, "__salt").orderBy("__h")
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = W.partitionBy(*keys).orderBy("__h")
+    topk = survivors.withColumn("__rn", F.row_number().over(w2)).filter(F.col("__rn") <= k)
     return topk.groupBy(*keys).agg(F.array_sort(F.collect_list("__h")).alias("kmv_v"))
 
 

@@ -855,6 +855,107 @@ def q20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r67_sampled_quantiles",
+    """
+    WITH keyed AS (
+        SELECT l_returnflag, l_extendedprice,
+               ('0x' || substr(md5('r67:' || l_orderkey::VARCHAR || '-'
+                                   || l_linenumber::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.05 AS in_sample
+        FROM lineitem
+    ),
+    ex AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_exact,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+               count(*)::BIGINT AS n_rows
+        FROM keyed GROUP BY l_returnflag
+    ),
+    sm AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_sampled,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_sampled,
+               count(*)::BIGINT AS n_sampled
+        FROM keyed WHERE in_sample GROUP BY l_returnflag
+    )
+    SELECT ex.l_returnflag, n_rows, n_sampled,
+           p50_exact, p50_sampled,
+           round(abs(p50_sampled - p50_exact) / p50_exact * 100, 4) AS err_p50_pct,
+           p95_exact, p95_sampled,
+           round(abs(p95_sampled - p95_exact) / p95_exact * 100, 4) AS err_p95_pct
+    FROM ex JOIN sm USING (l_returnflag)
+    ORDER BY ex.l_returnflag
+    """,
+    doc="Sampled quantiles — the PORTABLE scale path for q69's quantile "
+    "sketch, under the full value-hash gate: a deterministic md5 5% row "
+    "sample (operators/dedup.py::md5_fraction on the line PK, salt "
+    "'r67:' — replayable in any engine, stable across partitionings) "
+    "feeds an exact interpolated percentile, side-by-side with the full "
+    "exact percentile and the realized error. Where q69's "
+    "percentile_approx is engine-specific KLL registers (rows-only by "
+    "necessity), the sample-then-exact form is the quantile estimate an "
+    "external auditor can replay bit-for-bit. At 100 TB the exact "
+    "columns drop away and the sample IS the profile: a p-fraction "
+    "scan-side filter pushed to the parquet reader, sample-sized sort "
+    "per group, error ~O(1/sqrt(p·n)) at the quantile density — the "
+    "same hash-sampling contract as q11's ARI stratum and r54's recall "
+    "anchors.",
+    tags=("quantile", "sketch", "sampling", "agg"),
+)
+def r67_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_fraction
+
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    keyed = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        (md5_fraction(key, salt="r67:") < 0.05).alias("in_sample"),
+    )
+    ex = keyed.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_exact"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    sm = (
+        keyed.filter("in_sample")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_sampled"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_sampled"),
+            F.count(F.lit(1)).alias("n_sampled"),
+        )
+    )
+    return (
+        ex.join(sm, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_sampled",
+            "p50_exact",
+            "p50_sampled",
+            F.round(
+                F.abs(F.col("p50_sampled") - F.col("p50_exact"))
+                / F.col("p50_exact")
+                * 100,
+                4,
+            ).alias("err_p50_pct"),
+            "p95_exact",
+            "p95_sampled",
+            F.round(
+                F.abs(F.col("p95_sampled") - F.col("p95_exact"))
+                / F.col("p95_exact")
+                * 100,
+                4,
+            ).alias("err_p95_pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "r40_top_orders",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -1296,7 +1296,11 @@ def r66_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = INC.kmv_state(toks, ["source"], "word", k=k)
     a = sk.select(F.col("source").alias("src_a"), F.col("kmv_v").alias("__kv_a"))
     b = sk.select(F.col("source").alias("src_b"), F.col("kmv_v").alias("__kv_b"))
-    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    # explicit broadcast: the sketch frame is n_sources rows by
+    # construction (domains are a bounded set at any corpus size), but a
+    # post-aggregation frame's compile-time size estimate can be large
+    # enough that the inequality join would otherwise plan as a cartesian
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
     comb = F.slice(
         F.array_sort(F.array_distinct(F.concat("__kv_a", "__kv_b"))), 1, k
     )

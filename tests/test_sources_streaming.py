@@ -428,3 +428,82 @@ class TestFileSinks:
         df.write.option("header", True).csv(out)
         back = spark.read.option("header", True).schema(df.schema).csv(out)
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+class TestKmvDistinctMonitor:
+    def test_two_batch_fold_equals_single_pass(self, spark, tmp_path):
+        """Streaming KMV fold: after two micro-batches the persisted state
+        must be register-identical to a single-pass sketch over the union,
+        and the estimates log must carry one non-decreasing curve per key."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fantasy_premier_league_spark.operators.incremental import (
+            estimate_kmv,
+            kmv_state,
+        )
+        from fantasy_premier_league_spark.streaming.distinct import (
+            run_kmv_distinct_monitor,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        k = 32
+
+        def write_batch(name, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "grp": pa.array([r[0] for r in rows]),
+                        "user": pa.array([r[1] for r in rows], pa.int64()),
+                    }
+                ),
+                str(src / name),
+            )
+
+        def run_once():
+            stream = spark.readStream.schema("grp string, user long").parquet(
+                str(src)
+            )
+            q = run_kmv_distinct_monitor(
+                stream,
+                keys=["grp"],
+                value_col="user",
+                store_path=str(tmp_path / "store"),
+                checkpoint=str(tmp_path / "ck"),
+                k=k,
+            )
+            q.awaitTermination(180)
+
+        b1 = [("a", i) for i in range(60)] + [("b", i) for i in range(10)]
+        b2 = [("a", i) for i in range(30, 90)] + [("b", i) for i in range(5, 12)]
+        write_batch("b1.parquet", b1)
+        run_once()
+        write_batch("b2.parquet", b2)
+        run_once()
+
+        state = {
+            r["grp"]: r["kmv_v"]
+            for r in spark.read.parquet(str(tmp_path / "store" / "state")).collect()
+        }
+        union = spark.createDataFrame(b1 + b2, "grp string, user long")
+        expect = {
+            r["grp"]: r["kmv_v"]
+            for r in kmv_state(union, ["grp"], "user", k=k).collect()
+        }
+        assert state == expect  # register-for-register across the batch fold
+
+        est = spark.read.parquet(str(tmp_path / "store" / "estimates")).collect()
+        by_key = {}
+        for r in est:
+            by_key.setdefault(r["grp"], {})[r["batch_id"]] = r["approx_distinct"]
+        # two batches logged per key, curve non-decreasing, final exact
+        # (both groups stay under k... except 'a' which crosses it)
+        assert set(by_key) == {"a", "b"}
+        for grp, curve in by_key.items():
+            vals = [curve[b] for b in sorted(curve)]
+            assert len(vals) == 2 and vals[0] <= vals[1]
+        assert by_key["b"][max(by_key["b"])] == 12.0  # n < k regime: exact
+        # 'a' has 90 distinct > k=32: estimate within the ~4-sigma bound
+        a_final = by_key["a"][max(by_key["a"])]
+        assert abs(a_final - 90) / 90 < 0.75

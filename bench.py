@@ -83,6 +83,22 @@ def main() -> None:
         registry["q01_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     except Exception:
         pass
+    # pre-read EVERY input byte so page-cache state is explicit, not a
+    # per-run lottery (the host runs DAMON proactive reclaim that can
+    # evict it between sweeps; the inputs are small so this costs ~ms).
+    # NOTE the larger observed variance source is host-side CPU: two
+    # identical back-to-back sweeps measured 124s vs 165s with the loss
+    # spread UNIFORMLY across rows (r10 session 2) — that is virtualized
+    # CPU contention, not a code or cache effect; compare sweeps by MIN
+    # across runs when such a gap appears.
+    try:
+        for entry in sorted(os.listdir(sf_dir)):
+            if entry.endswith(".parquet"):
+                with open(os.path.join(sf_dir, entry), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+    except Exception:
+        pass
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}

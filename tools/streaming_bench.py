@@ -158,6 +158,37 @@ def bench_dsir_gate(spark, docs, work) -> list[dict]:
     return progress_rows(q)
 
 
+def bench_kmv_monitor(spark, work) -> list[dict]:
+    from fantasy_premier_league_spark.streaming.distinct import (
+        run_kmv_distinct_monitor,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_type", "user_id")
+    src = f"{work}/kmv_src"
+    ev.coalesce(1).write.parquet(f"{src}/drop1.parquet")
+    # drop 2: half re-deliveries (sketch must not move), half new users
+    ev.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.col("user_id")).otherwise(
+            F.col("user_id") + 10_000_000
+        ),
+    ).coalesce(1).write.parquet(f"{src}/drop2.parquet")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = run_kmv_distinct_monitor(
+        stream,
+        keys=["event_type"],
+        value_col="user_id",
+        store_path=f"{work}/kmv_store",
+        checkpoint=f"{work}/kmv_ckpt",
+    )
+    q.awaitTermination(600)
+    return progress_rows(q)
+
+
 def main() -> None:
     spark = get_spark("streaming-bench")
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -168,6 +199,7 @@ def main() -> None:
             "content_dedup": bench_content_dedup(spark, docs, work),
             "near_dup_ingest": bench_near_dup_ingest(spark, docs, work),
             "dsir_gate": bench_dsir_gate(spark, docs, work),
+            "kmv_monitor": bench_kmv_monitor(spark, work),
         }
         print(json.dumps(out))
     finally:

@@ -1162,3 +1162,45 @@ class TestKmvResemblance:
         a = [f"a{i}" for i in range(50)]
         b = [f"b{i}" for i in range(50)]
         assert self._pair_est(spark, a, b) == 0.0
+
+    def test_known_overlap_accuracy(self, spark):
+        """True J = |∩|/|∪| = 200/600 = 1/3; the KMV estimate at k=64 must
+        land within ~4/sqrt(k) of it (the estimator is a hypergeometric
+        draw of the union's k minima — sd ≈ sqrt(J(1-J)/k) ≈ 0.06)."""
+        shared = [f"s{i}" for i in range(200)]
+        a = shared + [f"a{i}" for i in range(200)]
+        b = shared + [f"b{i}" for i in range(200)]
+        est = self._pair_est_k(spark, a, b, k=64)
+        assert abs(est - 1 / 3) < 0.25
+
+    def _pair_est_k(self, spark, rows_a, rows_b, *, k):
+        from pyspark.sql import functions as F
+
+        from fantasy_premier_league_spark.operators.incremental import kmv_state
+
+        df = spark.createDataFrame(
+            [("a", v) for v in rows_a] + [("b", v) for v in rows_b],
+            "source string, word string",
+        )
+        sk = kmv_state(df, ["source"], "word", k=k)
+        a = sk.filter("source = 'a'").select(F.col("kmv_v").alias("kv_a"))
+        b = sk.filter("source = 'b'").select(F.col("kmv_v").alias("kv_b"))
+        return (
+            a.crossJoin(b)
+            .select(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.concat("kv_a", "kv_b"))), 1, k
+                ).alias("comb"),
+                "kv_a",
+                "kv_b",
+            )
+            .select(
+                (
+                    F.size(
+                        F.array_intersect(F.array_intersect("comb", "kv_a"), "kv_b")
+                    )
+                    / F.size("comb")
+                ).alias("j")
+            )
+            .collect()[0]["j"]
+        )

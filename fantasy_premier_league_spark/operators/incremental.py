@@ -174,7 +174,16 @@ def kmv_state(df: DataFrame, keys: list[str], value_col: str, *, k: int = 256) -
         raise ValueError(f"kmv_state needs k >= 2, got {k}")
     from pyspark.sql import Window as W
 
-    hashed = df.select(*keys, kmv_hash(F.col(value_col)).alias("__h")).distinct()
+    # null values hash to null, and Spark's ASC window ranks nulls FIRST:
+    # an unfiltered null would take rank 1, displace a real hash from a
+    # full sketch, then vanish in collect_list (which drops nulls) — a
+    # silently short sketch, and a divergence from engines that rank
+    # nulls last. Nulls carry no distinct-value information; drop them.
+    hashed = (
+        df.select(*keys, kmv_hash(F.col(value_col)).alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+    )
     salted = hashed.withColumn("__salt", F.pmod(F.col("__h"), F.lit(KMV_SALT_BUCKETS)))
     w1 = W.partitionBy(*keys, "__salt").orderBy("__h")
     survivors = (

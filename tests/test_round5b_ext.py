@@ -1204,3 +1204,24 @@ class TestKmvResemblance:
             )
             .collect()[0]["j"]
         )
+
+
+class TestKmvNullSafety:
+    def test_null_values_cannot_displace_registers(self, spark):
+        """A null value hashes to null and Spark ranks nulls FIRST in ASC
+        windows — unfiltered it would take rank 1 in a full sketch,
+        displace a real minimum, then vanish in collect_list (which drops
+        nulls), leaving a silently short sketch. Nulls must be no-ops."""
+        from fantasy_premier_league_spark.operators.incremental import kmv_state
+
+        k = 8
+        clean = spark.createDataFrame(
+            [("g", f"v{i}") for i in range(20)], "g string, v string"
+        )
+        dirty = spark.createDataFrame(
+            [("g", f"v{i}") for i in range(20)] + [("g", None)] * 3,
+            "g string, v string",
+        )
+        a = kmv_state(clean, ["g"], "v", k=k).collect()[0]["kmv_v"]
+        b = kmv_state(dirty, ["g"], "v", k=k).collect()[0]["kmv_v"]
+        assert a == b and len(a) == k

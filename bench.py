@@ -91,14 +91,36 @@ def main() -> None:
     # spread UNIFORMLY across rows (r10 session 2) — that is virtualized
     # CPU contention, not a code or cache effect; compare sweeps by MIN
     # across runs when such a gap appears.
+    # per-file try (ADVICE r10): one unreadable entry (directory-style
+    # parquet, permission) must not silently abort pre-reading the rest —
+    # count skips so a degraded pre-read is visible in the artifact.
+    preread_skipped = 0
+
+    def _touch(path: str) -> None:
+        with open(path, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
     try:
-        for entry in sorted(os.listdir(sf_dir)):
-            if entry.endswith(".parquet"):
-                with open(os.path.join(sf_dir, entry), "rb") as fh:
-                    while fh.read(1 << 24):
-                        pass
-    except Exception:
-        pass
+        entries = sorted(os.listdir(sf_dir))
+    except OSError:
+        entries = []
+        preread_skipped = -1  # whole dir unlistable
+    for entry in entries:
+        if not entry.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, entry)
+        try:
+            if os.path.isdir(p):  # directory-style parquet output
+                for root, _dirs, files in os.walk(p):
+                    for f in files:
+                        _touch(os.path.join(root, f))
+            else:
+                _touch(p)
+        except OSError:
+            preread_skipped += 1
+    if preread_skipped:
+        print(f"# pre-read degraded: {preread_skipped} entries skipped", file=sys.stderr)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -545,7 +545,11 @@ def containment_lsh_pairs(
     256-8192 and uncapped (50k docs: 2500 pairs either way, 33-62s →
     17s; the r54 recall eval reports in-scope recall = 1.0 at 256).
     Drops are logged eagerly by the shared guard (no-silent-caps rule);
-    pass ``max_bucket_size=None`` for exact candidate recall.
+    pass ``max_bucket_size=None`` for exact candidate recall. Both sides
+    of the trade are pinned on an adversarial boilerplate-heavy corpus in
+    tests/test_operators.py::TestContainmentLsh (default cap exact there;
+    an under-cap provably loses pairs AND fires the drop-accounting
+    warning — test_under_cap_loss_is_flagged_by_drop_accounting).
     """
     # the verify ships shingle sets through candidate-keyed joins — as
     # STRING arrays that's ~1 KB/doc side (measured 9.7s at sf0.1, all

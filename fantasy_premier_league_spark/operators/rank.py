@@ -26,6 +26,39 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_cumsum(df: DataFrame, order: list[Column], value: Column, *, out: str = "cumsum") -> DataFrame:
+    """Running sum of ``value`` under a total order, without funnelling the
+    data through one partition (the prefix-sum twin of :func:`global_rank`).
+
+    Same two-phase shape: range sort on the order keys, per-partition
+    totals collapsed map-side to one row each, cumulative offsets over the
+    numPartitions-row frame (the only single-partition window — tens of
+    rows), then partition-local running sum + broadcast offset. The value
+    expression is summed as-is, so exact types (DECIMAL, integers) stay
+    exact — callers needing bit-identical totals across engines should pass
+    a decimal-cast column, as with any Spark sum.
+    """
+    sorted_df = (
+        df.orderBy(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", value)
+    )
+
+    sizes = sorted_df.groupBy("__pid").agg(F.sum("__v").alias("__s"))
+    cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select("__pid", F.sum("__s").over(cum).alias("__off"))
+
+    local = (
+        Window.partitionBy("__pid").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum("__v").over(local)
+    return (
+        sorted_df.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, running + F.coalesce(F.col("__off"), F.lit(0)))
+        .drop("__pid", "__off", "__v")
+    )
+
+
 def global_rank(df: DataFrame, order: list[Column], *, out: str = "rank", start: int = 1) -> DataFrame:
     """Dense global row numbering under a total order (ties must be broken
     by the caller's ``order`` — append a unique key for determinism).

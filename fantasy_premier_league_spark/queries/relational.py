@@ -1009,20 +1009,21 @@ def q22_pk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionByName(l)
 
 
-@query(
-    "q69_sketch_profile",
-    None,  # HLL / KLL / CMS sketches: approximate by design; rows-only check
-    doc="The approximate-analytics toolbox every 100 TB profile job leans "
-    "on, one row per order priority: approx_count_distinct customers (HLL, "
-    "~2% err), percentile_approx price p50/p95 (KLL-style quantile sketch), "
-    "plus exact count for reference. All sketches are one-pass, "
-    "partial-aggregated map-side, fixed memory per group — the scalable "
-    "substitutes for q20's exact percentiles and exact countDistinct. "
-    "Approximation is engine-specific, so this is a documented rows-only "
-    "check (row set = 5 priorities, schema pinned).",
-    tags=("sketch", "approx", "agg"),
-)
 def q69_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pytest-only demo since round 11 (was the rows-only q69 registry slot).
+
+    The approximate-analytics toolbox every 100 TB profile job leans on,
+    one row per order priority: approx_count_distinct customers (HLL, ~2%
+    err), percentile_approx price p50/p95 (KLL-style quantile sketch), plus
+    exact count for reference. All sketches are one-pass, partial-aggregated
+    map-side, fixed memory per group — the scalable substitutes for q20's
+    exact percentiles and exact countDistinct. The engine-internal registers
+    are not DuckDB-replayable, so the same capability is covered under the
+    full value-hash gate by the PORTABLE sketches instead (r65/r66 KMV
+    distinct/resemblance, r67 sampled quantiles); this demo is pinned by
+    tests/test_round5b_ext.py::TestSketchProfileDemo (determinism + error
+    bounds vs exact, schema pinned).
+    """
     orders = load(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_exact"),

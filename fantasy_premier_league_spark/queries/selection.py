@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import bpe as B
+from ..operators.rank import global_cumsum, global_rank
 from ..operators import quantize as QZ
 from ..operators import selection as SEL
 from ..operators import textstats as T
@@ -1818,24 +1819,34 @@ def r31_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL and are emitted as the decimal-exact double UNROUNDED: a "
     "4-dp-exact value re-rounded to 2 dp ties at the .xx5 boundary, "
     "where Spark (shortest-repr HALF_UP) and C-style binary rounding "
-    "legitimately disagree — same family of lesson as r25. The "
-    "cumulative window runs over the parts-sized aggregate, never raw "
-    "lineitem.",
+    "legitimately disagree — same family of lesson as r25. The running "
+    "sum is the two-phase global_cumsum (operators/rank.py): range sort "
+    "+ per-partition prefix sums + broadcast offsets, so no frame ever "
+    "crosses a single-partition window at any scale (the only global "
+    "window runs over the numPartitions-row offsets table).",
     tags=("agg", "window", "pareto", "analytics"),
 )
 def r32_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cumulative revenue share via the two-phase global_cumsum (range sort +
+    # per-partition prefix sums + broadcast offsets) — the parts-sized frame
+    # never funnels through a single-partition window; decimal addition is
+    # exact and associative, so the split-sum total is bit-identical to the
+    # oracle's single-window running sum.
     li = load(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.sum(rev).cast("double").alias("revenue")
     )
     tot = pr.agg(F.sum(F.col("revenue").cast("decimal(18,4)")).cast("double").alias("__t"))
-    w = (
-        Window.orderBy(F.col("revenue").desc(), F.col("part").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cumulated = global_cumsum(
+        pr,
+        [F.col("revenue").desc(), F.col("part").asc()],
+        F.col("revenue").cast("decimal(18,4)"),
+        out="__cumdec",
     )
-    cum = F.sum(F.col("revenue").cast("decimal(18,4)")).over(w).cast("double")
-    c = pr.crossJoin(F.broadcast(tot)).withColumn("__cum", cum / F.col("__t"))
+    c = cumulated.crossJoin(F.broadcast(tot)).withColumn(
+        "__cum", F.col("__cumdec").cast("double") / F.col("__t")
+    )
     return c.select(
         "part",
         "revenue",
@@ -2015,8 +2026,10 @@ def r35_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conversion rate, cumulative gains, and lift vs the base rate — the "
     "targeting-model evaluation every campaign readout uses, joining "
     "r29's CUPED and r21's z-test in the experimentation family. All "
-    "counts exact integers; one users-sized window + a 10-row gains "
-    "frame.",
+    "counts exact integers; the decile cut is two-phase global_rank + "
+    "ntile's closed form (no users-sized single-partition window — only "
+    "the numPartitions-row offsets frame and the 10-row gains frame are "
+    "global).",
     tags=("events", "experiment", "evaluation", "analytics"),
 )
 def r36_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2028,10 +2041,24 @@ def r36_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("event_type") == "purchase") & (day >= 28), 1).otherwise(0)
         ).alias("y"),
     )
-    d = pu.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.col("score").desc(), F.col("user_id").asc())),
+    # ntile(10) without the users-sized single-partition window: two-phase
+    # global_rank, then ntile's closed form — with n rows, q = n div 10,
+    # r = n mod 10, the first r buckets hold q+1 rows and the rest hold q,
+    # so rank rk maps to ceil(rk/(q+1)) inside the first r*(q+1) rows and
+    # r + ceil((rk - r*(q+1))/q) after. Matches SQL ntile exactly.
+    ranked = global_rank(
+        pu, [F.col("score").desc(), F.col("user_id").asc()], out="__rk"
     )
+    nrows = pu.agg(F.count(F.lit(1)).alias("__n"))
+    qq = F.floor(F.col("__n") / 10)
+    rr = F.col("__n") % 10
+    head = rr * (qq + 1)
+    decile = (
+        F.when(F.col("__rk") <= head, F.ceil(F.col("__rk") / (qq + 1)))
+        .otherwise(rr + F.ceil((F.col("__rk") - head) / F.greatest(qq, F.lit(1))))
+        .cast("int")
+    )
+    d = ranked.crossJoin(F.broadcast(nrows)).withColumn("decile", decile)
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("y").alias("n_converted")
     )

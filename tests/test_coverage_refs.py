@@ -27,3 +27,37 @@ def test_coverage_citations_resolve():
         f"COVERAGE.md live sections cite queries not in the registry: {missing} "
         "(stale after a rotation? update the row to the current slot name)"
     )
+
+
+def test_rotation_covers_registry():
+    """Driver-window churn insurance (VERDICT r10 item 8, broadened from
+    llm-pipeline-tagged to ALL queries): every registered query must have
+    a green driver CORRECTNESS row in some round (under its canonical name
+    or a pNN_ rotation alias), be in the current round's ROTATED window, or
+    be named in COVERAGE.md's rotation-ledger next-round plan — so the
+    hard signal can never silently skip part of the inventory again."""
+    import glob
+    import json
+
+    import __spark_entry__ as E
+
+    verified = set()
+    for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        for k, v in json.load(open(f)).items():
+            if isinstance(v, dict) and v.get("rows_match") and v.get("schema_match"):
+                verified.add(re.sub(r"^p\d{2}_", "", k))
+
+    text = open(os.path.join(_REPO, "COVERAGE.md"), encoding="utf-8").read()
+    m = re.search(r"## Driver-window rotation.*?(?=\n## )", text, re.S)
+    assert m, "rotation ledger section missing from COVERAGE.md"
+    ledger = m.group(0)
+
+    registry = set(all_queries())
+    windowed = set(E.ROTATED)
+    uncovered = sorted(
+        n for n in registry if n not in verified and n not in windowed and n not in ledger
+    )
+    assert not uncovered, (
+        f"queries with no driver row, not in the current window, and absent "
+        f"from the rotation plan: {uncovered}"
+    )

@@ -108,6 +108,57 @@ class TestGlobalRankProperty:
             assert ranked[rid] == rank0 + 1
 
 
+class TestGlobalCumsumProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=60))
+    def test_matches_python_prefix_sum(self, spark, values):
+        from fantasy_premier_league_spark.operators.rank import global_cumsum
+
+        rows = [(i, v) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "rid int, v int").repartition(5)
+        got = {
+            r["rid"]: r["cs"]
+            for r in global_cumsum(
+                df, [F.desc("v"), F.asc("rid")], F.col("v"), out="cs"
+            ).collect()
+        }
+        acc = 0
+        for rid, v in sorted(rows, key=lambda t: (-t[1], t[0])):
+            acc += v
+            assert got[rid] == acc
+
+
+class TestNtileClosedForm:
+    """r36's decile cut replaces ntile(10)-over-global-window with
+    global_rank + ntile's closed form; pin the closed form against
+    F.ntile itself on sizes that hit every edge (n<10, n%10!=0, ties)."""
+
+    @pytest.mark.parametrize("n", [1, 7, 10, 23, 100, 101])
+    def test_matches_builtin_ntile(self, spark, n):
+        from pyspark.sql import Window
+
+        from fantasy_premier_league_spark.operators.rank import global_rank
+
+        rows = [(i, (i * 7) % 13) for i in range(n)]  # ties in score
+        df = spark.createDataFrame(rows, "rid int, score int").repartition(4)
+        order = [F.desc("score"), F.asc("rid")]
+        want = {
+            r["rid"]: r["d"]
+            for r in df.withColumn("d", F.ntile(10).over(Window.orderBy(*order))).collect()
+        }
+        ranked = global_rank(df, order, out="rk")
+        qq = F.floor(F.lit(n) / 10)
+        rr = F.lit(n) % 10
+        head = rr * (qq + 1)
+        decile = (
+            F.when(F.col("rk") <= head, F.ceil(F.col("rk") / (qq + 1)))
+            .otherwise(rr + F.ceil((F.col("rk") - head) / F.greatest(qq, F.lit(1))))
+            .cast("int")
+        )
+        got = {r["rid"]: r["d"] for r in ranked.withColumn("d", decile).collect()}
+        assert got == want
+
+
 class TestSecondWaveInvariants:
     """Cross-operator invariants on the REAL sf0.001 corpus — relations
     that must hold between independently-implemented operators."""

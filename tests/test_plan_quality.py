@@ -141,6 +141,30 @@ class TestNewOperatorPlans:
         assert "Python" not in plan
         assert "ReusedExchange" in plan
 
+    @pytest.mark.parametrize("name", ["r32_pareto_abc", "r36_decile_lift"])
+    def test_no_data_sized_single_partition_window(self, spark, name):
+        # round-11 rewrite: the cumulative-share / ntile cut goes through the
+        # two-phase global_cumsum / global_rank — the data-sized frame must
+        # flow through a range sort, and every remaining SinglePartition
+        # exchange may only carry an aggregate output (numPartitions-row
+        # offsets table, 10-row gains frame, global totals), never raw rows.
+        import re
+
+        plan = plan_of(spark, name)
+        lines = plan.splitlines()
+        assert "Exchange rangepartitioning" in plan
+        # bounded-cardinality groupings only: global (keys=[]), the
+        # numPartitions-row __pid frame, the 10-row decile frame — a
+        # users/parts-sized key (user_id, part) here would be the old
+        # single-partition funnel back
+        bounded = re.compile(r"Aggregate\(keys=\[(\]|__pid|decile)")
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                child = "\n".join(lines[i + 1 : i + 5])
+                assert bounded.search(child), (
+                    f"{name}: SinglePartition exchange over unbounded input:\n{child}"
+                )
+
     def test_q76_one_window_node(self, spark):
         # five ranking functions over one shared spec -> ONE Window node,
         # one exchange

@@ -1225,3 +1225,49 @@ class TestKmvNullSafety:
         a = kmv_state(clean, ["g"], "v", k=k).collect()[0]["kmv_v"]
         b = kmv_state(dirty, ["g"], "v", k=k).collect()[0]["kmv_v"]
         assert a == b and len(a) == k
+
+
+class TestSketchProfileDemo:
+    """q69_sketch_profile was demoted from the registry in round 11 (its
+    engine-internal HLL/KLL registers can't be DuckDB-replayed; the portable
+    r65/r66/r67 sketches carry the capability under the value-hash gate).
+    This pins the demo itself: stable schema/rowset, run-to-run determinism,
+    and the published error bounds against exact aggregates."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_schema_determinism_and_error_bounds(self, spark):
+        from pyspark.sql import functions as F
+
+        from fantasy_premier_league_spark.queries.relational import (
+            load,
+            q69_sketch_profile,
+        )
+
+        a = {r["o_orderpriority"]: r.asDict() for r in q69_sketch_profile(spark, self.SF).collect()}
+        b = {r["o_orderpriority"]: r.asDict() for r in q69_sketch_profile(spark, self.SF).collect()}
+        assert a == b  # same data, same partitioning -> register-identical
+        df = q69_sketch_profile(spark, self.SF)
+        assert df.columns == ["o_orderpriority", "n_exact", "n_cust_hll", "p50_approx", "p95_approx"]
+        assert len(a) == 5  # the five order priorities
+
+        orders = load(spark, self.SF, "orders")
+        exact = {
+            r["o_orderpriority"]: r.asDict()
+            for r in orders.groupBy("o_orderpriority")
+            .agg(
+                F.countDistinct("o_custkey").alias("nd"),
+                F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+                F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+            )
+            .collect()
+        }
+        for prio, row in a.items():
+            e = exact[prio]
+            # HLL rsd was requested at 2%; allow 3x slack for small groups
+            assert abs(row["n_cust_hll"] - e["nd"]) <= max(3, 0.06 * e["nd"])
+            # percentile_approx(accuracy=10000) on ~3k-row groups: rank error
+            # <= n/accuracy < 1 rank, so the value lands within one
+            # neighbouring order statistic of the exact interpolated value.
+            assert abs(row["p50_approx"] - e["p50"]) <= 0.02 * e["p50"]
+            assert abs(row["p95_approx"] - e["p95"]) <= 0.02 * e["p95"]

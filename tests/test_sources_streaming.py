@@ -482,9 +482,11 @@ class TestKmvDistinctMonitor:
         write_batch("b2.parquet", b2)
         run_once()
 
+        from fantasy_premier_league_spark.streaming.distinct import read_kmv_state
+
         state = {
             r["grp"]: r["kmv_v"]
-            for r in spark.read.parquet(str(tmp_path / "store" / "state")).collect()
+            for r in read_kmv_state(spark, str(tmp_path / "store")).collect()
         }
         union = spark.createDataFrame(b1 + b2, "grp string, user long")
         expect = {
@@ -507,3 +509,72 @@ class TestKmvDistinctMonitor:
         # 'a' has 90 distinct > k=32: estimate within the ~4-sigma bound
         a_final = by_key["a"][max(by_key["a"])]
         assert abs(a_final - 90) / 90 < 0.75
+
+    def test_partial_generation_ignored_and_state_survives(self, spark, tmp_path):
+        """Crash atomicity (ADVICE r10): a generation dir without _SUCCESS
+        (crash mid-write) must be invisible — the reader resolves the
+        previous complete generation and the next fold merges into it
+        instead of resetting the curve."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fantasy_premier_league_spark.operators.incremental import kmv_state
+        from fantasy_premier_league_spark.streaming.distinct import (
+            _complete_generations,
+            read_kmv_state,
+            run_kmv_distinct_monitor,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        k = 32
+
+        def write_batch(name, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "grp": pa.array([r[0] for r in rows]),
+                        "user": pa.array([r[1] for r in rows], pa.int64()),
+                    }
+                ),
+                str(src / name),
+            )
+
+        def run_once(ck):
+            stream = spark.readStream.schema("grp string, user long").parquet(str(src))
+            q = run_kmv_distinct_monitor(
+                stream,
+                keys=["grp"],
+                value_col="user",
+                store_path=str(tmp_path / "store"),
+                checkpoint=str(tmp_path / ck),
+                k=k,
+            )
+            q.awaitTermination(180)
+
+        b1 = [("a", i) for i in range(50)]
+        write_batch("b1.parquet", b1)
+        run_once("ck")
+
+        # simulate a crash mid-write of the NEXT generation: partial dir,
+        # garbage content, no _SUCCESS
+        state_path = tmp_path / "store" / "state"
+        partial = state_path / "gen-00000002"
+        partial.mkdir()
+        (partial / "part-00000.parquet").write_bytes(b"not parquet")
+        assert _complete_generations(str(state_path)) == [1]
+
+        b2 = [("a", i) for i in range(25, 75)]
+        write_batch("b2.parquet", b2)
+        run_once("ck")  # same checkpoint: continues from batch 1
+
+        state = {
+            r["grp"]: r["kmv_v"]
+            for r in read_kmv_state(spark, str(tmp_path / "store")).collect()
+        }
+        union = spark.createDataFrame(b1 + b2, "grp string, user long")
+        expect = {
+            r["grp"]: r["kmv_v"]
+            for r in kmv_state(union, ["grp"], "user", k=k).collect()
+        }
+        assert state == expect  # folded into gen-1, not reset by the partial

@@ -18,6 +18,12 @@ The sorted frame feeds both the count branch and the rank branch of one
 lazy plan; Spark's exchange reuse (``spark.sql.exchange.reuse``, default
 on, honored under AQE) evaluates the expensive range shuffle once and
 guarantees both branches see the same sampled range boundaries.
+
+The same numPartitions-row frame carries grand totals for free — which is
+how :func:`global_ntile` (closed-form SQL ntile) and
+:func:`global_cumsum`'s ``total_out`` avoid a THIRD aggregate branch over
+the data (each extra branch is another textual subtree in the compiled
+plan even when runtime exchange reuse dedups the work).
 """
 
 from __future__ import annotations
@@ -25,8 +31,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+def _all_rows() -> "Window":
+    """Window over the whole numPartitions-row offsets frame (tiny by
+    construction) — how grand totals ride along without a new branch.
+    Built lazily: F.lit needs an active SparkContext, so this cannot be
+    a module-level constant (imports happen before any session exists)."""
+    return Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
 
-def global_cumsum(df: DataFrame, order: list[Column], value: Column, *, out: str = "cumsum") -> DataFrame:
+
+def global_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    *,
+    out: str = "cumsum",
+    total_out: str | None = None,
+) -> DataFrame:
     """Running sum of ``value`` under a total order, without funnelling the
     data through one partition (the prefix-sum twin of :func:`global_rank`).
 
@@ -37,6 +59,11 @@ def global_cumsum(df: DataFrame, order: list[Column], value: Column, *, out: str
     expression is summed as-is, so exact types (DECIMAL, integers) stay
     exact — callers needing bit-identical totals across engines should pass
     a decimal-cast column, as with any Spark sum.
+
+    ``total_out`` additionally attaches the grand total of ``value`` as a
+    column — computed on the same tiny offsets frame, so callers computing
+    shares (running/total) don't need a separate aggregate branch over the
+    data.
     """
     sorted_df = (
         df.orderBy(*order)
@@ -46,7 +73,10 @@ def global_cumsum(df: DataFrame, order: list[Column], value: Column, *, out: str
 
     sizes = sorted_df.groupBy("__pid").agg(F.sum("__v").alias("__s"))
     cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select("__pid", F.sum("__s").over(cum).alias("__off"))
+    cols = ["__pid", F.sum("__s").over(cum).alias("__off")]
+    if total_out is not None:
+        cols.append(F.sum("__s").over(_all_rows()).alias(total_out))
+    offsets = sizes.select(*cols)
 
     local = (
         Window.partitionBy("__pid").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
@@ -82,4 +112,48 @@ def global_rank(df: DataFrame, order: list[Column], *, out: str = "rank", start:
         sorted_df.join(F.broadcast(offsets), "__pid")
         .withColumn(out, (F.row_number().over(local) - 1 + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame, order: list[Column], n_tiles: int, *, out: str = "tile"
+) -> DataFrame:
+    """SQL ``ntile(n)`` under a total order without the single-partition
+    window: two-phase rank plus ntile's closed form.
+
+    With N rows, q = N div n and r = N mod n, SQL ntile gives the first r
+    tiles q+1 rows and the rest q, so rank rk (1-based) maps to
+    ``ceil(rk/(q+1))`` inside the first r*(q+1) rows and
+    ``r + ceil((rk - r*(q+1))/q)`` after — pinned against ``F.ntile``
+    itself in tests/test_crosschecks.py (sizes hitting N<n, N%n!=0,
+    ties). N rides on the numPartitions-row offsets frame, so the plan
+    has exactly the two branches of :func:`global_rank` — no third
+    count branch over the data.
+    """
+    sorted_df = df.orderBy(*order).withColumn("__pid", F.spark_partition_id())
+
+    sizes = sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid",
+        (F.coalesce(F.sum("__n").over(cum), F.lit(0)) + 1).alias("__off"),
+        F.sum("__n").over(_all_rows()).alias("__N"),
+    )
+
+    local = Window.partitionBy("__pid").orderBy(*order)
+    rk = F.row_number().over(local) - 1 + F.col("__off")
+    qq = F.floor(F.col("__N") / n_tiles)
+    rr = F.col("__N") % n_tiles
+    head = rr * (qq + 1)
+    tile = (
+        F.when(rk <= head, F.ceil(rk / (qq + 1)))
+        # unreachable when qq == 0 (then head == __N >= rk); greatest()
+        # keeps the divisor legal under ANSI evaluation anyway
+        .otherwise(rr + F.ceil((rk - head) / F.greatest(qq, F.lit(1))))
+        .cast("int")
+    )
+    return (
+        sorted_df.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, tile)
+        .drop("__pid", "__off", "__N")
     )

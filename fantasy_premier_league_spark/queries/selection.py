@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import bpe as B
-from ..operators.rank import global_cumsum, global_rank
+from ..operators.rank import global_cumsum, global_ntile
 from ..operators import quantize as QZ
 from ..operators import selection as SEL
 from ..operators import textstats as T
@@ -1837,15 +1837,17 @@ def r32_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.sum(rev).cast("double").alias("revenue")
     )
-    tot = pr.agg(F.sum(F.col("revenue").cast("decimal(18,4)")).cast("double").alias("__t"))
+    # grand total rides on the cumsum's tiny offsets frame (total_out) —
+    # no third aggregate branch over the parts frame
     cumulated = global_cumsum(
         pr,
         [F.col("revenue").desc(), F.col("part").asc()],
         F.col("revenue").cast("decimal(18,4)"),
         out="__cumdec",
+        total_out="__totdec",
     )
-    c = cumulated.crossJoin(F.broadcast(tot)).withColumn(
-        "__cum", F.col("__cumdec").cast("double") / F.col("__t")
+    c = cumulated.withColumn(
+        "__cum", F.col("__cumdec").cast("double") / F.col("__totdec").cast("double")
     )
     return c.select(
         "part",
@@ -2026,7 +2028,7 @@ def r35_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conversion rate, cumulative gains, and lift vs the base rate — the "
     "targeting-model evaluation every campaign readout uses, joining "
     "r29's CUPED and r21's z-test in the experimentation family. All "
-    "counts exact integers; the decile cut is two-phase global_rank + "
+    "counts exact integers; the decile cut is two-phase global_ntile + "
     "ntile's closed form (no users-sized single-partition window — only "
     "the numPartitions-row offsets frame and the 10-row gains frame are "
     "global).",
@@ -2042,23 +2044,12 @@ def r36_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     # ntile(10) without the users-sized single-partition window: two-phase
-    # global_rank, then ntile's closed form — with n rows, q = n div 10,
-    # r = n mod 10, the first r buckets hold q+1 rows and the rest hold q,
-    # so rank rk maps to ceil(rk/(q+1)) inside the first r*(q+1) rows and
-    # r + ceil((rk - r*(q+1))/q) after. Matches SQL ntile exactly.
-    ranked = global_rank(
-        pu, [F.col("score").desc(), F.col("user_id").asc()], out="__rk"
+    # global_ntile (operators/rank.py) — rank + ntile's closed form, with
+    # the row total riding on the numPartitions-row offsets frame so the
+    # plan has no extra count branch over the users aggregate.
+    d = global_ntile(
+        pu, [F.col("score").desc(), F.col("user_id").asc()], 10, out="decile"
     )
-    nrows = pu.agg(F.count(F.lit(1)).alias("__n"))
-    qq = F.floor(F.col("__n") / 10)
-    rr = F.col("__n") % 10
-    head = rr * (qq + 1)
-    decile = (
-        F.when(F.col("__rk") <= head, F.ceil(F.col("__rk") / (qq + 1)))
-        .otherwise(rr + F.ceil((F.col("__rk") - head) / F.greatest(qq, F.lit(1))))
-        .cast("int")
-    )
-    d = ranked.crossJoin(F.broadcast(nrows)).withColumn("decile", decile)
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("y").alias("n_converted")
     )

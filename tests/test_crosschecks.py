@@ -127,17 +127,29 @@ class TestGlobalCumsumProperty:
             acc += v
             assert got[rid] == acc
 
+    def test_total_out_rides_offsets_frame(self, spark):
+        from fantasy_premier_league_spark.operators.rank import global_cumsum
+
+        rows = [(i, i * 3 - 40) for i in range(25)]
+        df = spark.createDataFrame(rows, "rid int, v int").repartition(5)
+        out = global_cumsum(
+            df, [F.asc("rid")], F.col("v"), out="cs", total_out="tot"
+        ).collect()
+        want_total = sum(v for _, v in rows)
+        assert all(r["tot"] == want_total for r in out)
+        assert max(r["cs"] for r in out) >= want_total  # last prefix == total
+
 
 class TestNtileClosedForm:
-    """r36's decile cut replaces ntile(10)-over-global-window with
-    global_rank + ntile's closed form; pin the closed form against
+    """r36's decile cut replaces ntile(10)-over-global-window with the
+    two-phase global_ntile (rank + ntile's closed form); pin it against
     F.ntile itself on sizes that hit every edge (n<10, n%10!=0, ties)."""
 
     @pytest.mark.parametrize("n", [1, 7, 10, 23, 100, 101])
     def test_matches_builtin_ntile(self, spark, n):
         from pyspark.sql import Window
 
-        from fantasy_premier_league_spark.operators.rank import global_rank
+        from fantasy_premier_league_spark.operators.rank import global_ntile
 
         rows = [(i, (i * 7) % 13) for i in range(n)]  # ties in score
         df = spark.createDataFrame(rows, "rid int, score int").repartition(4)
@@ -146,16 +158,10 @@ class TestNtileClosedForm:
             r["rid"]: r["d"]
             for r in df.withColumn("d", F.ntile(10).over(Window.orderBy(*order))).collect()
         }
-        ranked = global_rank(df, order, out="rk")
-        qq = F.floor(F.lit(n) / 10)
-        rr = F.lit(n) % 10
-        head = rr * (qq + 1)
-        decile = (
-            F.when(F.col("rk") <= head, F.ceil(F.col("rk") / (qq + 1)))
-            .otherwise(rr + F.ceil((F.col("rk") - head) / F.greatest(qq, F.lit(1))))
-            .cast("int")
-        )
-        got = {r["rid"]: r["d"] for r in ranked.withColumn("d", decile).collect()}
+        got = {
+            r["rid"]: r["d"]
+            for r in global_ntile(df, order, 10, out="d").collect()
+        }
         assert got == want
 
 

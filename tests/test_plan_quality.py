@@ -164,6 +164,13 @@ class TestNewOperatorPlans:
                 assert bounded.search(child), (
                     f"{name}: SinglePartition exchange over unbounded input:\n{child}"
                 )
+        # the duplicated sorted/offsets subtrees (textual overcount in
+        # PLANS.md) must collapse at execution via exchange reuse
+        q = all_queries()[name]
+        df = q.fn(spark, SF)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed
 
     def test_q76_one_window_node(self, spark):
         # five ranking functions over one shared spec -> ONE Window node,

@@ -100,7 +100,13 @@ def main() -> None:
         "co_occurrence mirror union (q21/q48) embeds its distinct subtree "
         "twice in the compiled plan and runtime exchange reuse dedups the "
         "actual shuffle work, so those rows overcount what executes "
-        "(measured faster than the pre-mirror form). (2) stats-gated "
+        "(measured faster than the pre-mirror form); the two-phase "
+        "rank/cumsum/ntile family (r32/r36/r63) duplicates its sorted "
+        "subtree the same way (sort branch + offsets branch), with "
+        "ReusedExchange asserted at execution in test_plan_quality — e.g. "
+        "r36's 18 textual exchanges execute as one range sort + one "
+        "user-keyed agg + the 10-row frames (0.9s at sf0.01, flat 0.91x "
+        "sf0.1→sf1). (2) stats-gated "
         "hybrids compile to their SMALL-GRAPH route at this audit's scale "
         "(q34's closure is a driver union-find over the bounded pair "
         "graph, hence 0 exchanges); the distributed plans they take past "

@@ -577,3 +577,105 @@ def q99_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         y.cast("long").alias("y"),
         zorder_key(x, y, bits=10).alias("zval"),
     )
+
+
+@query(
+    "r68_bloom_prune",
+    """
+    WITH vip AS (
+        SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+    ),
+    bpos AS (
+        SELECT k,
+               ('0x' || substr(md5('r68:' || i::VARCHAR || ':' || k::VARCHAR), 1, 8))::BIGINT
+                   % 4096 AS p
+        FROM vip, (SELECT unnest([0, 1, 2]) AS i)
+    ),
+    mask AS (
+        SELECT (p // 32)::INT AS word_idx,
+               bit_or((1::BIGINT << (p % 32)::INT)) AS word
+        FROM bpos GROUP BY 1
+    ),
+    probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    ppos AS (
+        SELECT k,
+               ('0x' || substr(md5('r68:' || i::VARCHAR || ':' || k::VARCHAR), 1, 8))::BIGINT
+                   % 4096 AS p
+        FROM probe, (SELECT unnest([0, 1, 2]) AS i)
+    ),
+    hits AS (
+        SELECT ppos.k,
+               min(CASE WHEN mask.word IS NOT NULL
+                         AND ((mask.word >> (ppos.p % 32)::INT) & 1) = 1
+                        THEN 1 ELSE 0 END) AS hit
+        FROM ppos LEFT JOIN mask ON (ppos.p // 32)::INT = mask.word_idx
+        GROUP BY ppos.k
+    ),
+    flagged AS (
+        SELECT h.k, h.hit, CASE WHEN v.k IS NULL THEN 0 ELSE 1 END AS t
+        FROM hits h LEFT JOIN vip v ON h.k = v.k
+    )
+    SELECT (SELECT count(*) FROM vip)::BIGINT AS n_build,
+           count(*)::BIGINT AS n_probe_keys,
+           sum(hit)::BIGINT AS n_pass,
+           sum(t)::BIGINT AS n_true,
+           sum(CASE WHEN hit = 1 AND t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+           sum(CASE WHEN t = 1 AND hit = 0 THEN 1 ELSE 0 END)::BIGINT AS n_missed,
+           round(sum(CASE WHEN hit = 1 AND t = 0 THEN 1 ELSE 0 END)::DOUBLE
+                 / nullif(count(*) - sum(t), 0), 6) AS fp_rate,
+           round(1.0 - sum(hit)::DOUBLE / count(*), 6) AS prune_rate
+    FROM flagged
+    """,
+    doc="Bloom-filter semi-join reduction (operators/bloom.py): the "
+    "high-balance customer keys build a portable md5 Bloom mask as a "
+    "(word_idx, word) bit table (m=4096, k=3; fully distributed groupBy "
+    "bit_or, never driver-collected), the distinct order customers probe "
+    "it through a broadcast join on word_idx, and the output audits the "
+    "filter against exact membership: zero false negatives (n_missed), "
+    "the realized false-positive rate vs the (1-e^(-kn/m))^k bound, and "
+    "the prune rate a fact-side scan would enjoy. At 100 TB this is the "
+    "explicit, persistable form of runtime bloom pruning: the mask is "
+    "m/32 rows (0.5 MB at m=2^20) regardless of how many distinct keys "
+    "built it — broadcastable where the key set itself is not. DuckDB "
+    "replays the identical mask bit-for-bit (portable hashes), so every "
+    "per-key verdict is under the value-hash gate.",
+    tags=("join", "bloom", "scale", "llm-pipeline"),
+)
+def r68_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bloom as BL
+
+    cust = load(spark, sf_dir, "customer")
+    vip = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    mask = BL.bloom_build(vip, "k", m_bits=4096, k_hashes=3, salt="r68:")
+    probe = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    probed = BL.bloom_probe_keys(probe, "k", mask, m_bits=4096, k_hashes=3, salt="r68:")
+    flagged = probed.join(
+        vip.withColumn("__t", F.lit(1)), "k", "left"
+    ).select(
+        F.col("bloom_hit").cast("int").alias("hit"),
+        F.coalesce(F.col("__t"), F.lit(0)).alias("t"),
+    )
+    n_build = vip.agg(F.count(F.lit(1)).alias("n_build"))
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum("hit").alias("n_pass"),
+        F.sum("t").alias("n_true"),
+        F.sum(((F.col("hit") == 1) & (F.col("t") == 0)).cast("long")).alias("n_false_pos"),
+        F.sum(((F.col("t") == 1) & (F.col("hit") == 0)).cast("long")).alias("n_missed"),
+    )
+    return agg.crossJoin(F.broadcast(n_build)).select(
+        "n_build",
+        "n_probe_keys",
+        "n_pass",
+        "n_true",
+        "n_false_pos",
+        "n_missed",
+        F.round(
+            F.col("n_false_pos")
+            / F.nullif((F.col("n_probe_keys") - F.col("n_true")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("fp_rate"),
+        F.round(1.0 - F.col("n_pass") / F.col("n_probe_keys"), 6).alias("prune_rate"),
+    )

@@ -404,3 +404,58 @@ class TestResizeMedia:
         # deterministic across runs
         again = {r.id: bytes(r.payload) for r in resize_media(df, "id", "payload", target_w=32, target_h=16).collect()}
         assert {r.id: bytes(r.payload) for r in out} == again
+
+
+class TestBloomPrune:
+    """operators/bloom.py — the portable Bloom semi-join reduction
+    behind r68 (oracle replays the mask bit-for-bit; these pin the
+    operator contract on shapes the driver corpus can't reach)."""
+
+    def test_no_false_negatives_ever(self, spark):
+        from fantasy_premier_league_spark.operators import bloom as B
+
+        # adversarial densities: from sparse to fully saturated mask
+        for n, m in ((10, 4096), (200, 256), (500, 64)):
+            build = spark.createDataFrame(
+                [(f"key-{i}",) for i in range(n)], "k string"
+            )
+            mask = B.bloom_build(build, "k", m_bits=m, k_hashes=3, salt="t:")
+            out = {
+                r["k"]: r["bloom_hit"]
+                for r in B.bloom_probe_keys(
+                    build, "k", mask, m_bits=m, k_hashes=3, salt="t:"
+                ).collect()
+            }
+            assert all(out[f"key-{i}"] for i in range(n)), (n, m)
+
+    def test_fp_rate_within_bound_and_words_unsigned(self, spark):
+        import math
+
+        from fantasy_premier_league_spark.operators import bloom as B
+        from pyspark.sql import functions as F
+
+        n, m, k = 150, 2048, 3
+        build = spark.createDataFrame([(f"in-{i}",) for i in range(n)], "k string")
+        mask = B.bloom_build(build, "k", m_bits=m, k_hashes=k, salt="t:")
+        words = mask.agg(
+            F.min("word").alias("lo"), F.max("word").alias("hi"), F.count(F.lit(1)).alias("c")
+        ).first()
+        assert 0 <= words["lo"] and words["hi"] < 2**32  # no sign edge, any engine
+        assert words["c"] <= m // 32
+        probe = spark.createDataFrame([(f"out-{i}",) for i in range(2000)], "k string")
+        hits = (
+            B.bloom_probe_keys(probe, "k", mask, m_bits=m, k_hashes=k, salt="t:")
+            .filter("bloom_hit")
+            .count()
+        )
+        bound = (1 - math.exp(-k * n / m)) ** k
+        assert hits / 2000 < 2.5 * bound  # realized fp near the published bound
+
+    def test_mask_rejects_unaligned_m(self, spark):
+        import pytest as _pytest
+
+        from fantasy_premier_league_spark.operators import bloom as B
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pytest.raises(ValueError):
+            B.bloom_build(df, "k", m_bits=100)

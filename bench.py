@@ -18,12 +18,12 @@ by >1.5x a THIRD warm run adjudicates and the median of the three is
 used, and if both warm samples AGREE but exceed the query's own cold
 run by >1.3x (whole-warm-phase inflation — warm can't honestly be
 slower than first touch) a third run adjudicates with min-of-three
-reported (both samples spiking defeated min-of-2 in round 9: q92
+reported (both samples spiking defeated min-of-2 in round 9: q47
 published 2.41s against a 1.03-1.15s uncontended reality). Round 8
 showed first-touch-only timings
 carry 2-10x dispersion on the heavy queries (shuffle-file + code-path
 first-touch) and manufactured phantom round-over-round regressions
-(q71/q72, VERDICT r8 finding 3); single warm runs still catch rare
+(q29/q30, VERDICT r8 finding 3); single warm runs still catch rare
 multi-second GC/JIT spikes (measured 17.6s vs a 3.7-5.0s steady state
 on an idle box), so the min of two makes round-over-round diffs
 trustworthy. Cold timings stay visible so a real cold-path regression
@@ -80,7 +80,7 @@ def main() -> None:
                 release_operator_caches()
     # warm the target-SF parquet footers / page cache entry point
     try:
-        registry["q01_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        registry["v01_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     except Exception:
         pass
     # pre-read EVERY input byte so page-cache state is explicit, not a
@@ -101,11 +101,12 @@ def main() -> None:
             while fh.read(1 << 24):
                 pass
 
+    dir_unlistable = False
     try:
         entries = sorted(os.listdir(sf_dir))
     except OSError:
         entries = []
-        preread_skipped = -1  # whole dir unlistable
+        dir_unlistable = True
     for entry in entries:
         if not entry.endswith(".parquet"):
             continue
@@ -119,7 +120,11 @@ def main() -> None:
                 _touch(p)
         except OSError:
             preread_skipped += 1
-    if preread_skipped:
+    if dir_unlistable:
+        # distinct from per-file skips (ADVICE r11): the whole directory was
+        # unlistable, so pre-read did not run at all
+        print(f"# pre-read skipped: directory unlistable: {sf_dir}", file=sys.stderr)
+    elif preread_skipped:
         print(f"# pre-read degraded: {preread_skipped} entries skipped", file=sys.stderr)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -167,7 +172,7 @@ def main() -> None:
             else:
                 warm.append(elapsed)
         # Adaptive adjudication (VERDICT r9 item 4): min-of-2 cannot save a
-        # row where BOTH warm samples spiked (q92 published 2.41s against a
+        # row where BOTH warm samples spiked (q47 published 2.41s against a
         # 1.03-1.15s uncontended reality). When the two warm samples
         # disagree >1.5x, the row is in spike territory — time a third and
         # take the MEDIAN, which discards one arbitrary spike without

@@ -61,11 +61,16 @@ def bloom_build(
 ) -> DataFrame:
     """Build the mask table ``(word_idx INT, word BIGINT)`` from the
     distinct keys of ``df`` — one narrow shuffle (distinct) plus a
-    ≤ m/32-group aggregate; never touches the driver."""
+    ≤ m/32-group aggregate; never touches the driver.
+
+    NULL build keys are dropped explicitly (md5 of NULL is NULL — it can
+    set no bits anyway), matching SQL equi-join semantics: NULL never
+    equi-joins, so it has nothing to contribute to a join-pruning mask."""
     if m_bits % _WORD_BITS:
         raise ValueError(f"m_bits must be a multiple of {_WORD_BITS}")
     pos = (
         df.select(F.col(key_col).alias("__k"))
+        .where(F.col("__k").isNotNull())
         .distinct()
         .select(
             F.explode(
@@ -98,8 +103,14 @@ def bloom_probe_keys(
     Probe = k position rows per key, broadcast-joined to the mask on
     ``word_idx`` (the mask is m/32 rows by construction — always
     broadcastable), bit-tested, then ``min`` over the k tests (all bits
-    must be set). Guaranteed no false negatives; false-positive rate
-    ≈ (1 - e^(-k·n/m))^k for n distinct build keys.
+    must be set). Guaranteed no false negatives over non-NULL keys;
+    false-positive rate ≈ (1 - e^(-k·n/m))^k for n distinct build keys.
+
+    A NULL probe key always reports ``bloom_hit = false`` (its md5
+    positions are NULL, so every bit test lands in the ``otherwise(0)``
+    arm). That is deliberate SQL equi-join semantics — NULL matches
+    nothing in the downstream join this mask prunes for — so the prune
+    is still lossless for the join as a whole.
     """
     pos = (
         df.select(F.col(key_col).alias(key_col))

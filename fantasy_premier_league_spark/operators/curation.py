@@ -232,7 +232,7 @@ def bigram_logprob(
 ) -> DataFrame:
     """Bigram-LM cross-entropy per document, model trained on the corpus.
 
-    The classic perplexity-style quality signal one LM up from q89's unigram
+    The classic perplexity-style quality signal one LM up from q45's unigram
     scorer: P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V) with add-k
     smoothing, V = vocabulary size. Emits per-doc bigram count, mean log
     probability, and bits/bigram (cross-entropy).
@@ -333,7 +333,7 @@ def dedup_passages_keep_first(
     """C4-style exact passage dedup that REWRITES documents, keeping the
     first occurrence of every duplicated passage corpus-wide.
 
-    q81 scores sub-document duplication; this operator removes it: text
+    q38 scores sub-document duplication; this operator removes it: text
     splits into non-overlapping ``passage_words``-word passages, each
     passage survives only at its lexicographically-first occurrence
     (min doc id, then min position within that doc — C4 dedups exact
@@ -403,10 +403,10 @@ def duplicate_spans(
     Models Better", ACL 2022; their suffix-array pass re-expressed as
     the equivalent fixed-width rolling window over a hash-groupBy).
 
-    The fixed-passage form (:func:`dedup_passages_keep_first` / q81)
+    The fixed-passage form (:func:`dedup_passages_keep_first` / q38)
     misses a duplicate that straddles a passage boundary or starts at a
     different offset; the sliding window catches any shared run of >= k
-    words, at k-times q81's explode fan-out (one row per word position,
+    words, at k-times q38's explode fan-out (one row per word position,
     built from shifted slices so the tokenizer runs O(k), not
     O(k * n_words), per doc — shingle_array's measured lesson).
 

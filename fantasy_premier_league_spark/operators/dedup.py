@@ -111,7 +111,7 @@ def md5_fraction(col: F.Column, *, salt: str) -> F.Column:
     """Deterministic uniform [0, 1) fraction of a key: the first 32 md5
     bits of ``salt || key`` over 2^32 — the shared hash-sampling
     primitive behind the at-scale evaluation strata (q11's ARI stratum,
-    r54's containment-recall anchors). Portable: an external SQL engine
+    q02's containment-recall anchors). Portable: an external SQL engine
     replays it as ``('0x' || substr(md5(salt || id), 1, 8))::BIGINT /
     4294967296.0``. Distinct salts give independent strata over the same
     keys (the q11 CI measurement relies on exactly that)."""
@@ -543,7 +543,7 @@ def containment_lsh_pairs(
     collisions still leaves the healthy bands to catch it — measured on
     the saturated driver corpus: identical candidate sets at caps
     256-8192 and uncapped (50k docs: 2500 pairs either way, 33-62s →
-    17s; the r54 recall eval reports in-scope recall = 1.0 at 256).
+    17s; the q02 recall eval reports in-scope recall = 1.0 at 256).
     Drops are logged eagerly by the shared guard (no-silent-caps rule);
     pass ``max_bucket_size=None`` for exact candidate recall. Both sides
     of the trade are pinned on an adversarial boilerplate-heavy corpus in
@@ -686,7 +686,7 @@ def lsh_candidate_pairs(
       the cap, by construction) serves the accounting job, the cap filter
       AND pair generation — the band shuffle happens once instead of
       twice (the old form aggregated counts for accounting, then
-      re-banded and self-joined; measured ~1.3s of q90's 3.5s at sf0.1).
+      re-banded and self-joined; measured ~1.3s of q46's 3.5s at sf0.1).
     """
     if max_bucket_size is None:
         banded = _banded(sig_df, bands)

@@ -99,7 +99,7 @@ def token_sort_key(col: F.Column) -> F.Column:
     codegen). Splits on any whitespace run and drops empty tokens, so
     multi-space / leading-space inputs canonicalize identically; the
     engine-portable spelling is ``list_filter(regexp_split_to_array(x,
-    '\\s+'), t -> t <> '')`` (used verbatim by the q60 oracle)."""
+    '\\s+'), t -> t <> '')`` (used verbatim by the q20 oracle)."""
     toks = F.array_remove(F.split(col, r"\s+"), "")
     return F.array_join(F.array_sort(F.array_distinct(toks)), " ")
 

@@ -45,7 +45,7 @@ _IVF_TRAIN_SAMPLE = 32_768
 def _local_lloyds(x: np.ndarray, *, k: int, iters: int, seed: int = 42) -> np.ndarray:
     """DETERMINISTIC Lloyd's k-means on a BOUNDED sample (driver-side,
     numpy), every step engine-portable so an external SQL engine can
-    replay the whole training loop value-for-value (the q54 oracle does):
+    replay the whole training loop value-for-value (the q16 oracle does):
 
     - init = the FIRST k sample rows — the sample arrives md5-hash-
       ordered (a fixed random permutation of the corpus), so this is
@@ -74,7 +74,7 @@ def _local_lloyds(x: np.ndarray, *, k: int, iters: int, seed: int = 42) -> np.nd
     HALF_UP on the exact decimal expansion. No double is exactly
     halfway at 6 dp, so divergence needs the preceding float arithmetic
     to land within 1 ulp of a .5000005e-6 boundary — never observed
-    across the q54/q10 corpora, and any vectorized "half-up" emulation
+    across the q16/q10 corpora, and any vectorized "half-up" emulation
     (floor(x*1e6+0.5)) has the SAME 1-ulp boundary against exact-decimal
     HALF_UP, so switching would trade one coincidence for another while
     decimal-exact rounding of the 4.2M per-call distance values is
@@ -482,7 +482,7 @@ def ivf_topk(
     use the ROUNDED metric (round(sqrt(L2²), 6), first-index tie-break)
     and rounded per-round means, so the whole trained pipeline is
     replayable value-for-value in an external SQL engine whenever the
-    corpus fits the sample bound (the q54 oracle replays all
+    corpus fits the sample bound (the q16 oracle replays all
     ``max_iter`` Lloyd's rounds in DuckDB). Cell ASSIGNMENT is a
     map-side argmin against the broadcast centroid array (one projection
     inside codegen — no shuffle, no model transform), so the

@@ -15,7 +15,7 @@ from . import query
 
 
 @query(
-    "q23_baseline_accuracy",
+    "v23_baseline_accuracy",
     """
     WITH preds AS (
         SELECT o_orderpriority,
@@ -35,7 +35,7 @@ from . import query
     "per-group accuracy — pure Column exprs, no MLlib needed.",
     tags=("ml", "baseline"),
 )
-def q23_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v23_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     target = (F.col("o_totalprice") >= 1000).cast("int")
@@ -51,7 +51,7 @@ def q23_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q24_ks_two_sample",
+    "v24_ks_two_sample",
     """
     WITH vals AS (
         SELECT floor(o_totalprice / 64.0)::BIGINT AS b,
@@ -81,7 +81,7 @@ def q23_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cardinality. The KS estimate is exact up to one bin width.",
     tags=("ml", "stats"),
 )
-def q24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     vals = orders.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
         F.floor(F.col("o_totalprice") / 64.0).cast("long").alias("b"),
@@ -107,7 +107,7 @@ def q24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q60_fuzzy_part_match",
+    "q20_fuzzy_part_match",
     """
     WITH p AS (
         SELECT p_partkey, p_brand, p_name,
@@ -140,7 +140,7 @@ def q24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the reference-parity scorer in resolve_entities.",
     tags=("fuzzy",),
 )
-def q60_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
     a = part.select(
         F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("brand"), F.col("p_name").alias("name_a")
@@ -162,7 +162,7 @@ def q60_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q61_multimodal_features",
+    "q12_multimodal_features",
     # the stub decoder is md5-derived, so the oracle replays it exactly:
     # feature i = byte i of md5(payload) / 255
     """
@@ -181,7 +181,7 @@ def q60_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-checked.",
     tags=("multimodal", "pandas-udf"),
 )
-def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -196,7 +196,7 @@ def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q63_sessionization",
+    "q22_sessionization",
     """
     WITH e AS (
         SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events
@@ -228,7 +228,7 @@ def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the final groupBy share the user_id partitioning.",
     tags=("sessionization", "windows"),
 )
-def q63_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import session_stats
 
     ev = load(spark, sf_dir, "events")
@@ -236,7 +236,7 @@ def q63_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q64_rollup_revenue",
+    "q23_rollup_revenue",
     """
     SELECT coalesce(r_name, 'ALL') AS region,
            coalesce(n_name, 'ALL') AS nation,
@@ -263,7 +263,7 @@ def q63_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The rollup is one shuffle with partial aggregation map-side.",
     tags=("rollup", "agg"),
 )
-def q64_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -288,7 +288,7 @@ def q64_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q27_attribution_window",
+    "v27_attribution_window",
     """
     WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
@@ -313,7 +313,7 @@ def q64_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "refine filter — linear candidate volume, even key distribution.",
     tags=("range-join", "join"),
 )
-def q27_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v27_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rangejoin import lookback_join
 
     ev = load(spark, sf_dir, "events")
@@ -457,7 +457,7 @@ def r64_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q80_frame_samples",
+    "q13_frame_samples",
     """
     WITH d AS (
         SELECT doc_id, text,
@@ -480,7 +480,7 @@ def r64_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correctness.",
     tags=("multimodal", "pandas-udf"),
 )
-def q80_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -501,7 +501,7 @@ _PR_ITER = """r{t} AS (
 
 
 @query(
-    "q48_part_pagerank",
+    "v48_part_pagerank",
     f"""
     WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
     e AS (
@@ -528,7 +528,7 @@ _PR_ITER = """r{t} AS (
     "ordering.",
     tags=("graph", "iterative", "pagerank"),
 )
-def q48_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v48_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import co_occurrence_edges, pagerank
 
     li = load(spark, sf_dir, "lineitem")

@@ -141,7 +141,7 @@ def _simhash_oracle(max_hamming: int) -> str:
 
 
 @query(
-    "q40_exact_dedup",
+    "v40_exact_dedup",
     f"""
     SELECT md5({_NORM}) AS content_key,
            min(doc_id) AS keep_doc_id,
@@ -153,7 +153,7 @@ def _simhash_oracle(max_hamming: int) -> str:
     "analog). Representative = min doc_id.",
     tags=("dedup",),
 )
-def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
         docs.groupBy(F.md5(D.normalize_text(F.col("text"))).alias("content_key"))
@@ -162,7 +162,7 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q41_ngram_jaccard_pairs",
+    "v41_ngram_jaccard_pairs",
     f"""
     WITH sh AS (
         SELECT DISTINCT id, shingle FROM (
@@ -191,13 +191,13 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join — the exact-verification stage of a MinHash pipeline.",
     tags=("dedup", "jaccard"),
 )
-def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
 
 
 @query(
-    "q36_source_overlap",
+    "v36_source_overlap",
     f"""
     WITH pairs AS ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.5, seed=42)}),
     meta AS (SELECT doc_id, source FROM documents),
@@ -230,7 +230,7 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc->source joins and a source-pair-bounded aggregate.",
     tags=("dedup", "curation", "llm-pipeline"),
 )
-def q36_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v36_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.5, portable=True
@@ -263,7 +263,7 @@ def q36_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q45_curate_corpus",
+    "v45_curate_corpus",
     f"""
     WITH t AS (
         SELECT doc_id, {_WORDS} AS w FROM documents
@@ -307,7 +307,7 @@ def q36_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan, every stage JVM-side.",
     tags=("dedup", "curation"),
 )
-def q45_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v45_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textstats
 
     docs = load(spark, sf_dir, "documents")
@@ -327,7 +327,7 @@ def q45_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q42_minhash_lsh_pairs",
+    "v42_minhash_lsh_pairs",
     _minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42),
     doc="MinHash(64 hashes) + 16-band LSH candidate pairs with signature- "
     "estimated Jaccard >= 0.3. Portable md5-derived base hash + seeded "
@@ -336,7 +336,7 @@ def q45_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the 100 TB dedup path.",
     tags=("dedup", "minhash"),
 )
-def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True
@@ -344,7 +344,7 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q90_capped_lsh_pairs",
+    "q46_capped_lsh_pairs",
     _minhash_oracle(num_hashes=64, bands=16, threshold=0.2, seed=42, max_bucket_size=2),
     doc="MinHash LSH pairs under the degenerate-bucket guard "
     "(max_bucket_size=2): band buckets with more than two members are "
@@ -356,7 +356,7 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "guard's exact semantics — not just its row count — are checked.",
     tags=("dedup", "minhash", "guard", "llm-pipeline"),
 )
-def q90_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
         docs,
@@ -372,14 +372,14 @@ def q90_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q43_simhash_near_dups",
+    "v43_simhash_near_dups",
     _simhash_oracle(max_hamming=12),
     doc="SimHash-64 near-dup candidate pairs (4×16-bit bands, exact hamming "
     "<= 12 rerank). Portable md5-half word hashes — oracle replays the "
     "fingerprint bit-for-bit.",
     tags=("dedup", "simhash"),
 )
-def q43_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v43_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12, portable=True)
 
@@ -411,7 +411,7 @@ def _cluster_oracle(max_hamming: int) -> str:
 
 
 @query(
-    "q29_dedup_clusters",
+    "v29_dedup_clusters",
     _cluster_oracle(max_hamming=8),
     doc="Duplicate-group formation — the final dedup step at 100 TB: "
     "SimHash near-dup pairs (q43's graph) -> connected components "
@@ -423,7 +423,7 @@ def _cluster_oracle(max_hamming: int) -> str:
     "checked end-to-end.",
     tags=("dedup", "graph", "iterative"),
 )
-def q29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # hamming <= 8: TIGHT near-dup groups (the survivor-selection use case);
     # q43's looser <=12 radius is for recall-side candidate review
@@ -433,7 +433,7 @@ def q29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q33_cluster_representatives",
+    "v33_cluster_representatives",
     f"""
     WITH RECURSIVE pairs AS (
         {_simhash_oracle(8)}
@@ -483,7 +483,7 @@ def q29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle replays sketch, recursive closure, scoring, and selection.",
     tags=("dedup", "curation", "graph", "llm-pipeline"),
 )
-def q33_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v33_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textstats
 
     docs = load(spark, sf_dir, "documents")
@@ -511,7 +511,7 @@ def q33_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q81_passage_dedup",
+    "q38_passage_dedup",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     p AS (
@@ -540,7 +540,7 @@ def q33_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact dedup uses — linear, uniform keys.",
     tags=("dedup", "text", "llm-pipeline"),
 )
-def q81_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = D.words(F.col("text"))
     n_pass = F.ceil(F.size(words) / F.lit(10)).cast("int")
@@ -567,7 +567,7 @@ def q81_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q82_repetition_score",
+    "q39_repetition_score",
     f"""
     WITH w AS (
         SELECT doc_id, unnest({_WORDS}) AS word FROM documents
@@ -588,7 +588,7 @@ def q81_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the standard two-axis quality filter.",
     tags=("text", "quality", "llm-pipeline"),
 )
-def q82_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     wf = (
         docs.select("doc_id", F.explode(D.words(F.col("text"))).alias("word"))
@@ -645,7 +645,7 @@ def _minhash_incremental_oracle(num_hashes: int, bands: int, threshold: float, s
 
 
 @query(
-    "q44_incremental_dedup",
+    "v44_incremental_dedup",
     _minhash_incremental_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42),
     doc="Incremental dedup — a new ingest batch (doc_id % 3 == 0) checked "
     "against the stored MinHash signature index of the existing corpus "
@@ -656,7 +656,7 @@ def _minhash_incremental_oracle(num_hashes: int, bands: int, threshold: float, s
     "value-for-value.",
     tags=("dedup", "minhash", "incremental", "llm-pipeline"),
 )
-def q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     index_docs = docs.filter(F.col("doc_id") % 3 != 0)
     new_batch = docs.filter(F.col("doc_id") % 3 == 0)
@@ -686,7 +686,7 @@ _NAIVE_T03 = f"""
 
 
 @query(
-    "q37_lsh_recall_eval",
+    "v37_lsh_recall_eval",
     f"""
     WITH lsh AS (
         SELECT id_a, id_b FROM ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42)})
@@ -716,7 +716,7 @@ _NAIVE_T03 = f"""
     "evaluation join value-for-value. Empty sides yield null metrics.",
     tags=("dedup", "minhash", "evaluation", "llm-pipeline"),
 )
-def q37_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v37_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # both pair sets are distinct-by-construction (band candidates are
     # deduped; the exact side is one row per grouped pair), so the three
@@ -754,7 +754,7 @@ def q37_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q34_cc_star",
+    "v34_cc_star",
     _cluster_oracle(max_hamming=8),
     doc="Duplicate-group formation via ALTERNATING small-star/large-star "
     "contraction (operators/dedup.py::connected_components_star, Kiveris "
@@ -768,7 +768,7 @@ def q37_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same recursive-CTE oracle.",
     tags=("dedup", "graph", "iterative"),
 )
-def q34_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v34_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
     cc = D.connected_components_star(pairs)
@@ -779,7 +779,7 @@ _SPAN_K = 10
 
 
 @query(
-    "q05_span_dedup",
+    "v05_span_dedup",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     win AS (
@@ -819,12 +819,12 @@ _SPAN_K = 10
     "(including twice in ONE doc) is cut from every document, and the "
     "text is rebuilt from the surviving token positions. Catches the "
     "boundary-straddling and offset-shifted duplicates the fixed "
-    "10-word passage form (q81) structurally misses. The oracle "
+    "10-word passage form (q38) structurally misses. The oracle "
     "replays windows, frequency cut, position blacklist, and the "
     "ordered reconstruction value-for-value, cleaned text included.",
     tags=("dedup", "text", "llm-pipeline"),
 )
-def q05_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v05_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import trim_duplicate_spans
 
     docs = load(spark, sf_dir, "documents")
@@ -832,7 +832,7 @@ def q05_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q11_cluster_agreement",
+    "v11_cluster_agreement",
     f"""
     WITH RECURSIVE lshp AS (
         SELECT id_a, id_b FROM ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42)})
@@ -895,14 +895,14 @@ def q05_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic; ARI is NULL when the expected and maximum indices "
     "coincide (both partitions all-singletons). Above 10k docs both "
     "pipelines run on the same deterministic md5-sampled ~10k-doc "
-    "stratum (r54's convention: ground-truth evaluation is sampled at "
+    "stratum (q02's convention: ground-truth evaluation is sampled at "
     "scale, full-replayed at every driver/oracle SF).",
     tags=("dedup", "evaluation", "llm-pipeline"),
 )
-def q11_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v11_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # The exact n-gram side is evaluation ground truth exactly like
-    # r54's: full replay is super-linear in corpus density (sf1 measured
+    # q02's: full replay is super-linear in corpus density (sf1 measured
     # 53.5s on 10x sf0.1's data) and exists only to grade the sketch.
     # Past the bound, BOTH pipelines run on the same deterministic
     # md5-sampled document stratum (~10k docs): the metric becomes the

@@ -22,7 +22,7 @@ from . import query
 
 
 @query(
-    "q01_pricing_summary",
+    "v01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
@@ -41,7 +41,7 @@ from . import query
     "group-sums etl/run_transform.py:434-440.",
     tags=("agg", "filter"),
 )
-def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -61,7 +61,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q02_revenue_by_nation",
+    "v02_revenue_by_nation",
     """
     SELECT n.n_name AS nation, r.r_name AS region,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
@@ -77,7 +77,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Reference join chain: EDA.ipynb § 19-20; etl/run_transform.py:295-300.",
     tags=("join", "agg", "broadcast"),
 )
-def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -108,7 +108,7 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q03_segment_share",
+    "v03_segment_share",
     """
     SELECT r.r_name AS region,
            round(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
@@ -128,7 +128,7 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "F.when inside aggregation; share-of-total A2 (modelling/helpers.py:30-37).",
     tags=("agg", "conditional"),
 )
-def q03_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v03_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -151,7 +151,7 @@ def q03_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q04_priority_with_late_line",
+    "v04_priority_with_late_line",
     """
     SELECT o.o_orderpriority, count(*) AS order_count
     FROM orders o
@@ -164,7 +164,7 @@ def q03_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Semi-join P6 (isin → left_semi, M1.ipynb § 4) + agg. TPC-H Q4 shape.",
     tags=("semi-join", "agg"),
 )
-def q04_priority_with_late_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v04_priority_with_late_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     late = li.select("l_orderkey", "l_shipdate")
@@ -205,7 +205,7 @@ def r55_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q06_order_lag",
+    "v06_order_lag",
     """
     SELECT o_orderkey, o_custkey, o_orderdate,
            lag(o_orderdate) OVER w AS prev_orderdate,
@@ -217,7 +217,7 @@ def r55_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shift(1) per player). One shuffle on the entity key; frame-free lag.",
     tags=("window",),
 )
-def q06_order_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v06_order_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag("o_orderdate").over(w)
@@ -231,7 +231,7 @@ def q06_order_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q07_nation_revenue_rank",
+    "v07_nation_revenue_rank",
     """
     WITH nat_rev AS (
         SELECT n.n_regionkey, n.n_name,
@@ -250,7 +250,7 @@ def q06_order_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(no single-partition global window).",
     tags=("window", "rank"),
 )
-def q07_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v07_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -265,7 +265,7 @@ def q07_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q08_acctbal_deciles",
+    "v08_acctbal_deciles",
     """
     SELECT c_custkey, c_nationkey,
            (ntile(10) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))::INT AS bal_decile
@@ -275,14 +275,14 @@ def q07_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expressed as ntile(10) — the Spark-native form of manual quantile edges.",
     tags=("window", "quantile"),
 )
-def q08_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v08_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return cust.select("c_custkey", "c_nationkey", F.ntile(10).over(w).alias("bal_decile"))
 
 
 @query(
-    "q77_json_props",
+    "q35_json_props",
     """
     SELECT event_type,
            count(*) AS n,
@@ -297,7 +297,7 @@ def q08_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-parsing per query.",
     tags=("json", "agg"),
 )
-def q77_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy("event_type").agg(
@@ -308,7 +308,7 @@ def q77_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q72_decile_edges",
+    "q30_decile_edges",
     """
     WITH q AS (
         SELECT c_mktsegment,
@@ -325,7 +325,7 @@ def q77_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group quantile array → posexplode → lead window.",
     tags=("quantile", "window"),
 )
-def q72_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     probs = F.array(*[F.lit(i / 10.0) for i in range(10)])
     q = cust.groupBy("c_mktsegment").agg(
@@ -342,7 +342,7 @@ def q72_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q09_argmax_customer",
+    "v09_argmax_customer",
     """
     SELECT c_nationkey, c_custkey, c_name, c_acctbal
     FROM (
@@ -355,7 +355,7 @@ def q72_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl/additional_fifa.py:140-143,165-168) as row_number()=1.",
     tags=("window", "argmax"),
 )
-def q09_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v09_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
@@ -423,7 +423,7 @@ def r56_common_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q12_duplicate_pairs",
+    "v12_duplicate_pairs",
     """
     SELECT l_partkey, l_suppkey, count(*) AS n_lines
     FROM lineitem
@@ -434,7 +434,7 @@ def r56_common_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as group-count>1 diagnostics.",
     tags=("agg", "dedup"),
 )
-def q12_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v12_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_partkey", "l_suppkey")
@@ -449,7 +449,7 @@ def q12_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q13_asof_last_order",
+    "v13_asof_last_order",
     """
     SELECT event_id, user_id, ts, last_order_key, last_order_date
     FROM (
@@ -467,7 +467,7 @@ def q12_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the equivalent join+row_number spec.",
     tags=("asof", "window", "join"),
 )
-def q13_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v13_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     events = load(spark, sf_dir, "events")
     joined = asof_join(
@@ -516,7 +516,7 @@ def r46_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q78_asof_next_event",
+    "q36_asof_next_event",
     """
     SELECT o_orderkey, o_custkey, next_event_id, next_event_ts
     FROM (
@@ -533,7 +533,7 @@ def r46_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join+row_number spec.",
     tags=("asof", "window", "join"),
 )
-def q78_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     events = load(spark, sf_dir, "events")
     joined = asof_join(
@@ -563,7 +563,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 @query(
-    "q14_event_type_pivot",
+    "v14_event_type_pivot",
     """
     SELECT user_id,
            count(*) FILTER (WHERE event_type = 'click')    AS n_click,
@@ -577,7 +577,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "explicit category list (no extra distinct-discovery job).",
     tags=("pivot",),
 )
-def q14_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v14_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     piv = (
         ev.groupBy("user_id")
@@ -591,7 +591,7 @@ def q14_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q15_value_imputation",
+    "v15_value_imputation",
     """
     WITH base AS (
         SELECT event_id, user_id,
@@ -609,7 +609,7 @@ def q14_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast scalar join, not a single-partition window.",
     tags=("imputation", "window"),
 )
-def q15_value_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v15_value_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     base = ev.select(
         "event_id",
@@ -660,7 +660,7 @@ def r57_balance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q16_league_table",
+    "v16_league_table",
     """
     WITH f AS (
         SELECT o_orderkey % 25 AS away_id,
@@ -714,7 +714,7 @@ def r57_balance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "covered alone.",
     tags=("etl", "league-table", "capstone"),
 )
-def q16_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v16_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..etl.transform import build_league_table, build_team_results
 
     orders = load(spark, sf_dir, "orders")
@@ -807,7 +807,7 @@ def r39_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q19_corr_stats",
+    "v19_corr_stats",
     """
     SELECT l_returnflag,
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
@@ -820,7 +820,7 @@ def r39_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for pairwise corr.",
     tags=("stats",),
 )
-def q19_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v19_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
@@ -830,7 +830,7 @@ def q19_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q20_exact_quantiles",
+    "v20_exact_quantiles",
     """
     SELECT c_mktsegment,
            round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
@@ -844,7 +844,7 @@ def q19_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documented accuracy budget.",
     tags=("quantile", "agg"),
 )
-def q20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
         F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
@@ -855,11 +855,11 @@ def q20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r67_sampled_quantiles",
+    "q05_sampled_quantiles",
     """
     WITH keyed AS (
         SELECT l_returnflag, l_extendedprice,
-               ('0x' || substr(md5('r67:' || l_orderkey::VARCHAR || '-'
+               ('0x' || substr(md5('q05:' || l_orderkey::VARCHAR || '-'
                                    || l_linenumber::VARCHAR), 1, 8))::BIGINT
                    / 4294967296.0 < 0.05 AS in_sample
         FROM lineitem
@@ -889,7 +889,7 @@ def q20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sampled quantiles — the PORTABLE scale path for q69's quantile "
     "sketch, under the full value-hash gate: a deterministic md5 5% row "
     "sample (operators/dedup.py::md5_fraction on the line PK, salt "
-    "'r67:' — replayable in any engine, stable across partitionings) "
+    "'q05:' — replayable in any engine, stable across partitionings) "
     "feeds an exact interpolated percentile, side-by-side with the full "
     "exact percentile and the realized error. Where q69's "
     "percentile_approx is engine-specific KLL registers (rows-only by "
@@ -898,11 +898,11 @@ def q20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "columns drop away and the sample IS the profile: a p-fraction "
     "scan-side filter pushed to the parquet reader, sample-sized sort "
     "per group, error ~O(1/sqrt(p·n)) at the quantile density — the "
-    "same hash-sampling contract as q11's ARI stratum and r54's recall "
+    "same hash-sampling contract as q11's ARI stratum and q02's recall "
     "anchors.",
     tags=("quantile", "sketch", "sampling", "agg"),
 )
-def r67_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_fraction
 
     li = load(spark, sf_dir, "lineitem")
@@ -918,7 +918,7 @@ def r67_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = li.select(
         "l_returnflag",
         "l_extendedprice",
-        (md5_fraction(key, salt="r67:") < 0.05).alias("in_sample"),
+        (md5_fraction(key, salt="q05:") < 0.05).alias("in_sample"),
     )
     ex = keyed.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_exact"),
@@ -975,7 +975,7 @@ def r40_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q22_pk_quality",
+    "v22_pk_quality",
     """
     SELECT 'orders' AS tbl, count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_pk,
            count(*) FILTER (WHERE o_orderkey IS NULL) AS n_null_pk
@@ -991,7 +991,7 @@ def r40_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts as one unioned profile.",
     tags=("quality",),
 )
-def q22_pk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v22_pk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     o = orders.agg(
@@ -1019,8 +1019,8 @@ def q69_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, fixed memory per group — the scalable substitutes for q20's
     exact percentiles and exact countDistinct. The engine-internal registers
     are not DuckDB-replayable, so the same capability is covered under the
-    full value-hash gate by the PORTABLE sketches instead (r65/r66 KMV
-    distinct/resemblance, r67 sampled quantiles); this demo is pinned by
+    full value-hash gate by the PORTABLE sketches instead (q03/q04 KMV
+    distinct/resemblance, q05 sampled quantiles); this demo is pinned by
     tests/test_round5b_ext.py::TestSketchProfileDemo (determinism + error
     bounds vs exact, schema pinned).
     """
@@ -1034,7 +1034,7 @@ def q69_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q70_unpivot_metrics",
+    "q28_unpivot_metrics",
     """
     SELECT o_orderkey, metric, value
     FROM (
@@ -1052,7 +1052,7 @@ def q69_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "columns are read; output partitioning stays on the row key.",
     tags=("unpivot", "reshape"),
 )
-def q70_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
     wide = orders.select(
         "o_orderkey",
@@ -1064,7 +1064,7 @@ def q70_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q71_merge_upsert",
+    "q29_merge_upsert",
     """
     WITH updates AS (
         SELECT o_orderkey, 'P' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
@@ -1089,7 +1089,7 @@ def q70_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle disappears, and the anti-join variant handles delete rows.",
     tags=("upsert", "cdc", "merge"),
 )
-def q71_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
@@ -1110,7 +1110,7 @@ def q71_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q73_full_outer_activity",
+    "q31_full_outer_activity",
     """
     WITH cust_n AS (
         SELECT c_nationkey AS nationkey, count(*)::BIGINT AS n_customers
@@ -1131,7 +1131,7 @@ def q71_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join runs on two pre-shrunk group counts, not the raw tables.",
     tags=("join", "full-outer"),
 )
-def q73_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q31_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (
         load(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -1153,7 +1153,7 @@ def q73_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q75_vector_stats",
+    "q33_vector_stats",
     """
     SELECT vec_id,
            round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
@@ -1170,7 +1170,7 @@ def q73_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(normalization, clipping, quality filters) without leaving the scan.",
     tags=("array", "functions"),
 )
-def q75_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     sq_sum = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
@@ -1186,7 +1186,7 @@ def q75_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q76_rank_family",
+    "q34_rank_family",
     """
     SELECT o_orderkey, o_orderpriority,
            (rank() OVER w)::INT AS rnk,
@@ -1204,7 +1204,7 @@ def q75_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collapses same-spec window functions into a single Window node).",
     tags=("window", "rank"),
 )
-def q76_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return orders.select(
@@ -1235,7 +1235,7 @@ def q76_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     doc="CUBE aggregate — all 2^2 grouping sets in one shuffle (the "
-    "complement of q64's ROLLUP hierarchy): status x priority volume "
+    "complement of q23's ROLLUP hierarchy): status x priority volume "
     "matrix with subtotals on both axes and the grand total, grouping_id "
     "level marker.",
     tags=("cube", "agg"),
@@ -1257,7 +1257,7 @@ def r43_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q79_market_share",
+    "q37_market_share",
     """
     SELECT year(o.o_orderdate)::INT AS yr,
            round(sum(CASE WHEN sn.n_name = 'NATION_0'
@@ -1284,7 +1284,7 @@ def r43_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hint that would OOM at 100x.",
     tags=("join", "agg", "star"),
 )
-def q79_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")

@@ -15,7 +15,7 @@ _WORDS = f"string_split({_NORM}, ' ')"
 
 
 @query(
-    "q25_hash_sample",
+    "v25_hash_sample",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -26,7 +26,7 @@ _WORDS = f"string_split({_NORM}, ' ')"
     "unlike rand(); the pattern for stable sampled pipelines at scale.",
     tags=("sample",),
 )
-def q25_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v25_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.filter(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
@@ -34,7 +34,7 @@ def q25_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q57_cross_grid",
+    "q17_cross_grid",
     """
     SELECT r.r_name AS region, t.event_type,
            coalesce(c.n, 0) AS n_events
@@ -54,7 +54,7 @@ def q25_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcastable; the J8-at-scale variant lives in operators/fuzzy.py.",
     tags=("crossjoin",),
 )
-def q57_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     events = load(spark, sf_dir, "events")
     cust = load(spark, sf_dir, "customer")
@@ -82,7 +82,7 @@ def q57_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q65_stopword_removal",
+    "q24_stopword_removal",
     f"""
     SELECT doc_id,
            array_to_string(list_filter({_WORDS},
@@ -96,7 +96,7 @@ def q57_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path (StopWordsRemover covers the ML-pipeline path).",
     tags=("text",),
 )
-def q65_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.array(*[F.lit(w) for w in ("the", "a", "an", "of", "and", "or", "is", "to", "in")])
     docs = load(spark, sf_dir, "documents")
     w = words(F.col("text"))
@@ -110,7 +110,7 @@ def q65_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q66_keyword_flags",
+    "q25_keyword_flags",
     """
     SELECT doc_id,
            (text LIKE '%spark%')::INT AS has_spark,
@@ -123,7 +123,7 @@ def q65_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boolean feature columns.",
     tags=("text",),
 )
-def q66_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -134,7 +134,7 @@ def q66_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q28_tfidf",
+    "v28_tfidf",
     """
     WITH w AS (
         SELECT doc_id,
@@ -165,7 +165,7 @@ def q66_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window. Three keyed shuffles total: (doc,term), term, doc.",
     tags=("text", "tfidf"),
 )
-def q28_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v28_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     w = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term")).filter(
@@ -198,7 +198,7 @@ _STRATA_RATES = {
 
 
 @query(
-    "q67_stratified_sample",
+    "q26_stratified_sample",
     """
     SELECT o_orderkey, o_orderpriority, o_totalprice
     FROM orders
@@ -218,7 +218,7 @@ _STRATA_RATES = {
     "filter: no shuffle, pushes column pruning to the parquet scan.",
     tags=("sample", "stratified"),
 )
-def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     byte0 = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10).cast("int")
     threshold = F.when(F.lit(False), F.lit(0))
@@ -230,7 +230,7 @@ def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q68_group_sample_topk",
+    "q27_group_sample_topk",
     """
     SELECT user_id, event_id, event_type FROM (
         SELECT user_id, event_id, event_type,
@@ -247,7 +247,7 @@ def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "everywhere); one shuffle on the group key.",
     tags=("sample", "per-group"),
 )
-def q68_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q27_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     win = W.partitionBy("user_id").orderBy(
         F.md5(F.col("event_id").cast("string")), F.col("event_id")

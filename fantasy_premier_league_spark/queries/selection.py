@@ -151,7 +151,7 @@ def _bpe_round(src: str, k: int) -> str:
 
 
 @query(
-    "r03_bpe_merges",
+    "q10_bpe_merges",
     f"""
     WITH wc AS (
         SELECT word, count(*) AS n
@@ -184,7 +184,7 @@ def _bpe_round(src: str, k: int) -> str:
     "count desc, pair asc.",
     tags=("text", "tokenizer", "llm-pipeline"),
 )
-def r03_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return B.bpe_train_merges(docs, "doc_id", "text", n_merges=3)
 
@@ -236,7 +236,7 @@ def r03_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "marker-lexicon language ID x corpus-LM perplexity terciles "
     "(head/middle/tail) per language — the classic release layout where "
     "downstream consumers sample by quality band. Composes the q32 "
-    "langid and q89 unigram-LM operators; the only window is over "
+    "langid and q45 unigram-LM operators; the only window is over "
     "doc-level aggregates (one row per doc), ordered (bits_per_token, "
     "doc_id) so tercile assignment is engine-deterministic.",
     tags=("curation", "capstone", "llm-pipeline"),
@@ -306,7 +306,7 @@ def _merge_rep(k: int) -> str:
 
 
 @query(
-    "r05_bpe_apply",
+    "q11_bpe_apply",
     f"""
     WITH {_BPE_TRAIN_CTES},
     enc AS (
@@ -330,7 +330,7 @@ def _merge_rep(k: int) -> str:
            END AS compression
     FROM ap GROUP BY doc_id
     """,
-    doc="Train-then-apply BPE end to end: the 3 merges learned by r03 are "
+    doc="Train-then-apply BPE end to end: the 3 merges learned by q10 are "
     "applied (in learned order) to every document and the per-document "
     "token count and compression vs character-level tokenization come "
     "back. The learned merge table is the only driver state (3 rows — "
@@ -340,7 +340,7 @@ def _merge_rep(k: int) -> str:
     "checked.",
     tags=("text", "tokenizer", "llm-pipeline"),
 )
-def r05_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     merges = [
         (r["left_tok"], r["right_tok"])
@@ -569,7 +569,7 @@ def _cluster_split_oracle() -> str:
 
 
 @query(
-    "q47_cluster_safe_split",
+    "v47_cluster_safe_split",
     _cluster_split_oracle(),
     doc="Contamination-safe train/valid split: near-duplicate documents "
     "must never straddle the split (a valid doc with a train near-dup "
@@ -581,7 +581,7 @@ def _cluster_split_oracle() -> str:
     "leakage-safety property is value-hash checked.",
     tags=("dedup", "split", "llm-pipeline"),
 )
-def q47_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v47_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
     from ..operators.dedup import portable_hash32
 
@@ -687,7 +687,7 @@ def r10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q17_triangle_stats",
+    "v17_triangle_stats",
     """
     WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
     raw AS (
@@ -739,7 +739,7 @@ def r10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29 component closure.",
     tags=("graph", "analytics"),
 )
-def q17_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v17_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import co_occurrence_edges, triangle_stats
 
     li = load(spark, sf_dir, "lineitem")
@@ -791,7 +791,7 @@ def r12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q18_prefix_jaccard",
+    "v18_prefix_jaccard",
     f"""
     WITH sh AS (
         SELECT DISTINCT id, shingle FROM (
@@ -829,7 +829,7 @@ def r12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket blow-up WITHOUT the recall loss of max_doc_freq blocking.",
     tags=("dedup", "jaccard", "prefix-filter", "llm-pipeline"),
 )
-def q18_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v18_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     docs = load(spark, sf_dir, "documents")
@@ -854,7 +854,7 @@ _LPA_ITER = """c{t} AS (
 
 
 @query(
-    "q21_label_communities",
+    "v21_label_communities",
     f"""
     WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
     e AS (
@@ -880,7 +880,7 @@ _LPA_ITER = """c{t} AS (
     "persisted node set (asymmetric lists are safe).",
     tags=("graph", "iterative", "communities"),
 )
-def q21_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v21_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import co_occurrence_edges, label_propagation
 
     li = load(spark, sf_dir, "lineitem")
@@ -1137,7 +1137,7 @@ def r20_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r65_kmv_distinct",
+    "q03_kmv_distinct",
     """
     WITH h AS (
         SELECT DISTINCT o_orderpriority,
@@ -1189,7 +1189,7 @@ def r20_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against the exact recount (~1/sqrt(k-2) ≈ 6%).",
     tags=("agg", "incremental", "sketch", "llm-pipeline"),
 )
-def r65_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q03_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import incremental as INC
 
     od = load(spark, sf_dir, "orders")
@@ -1217,7 +1217,7 @@ def r65_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r66_kmv_resemblance",
+    "q04_kmv_resemblance",
     f"""
     WITH t AS (SELECT source, {_WORDS} AS w FROM documents),
     d AS (
@@ -1285,7 +1285,7 @@ def r65_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "putting approximate set arithmetic under the value-hash gate.",
     tags=("sketch", "dedup", "curation", "llm-pipeline"),
 )
-def r66_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q04_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
     from ..operators import incremental as INC
 
@@ -1339,7 +1339,7 @@ def r66_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r21_ab_conversion_test",
+    "q14_ab_conversion_test",
     """
     WITH pu AS (
         SELECT user_id,
@@ -1388,7 +1388,7 @@ def r66_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "yield null z and flag 0. The event log is scanned exactly once.",
     tags=("events", "experiment", "analytics"),
 )
-def r21_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.experiment import ab_conversion_ztest, assign_arm
 
     ev = load(spark, sf_dir, "events")
@@ -1676,7 +1676,7 @@ def r28_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r29_cuped_ab_test",
+    "q15_cuped_ab_test",
     """
     WITH pu AS (
         SELECT user_id,
@@ -1741,12 +1741,12 @@ def r28_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     "experiment-period conversion (day >= 28) is adjusted by their "
     "PRE-period activity count (day < 28) — y - θ(x - x̄), θ = "
     "cov/var fit on the pooled population — the modern experimentation "
-    "stack's sensitivity lever on top of r21's plain z-test. The whole "
+    "stack's sensitivity lever on top of q14's plain z-test. The whole "
     "computation reduces to integer sufficient statistics (exact in "
     "doubles), so both engines agree bit-for-bit before rounding.",
     tags=("events", "experiment", "cuped", "analytics"),
 )
-def r29_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.experiment import assign_arm, cuped_adjusted_ab
 
     ev = load(spark, sf_dir, "events")
@@ -2027,7 +2027,7 @@ def r35_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(score desc, user asc — deterministic through ties), per-decile "
     "conversion rate, cumulative gains, and lift vs the base rate — the "
     "targeting-model evaluation every campaign readout uses, joining "
-    "r29's CUPED and r21's z-test in the experimentation family. All "
+    "q15's CUPED and q14's z-test in the experimentation family. All "
     "counts exact integers; the decile cut is two-phase global_ntile + "
     "ntile's closed form (no users-sized single-partition window — only "
     "the numPartitions-row offsets frame and the 10-row gains frame are "
@@ -2118,11 +2118,11 @@ def r36_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_sess GROUP BY entry_type
     """,
     doc="Session entry-point analysis: sessions grouped by their FIRST "
-    "event type (deterministic (us, event_id) order inside the q63 "
+    "event type (deterministic (us, event_id) order inside the q22 "
     "gaps-and-islands sessions), with bounce rate (single-event "
     "sessions) and mean session length per entry type — the "
     "landing-page quality readout, composed from the same sessionize "
-    "operator q63 checks. All shuffles share the user key until the "
+    "operator q22 checks. All shuffles share the user key until the "
     "final entry-type rollup (cardinality = event types).",
     tags=("events", "sessionization", "analytics"),
 )

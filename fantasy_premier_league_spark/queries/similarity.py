@@ -151,7 +151,7 @@ def _lsh_oracle(n_planes: int, k: int, seed: int, n_tables: int = 1) -> str:
 
 
 @query(
-    "q50_cosine_topk",
+    "v50_cosine_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -170,7 +170,7 @@ def _lsh_oracle(n_planes: int, k: int, seed: int, n_tables: int = 1) -> str:
     "rounded cosine with id tie-break so results are engine-stable.",
     tags=("similarity", "ann"),
 )
-def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=3)
@@ -233,7 +233,7 @@ def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q54_ivf_topk",
+    "q16_ivf_topk",
     _ivf_lloyd_oracle(
         n_centroids=16, n_probe=4, iters=8, k=3, sample=32_768,
         query_pred="e.vec_id < 10",
@@ -251,7 +251,7 @@ def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— divergence needs a 1-ulp coincidence; see _local_lloyds.",
     tags=("similarity", "ann", "ivf"),
 )
-def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q16_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     # the predicate bounds the batch at 10 rows — pass the bound so the
@@ -289,7 +289,7 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF ANN with deterministic data-derived cells (16 lowest-id "
     "vectors as seeds, rounded-L2 assignment, 4-cell probe, exact cosine "
     "rerank) — the oracle replays cells, probes, and rerank exactly. Same "
-    "partition-pruning shape as the KMeans-trained q54.",
+    "partition-pruning shape as the KMeans-trained q16.",
     tags=("similarity", "ann", "ivf"),
 )
 def q56_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +345,7 @@ def _semantic_dedup_oracle(
 
 
 @query(
-    "q10_semantic_dedup",
+    "v10_semantic_dedup",
     _semantic_dedup_oracle(
         n_clusters=_DERIVED_K_SQL, iters=8, threshold=0.35, sample=32_768
     ),
@@ -366,7 +366,7 @@ def _semantic_dedup_oracle(
     "divergence needs a 1-ulp coincidence; see _local_lloyds.",
     tags=("similarity", "dedup", "semantic", "llm-pipeline"),
 )
-def q10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding",
@@ -521,7 +521,7 @@ def q52_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q26_pq_topk",
+    "v26_pq_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     js AS (SELECT unnest(generate_series(0, 7)) AS j),
@@ -563,14 +563,14 @@ def q52_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replays codebook, encoding, ADC, and ranking value-for-value.",
     tags=("similarity", "ann", "pq", "pandas-udf"),
 )
-def q26_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v26_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.pq_topk(emb, queries, k=3, m=8, k_codes=16)
 
 
 @query(
-    "q39_ivf_pq_topk",
+    "v39_ivf_pq_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (SELECT vec_id AS cell, v AS sv FROM e ORDER BY vec_id LIMIT 16),
@@ -646,7 +646,7 @@ def q26_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-for-value.",
     tags=("similarity", "ann", "ivf", "pq", "composition"),
 )
-def q39_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v39_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_pq_topk(
@@ -655,7 +655,7 @@ def q39_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q38_hybrid_rrf",
+    "v38_hybrid_rrf",
     f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word FROM documents
@@ -715,7 +715,7 @@ def q39_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replays lexical ranking, semantic ranking, and fusion exactly.",
     tags=("similarity", "retrieval", "rrf", "llm-pipeline"),
 )
-def q38_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v38_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textstats
     from ..operators.retrieval import rrf_fuse_topk
 
@@ -736,7 +736,7 @@ def q38_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q46_embedding_dup_clusters",
+    "v46_embedding_dup_clusters",
     """
     WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     pairs AS (
@@ -769,7 +769,7 @@ def q38_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "checked too.",
     tags=("similarity", "dedup", "graph", "iterative"),
 )
-def q46_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v46_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     emb = load(spark, sf_dir, "embeddings")

@@ -18,7 +18,7 @@ _WORDS = f"string_split({_NORM}, ' ')"
 
 # MLlib's default English stop-word list (StopWordsRemover.
 # loadDefaultStopWords("english") — org/apache/spark/ml/feature/stopwords/
-# english.txt), embedded so the q62 oracle can replay the topic pipeline's
+# english.txt), embedded so the q21 oracle can replay the topic pipeline's
 # pre-LDA stages in DuckDB without a JVM. Pinned against the live list in
 # tests/test_fifa_ml_extras.py so an MLlib upgrade cannot drift silently.
 MLLIB_EN_STOPWORDS = (
@@ -51,7 +51,7 @@ _SW_SQL = ", ".join("'" + w.replace("'", "''") + "'" for w in MLLIB_EN_STOPWORDS
 
 
 @query(
-    "q30_token_stats",
+    "v30_token_stats",
     f"""
     WITH t AS (
         SELECT doc_id, {_NORM} AS norm, {_WORDS} AS w FROM documents
@@ -68,13 +68,13 @@ _SW_SQL = ", ".join("'" + w.replace("'", "''") + "'" for w in MLLIB_EN_STOPWORDS
     "a training-data pipeline). Pure Column exprs — codegen'd scan.",
     tags=("text",),
 )
-def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.token_stats(docs, "doc_id", "text")
 
 
 @query(
-    "q31_quality_score",
+    "v31_quality_score",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents)
     SELECT doc_id,
@@ -90,13 +90,13 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repetition) — deterministic and SQL-checkable.",
     tags=("text",),
 )
-def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.quality_score(docs, "doc_id", "text")
 
 
 @query(
-    "q32_langid",
+    "v32_langid",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     s AS (
@@ -119,7 +119,7 @@ def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(n-gram-heuristic langid, SQL-expressible form).",
     tags=("text", "langid"),
 )
-def q32_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v32_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.langid(docs, "doc_id", "text")
 
@@ -140,7 +140,7 @@ def r45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q74_word_counts",
+    "q32_word_counts",
     f"""
     SELECT w AS word, count(*) AS n
     FROM (SELECT unnest({_WORDS}) AS w FROM documents)
@@ -151,7 +151,7 @@ def r45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus word frequencies via explode + hash agg (map-side combine).",
     tags=("text", "explode"),
 )
-def q74_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(words(F.col("text"))).alias("word"))
@@ -199,7 +199,7 @@ def q74_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "standard repetitiveness/diversity diagnostic a curation pipeline "
     "reads before weighting a source (a templated or boilerplate-heavy "
     "domain shows a collapsed distinct-2 long before perplexity "
-    "filters flag it; complements q82's per-document repetition score "
+    "filters flag it; complements q39's per-document repetition score "
     "with a corpus-level view). Scale shape: two (source, gram) "
     "aggregates with map-side partial counts — bounded group keys, "
     "nothing corpus-sized past the first shuffle.",
@@ -271,7 +271,7 @@ def r59_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-domain document-LENGTH drift: the exact two-sample KS "
     "statistic between each source's token-length distribution and the "
-    "corpus-wide one — the sibling of r51's token-distribution KL for "
+    "corpus-wide one — the sibling of q08's token-distribution KL for "
     "the length axis (a source of fragments or concatenated pages "
     "shifts lengths before it shifts vocabulary). Exact sup over the "
     "union of jump points: both ECDFs are step functions, so the "
@@ -331,7 +331,7 @@ def r60_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q62_topic_features",
+    "q21_topic_features",
     f"""
     WITH cleaned AS (
         SELECT doc_id,
@@ -380,7 +380,7 @@ def r60_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(tests/test_fifa_ml_extras.py).",
     tags=("text", "ml", "lda"),
 )
-def q62_topic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_topic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.text import topic_features
 
     docs = load(spark, sf_dir, "documents")
@@ -396,7 +396,7 @@ def q62_topic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q35_binary_meta",
+    "v35_binary_meta",
     """
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
@@ -409,7 +409,7 @@ def q62_topic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/multimodal.py (mapInPandas, stubbed decoders).",
     tags=("multimodal",),
 )
-def q35_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v35_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
@@ -421,7 +421,7 @@ def q35_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q49_bm25_retrieval",
+    "v49_bm25_retrieval",
     f"""
     WITH tok AS (
         SELECT doc_id, unnest({_WORDS}) AS word FROM documents
@@ -443,13 +443,13 @@ def q35_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="BM25 lexical retrieval (operators/textstats.py::bm25_scores, "
     "k1=1.2, b=0.75, Lucene idf): every document scored against the "
     "corpus's top-3-df terms — the keyword half of a hybrid-retrieval "
-    "pipeline (the embedding half is q50-q57). Postings from two "
+    "pipeline (the embedding half is q50-q17). Postings from two "
     "partial-agg shuffles of the token stream; the query-term table and "
     "the N/avgdl scalars broadcast, so scoring touches only matching "
     "postings. No UDFs, no collect.",
     tags=("text", "retrieval", "llm-pipeline"),
 )
-def q49_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v49_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.bm25_scores(docs, "doc_id", "text", n_query_terms=3)
 
@@ -517,7 +517,7 @@ def q97_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q58_bpe_token_count",
+    "q18_bpe_token_count",
     f"""
     SELECT doc_id,
            len(regexp_extract_all({_NORM},
@@ -536,13 +536,13 @@ def q97_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pre-tokens further). One regexp_extract_all, zero shuffles.",
     tags=("text", "tokenization", "llm-pipeline"),
 )
-def q58_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.bpe_token_count(docs, "doc_id", "text")
 
 
 @query(
-    "r51_domain_kl",
+    "q08_domain_kl",
     f"""
     WITH toks AS (
         SELECT source AS grp, unnest({_WORDS}) AS tok FROM documents
@@ -586,13 +586,13 @@ def q58_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines (ln appears only inside the rounded KL sum).",
     tags=("text", "curation", "llm-pipeline"),
 )
-def r51_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.domain_kl_divergence(docs, "source", "text", smoothing=0.5, top_tokens=5)
 
 
 @query(
-    "r52_oov_rate",
+    "q09_oov_rate",
     f"""
     WITH toks AS (
         SELECT source AS grp, unnest({_WORDS}) AS tok FROM documents
@@ -620,6 +620,6 @@ def r51_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semi-join against the bounded (domain, token) aggregate.",
     tags=("text", "tokenization", "llm-pipeline"),
 )
-def r52_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.oov_rate(docs, "source", "text", vocab_size=1000)

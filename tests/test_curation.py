@@ -1,5 +1,5 @@
 """Curation operators: decontamination, PII scrub, packing, mixing,
-containment — unit-level edge cases the q83–q87 oracles don't isolate."""
+containment — unit-level edge cases the q40–q44 oracles don't isolate."""
 
 from __future__ import annotations
 

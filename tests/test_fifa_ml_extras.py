@@ -100,10 +100,10 @@ class TestTopicModel:
         assert out.filter(F.col("text_clean").contains("%")).count() == 0
 
     def test_embedded_stopword_list_matches_mllib(self, spark):
-        # q62's DuckDB oracle replays StopWordsRemover with a hardcoded
+        # q21's DuckDB oracle replays StopWordsRemover with a hardcoded
         # copy of MLlib's english list (no JVM in the oracle) — an MLlib
         # upgrade that changes the resource must fail HERE, not as a
-        # silent q62 hash mismatch
+        # silent q21 hash mismatch
         from pyspark.ml.feature import StopWordsRemover
 
         from fantasy_premier_league_spark.queries.text import MLLIB_EN_STOPWORDS

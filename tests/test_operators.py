@@ -756,7 +756,7 @@ class TestBpeTokenCount:
 
         from fantasy_premier_league_spark.queries import all_queries
 
-        q = all_queries()["q58_bpe_token_count"]
+        q = all_queries()["q18_bpe_token_count"]
         docs = spark.createDataFrame(
             [
                 (1, "o' brien met rock 'n roll"),
@@ -1000,7 +1000,7 @@ class TestContainmentLsh:
 class TestMd5Fraction:
     def test_matches_duckdb_and_salts_are_independent(self, spark):
         # the shared hash-sampling primitive behind q11's ARI stratum and
-        # r54's containment anchors: (a) the Spark expression must equal
+        # q02's containment anchors: (a) the Spark expression must equal
         # the documented portable SQL form an oracle would run, (b)
         # fractions must lie in [0, 1), (c) distinct salts must give
         # different strata over the same keys (the q11 CI measurement

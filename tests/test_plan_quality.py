@@ -23,25 +23,25 @@ def plan_of(spark, name: str) -> str:
 
 class TestPushdownAndPruning:
     def test_q01_filter_pushed_to_scan(self, spark):
-        plan = plan_of(spark, "q01_pricing_summary")
+        plan = plan_of(spark, "v01_pricing_summary")
         assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
 
     def test_q01_column_pruning(self, spark):
-        plan = plan_of(spark, "q01_pricing_summary")
+        plan = plan_of(spark, "v01_pricing_summary")
         # ReadSchema must not include unused columns like l_comment/l_orderkey
         read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
         assert "l_partkey" not in read_schema and "l_orderkey" not in read_schema
         assert "l_quantity" in read_schema
 
     def test_q25_sample_filter_not_blocking_pruning(self, spark):
-        plan = plan_of(spark, "q25_hash_sample")
+        plan = plan_of(spark, "v25_hash_sample")
         read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
         assert "o_orderdate" not in read_schema  # only 3 columns read
 
 
 class TestJoinStrategies:
     def test_q02_all_dim_joins_broadcast(self, spark):
-        plan = plan_of(spark, "q02_revenue_by_nation")
+        plan = plan_of(spark, "v02_revenue_by_nation")
         assert "SortMergeJoin" not in plan
         assert plan.count("BroadcastHashJoin") >= 3
 
@@ -50,7 +50,7 @@ class TestJoinStrategies:
         assert "LeftAnti" in plan
 
     def test_q13_asof_is_single_window_no_join(self, spark):
-        plan = plan_of(spark, "q13_asof_last_order")
+        plan = plan_of(spark, "v13_asof_last_order")
         # union-merge form: a Window over a union — no join node at all
         assert "Join" not in plan
         assert "Window" in plan
@@ -59,7 +59,7 @@ class TestJoinStrategies:
 
 class TestCodegenAndCaching:
     def test_q01_whole_stage_codegen(self, spark):
-        q = all_queries()["q01_pricing_summary"]
+        q = all_queries()["v01_pricing_summary"]
         df = q.fn(spark, SF)
         df.collect()  # AQE finalizes the plan only on execution
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -72,7 +72,7 @@ class TestCodegenAndCaching:
         # cache (InMemoryTableScan) or, since round 7, an RDD-layer
         # checkpoint (Scan ExistingRDD; the columnar encoder's array cost is
         # documented at cache.tracked_materialize) — never rebuilt from text
-        plan = plan_of(spark, "q42_minhash_lsh_pairs")
+        plan = plan_of(spark, "v42_minhash_lsh_pairs")
         assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
         assert "Scan parquet" not in plan
 
@@ -84,18 +84,18 @@ class TestNewOperatorPlans:
         # the dominant cost at scale
         import re
 
-        plan = plan_of(spark, "q63_sessionization")
+        plan = plan_of(spark, "q22_sessionization")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
 
     def test_q27_range_join_is_hash_not_nested_loop(self, spark):
         # the whole point of the bucketed rewrite: the interval predicate
         # must NOT plan as BroadcastNestedLoopJoin
-        plan = plan_of(spark, "q27_attribution_window")
+        plan = plan_of(spark, "v27_attribution_window")
         assert "BroadcastNestedLoopJoin" not in plan
         assert "HashJoin" in plan or "SortMergeJoin" in plan
 
     def test_q64_rollup_dims_broadcast(self, spark):
-        plan = plan_of(spark, "q64_rollup_revenue")
+        plan = plan_of(spark, "q23_rollup_revenue")
         # nation+region carry explicit hints; customer may still be
         # broadcast here because AQE/stats sees a tiny table at this SF —
         # that is graceful, the forced-hint check below is the scale gate
@@ -106,14 +106,14 @@ class TestNewOperatorPlans:
         # an explicit broadcast() hint overrides AQE and is a guaranteed
         # OOM once customer outgrows the executors; only the genuinely
         # bounded dims (nation, region) may carry a hint
-        q = all_queries()["q64_rollup_revenue"]
+        q = all_queries()["q23_rollup_revenue"]
         opt = q.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
         hints = [l for l in opt.splitlines() if "strategy=broadcast" in l]
         assert len(hints) == 2
         assert all("n_nationkey" in h or "r_regionkey" in h for h in hints)
 
     def test_q79_no_forced_broadcast_of_customer_supplier(self, spark):
-        q = all_queries()["q79_market_share"]
+        q = all_queries()["q37_market_share"]
         opt = q.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
         hints = [l for l in opt.splitlines() if "strategy=broadcast" in l]
         # only the two nation role-aliases are hinted
@@ -125,7 +125,7 @@ class TestNewOperatorPlans:
         # aggregate branch: the explode+groupBy must appear ONCE
         import re
 
-        plan = plan_of(spark, "q28_tfidf")
+        plan = plan_of(spark, "v28_tfidf")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 3
         assert plan.count("Generate explode") == 1
 
@@ -177,7 +177,7 @@ class TestNewOperatorPlans:
         # one exchange
         import re
 
-        plan = plan_of(spark, "q76_rank_family")
+        plan = plan_of(spark, "q34_rank_family")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
 
 
@@ -187,7 +187,7 @@ class TestCurationPlans:
         # Exchange, no Python anywhere
         import re
 
-        plan = plan_of(spark, "q84_pii_scrub")
+        plan = plan_of(spark, "q41_pii_scrub")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 0
         assert "Python" not in plan
 
@@ -196,12 +196,12 @@ class TestCurationPlans:
         # exchange on the (source, bucket) key
         import re
 
-        plan = plan_of(spark, "q85_sequence_packing")
+        plan = plan_of(spark, "q42_sequence_packing")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
         assert plan.count("Window") == 1
 
     def test_q83_decontaminate_no_cartesian(self, spark):
-        plan = plan_of(spark, "q83_decontaminate")
+        plan = plan_of(spark, "q40_decontaminate")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
@@ -220,7 +220,7 @@ class TestCurationPlans:
         # the fusion stage joins two top-k-sized frames: everything stays
         # JVM-side and the only nested-loop is the bounded query x lex-20
         # broadcast fan-out, never an unbounded cartesian
-        plan = plan_of(spark, "q38_hybrid_rrf")
+        plan = plan_of(spark, "v38_hybrid_rrf")
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
 
@@ -228,7 +228,7 @@ class TestCurationPlans:
         # the composition must not degenerate: no Python (the ADC lookup is
         # a broadcast hash join, not a UDF), and the only nested-loop join
         # is the bounded corpus x 16-seed fan-out (which AQE broadcasts)
-        plan = plan_of(spark, "q39_ivf_pq_topk")
+        plan = plan_of(spark, "v39_ivf_pq_topk")
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
 
@@ -238,7 +238,7 @@ class TestRound4OperatorPlans:
         # tokenize + sequence + explode + slice is a narrow pipeline: any
         # Exchange here is a planning regression (the fan-out must stay on
         # the document's input partition)
-        plan = plan_of(spark, "q94_token_chunks")
+        plan = plan_of(spark, "q49_token_chunks")
         assert "Exchange" not in plan
         assert "Generate explode" in plan
 
@@ -255,7 +255,7 @@ class TestRound4OperatorPlans:
     def test_q95_temperature_mix_broadcast_totals(self, spark):
         # the scalar totals must come back as a broadcast (1-row cross
         # join), never a shuffle of the grouped frame against itself
-        plan = plan_of(spark, "q95_temperature_mix")
+        plan = plan_of(spark, "q50_temperature_mix")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
@@ -287,12 +287,12 @@ class TestRound5ExtensionPlans:
         # training happens at plan-build time (bounded readbacks); the
         # returned tokenize-the-corpus pass must be a pure narrow scan —
         # an Exchange here means the apply stage acquired a shuffle
-        plan = plan_of(spark, "r05_bpe_apply")
+        plan = plan_of(spark, "q11_bpe_apply")
         assert "Exchange" not in plan
         assert "Python" not in plan
 
     def test_r08_split_no_cartesian(self, spark):
-        plan = plan_of(spark, "q47_cluster_safe_split")
+        plan = plan_of(spark, "v47_cluster_safe_split")
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
 
@@ -300,7 +300,7 @@ class TestRound5ExtensionPlans:
         # candidate generation is an equi-join on the prefix postings and
         # verification is array_intersect codegen — no quadratic node, no
         # Python anywhere
-        plan = plan_of(spark, "q18_prefix_jaccard")
+        plan = plan_of(spark, "v18_prefix_jaccard")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Python" not in plan

@@ -188,7 +188,7 @@ class TestTrainApplyAndRecall:
     def test_r05_apply_invariants(self, spark):
         from fantasy_premier_league_spark.queries import all_queries
 
-        rows = all_queries()["r05_bpe_apply"].fn(spark, "/root/testdata/sf0.001").collect()
+        rows = all_queries()["q11_bpe_apply"].fn(spark, "/root/testdata/sf0.001").collect()
         assert rows
         for r in rows:
             assert 0 < r["n_tokens_bpe"] <= r["n_chars"]
@@ -225,7 +225,7 @@ class TestClusterSafeSplit:
         sf = "/root/testdata/sf0.001"
         split = {
             r["doc_id"]: r["split"]
-            for r in all_queries()["q47_cluster_safe_split"].fn(spark, sf).collect()
+            for r in all_queries()["v47_cluster_safe_split"].fn(spark, sf).collect()
         }
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         assert len(split) == docs.count()

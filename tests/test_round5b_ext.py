@@ -1059,7 +1059,7 @@ class TestStarConnectedComponents:
 
 
 class TestKmvDistinct:
-    """r65's sketch: build/merge/estimate laws the oracle also pins, plus
+    """q03's sketch: build/merge/estimate laws the oracle also pins, plus
     the edges the driver corpus can't reach (tiny k, empty parts)."""
 
     def _df(self, spark):
@@ -1127,7 +1127,7 @@ class TestKmvDistinct:
 
 
 class TestKmvResemblance:
-    """r66's estimator edges: identical sets -> 1.0, disjoint sets -> 0."""
+    """q04's estimator edges: identical sets -> 1.0, disjoint sets -> 0."""
 
     def _pair_est(self, spark, rows_a, rows_b):
         from pyspark.sql import functions as F
@@ -1230,7 +1230,7 @@ class TestKmvNullSafety:
 class TestSketchProfileDemo:
     """q69_sketch_profile was demoted from the registry in round 11 (its
     engine-internal HLL/KLL registers can't be DuckDB-replayed; the portable
-    r65/r66/r67 sketches carry the capability under the value-hash gate).
+    q03/q04/q05 sketches carry the capability under the value-hash gate).
     This pins the demo itself: stable schema/rowset, run-to-run determinism,
     and the published error bounds against exact aggregates."""
 

@@ -451,6 +451,34 @@ class TestBloomPrune:
         bound = (1 - math.exp(-k * n / m)) ** k
         assert hits / 2000 < 2.5 * bound  # realized fp near the published bound
 
+    def test_null_keys_follow_equi_join_semantics(self, spark):
+        """ADVICE r11: md5(NULL) is NULL, so a NULL build key can set no
+        bits and a NULL probe key can match none — pin the documented
+        contract: NULLs are dropped from the build, probe NULL is a
+        deterministic False (never NULL, never a crash), and non-NULL
+        keys are unaffected by NULLs in either input."""
+        from fantasy_premier_league_spark.operators import bloom as B
+
+        build = spark.createDataFrame(
+            [("a",), (None,), ("b",)], "k string"
+        )
+        mask = B.bloom_build(build, "k", m_bits=256, k_hashes=3, salt="t:")
+        mask_without_null = B.bloom_build(
+            build.where("k IS NOT NULL"), "k", m_bits=256, k_hashes=3, salt="t:"
+        )
+        assert sorted(map(tuple, mask.collect())) == sorted(
+            map(tuple, mask_without_null.collect())
+        )
+        probe = spark.createDataFrame([("a",), (None,), ("zz",)], "k string")
+        out = {
+            r["k"]: r["bloom_hit"]
+            for r in B.bloom_probe_keys(
+                probe, "k", mask, m_bits=256, k_hashes=3, salt="t:"
+            ).collect()
+        }
+        assert out["a"] is True
+        assert out[None] is False  # SQL equi-join: NULL matches nothing
+
     def test_mask_rejects_unaligned_m(self, spark):
         import pytest as _pytest
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Per-query micro-bench under bench discipline (release between runs).
 
-Usage: python tools/microbench.py q83_decontaminate q37_lsh_recall_eval [-n 3]
+Usage: python tools/microbench.py q40_decontaminate v37_lsh_recall_eval [-n 3]
 Times each named query at $SPARK_GRAFT_SF_DIR (default sf0.1) via the noop
 sink, releasing operator caches between runs, and prints per-run + median
 seconds. The first run of the session is JVM-cold; runs after the warmup
@@ -32,7 +32,7 @@ def main() -> None:
     spark = get_spark("microbench")
     registry = all_queries()
     # JVM/parquet-footer warmup, mirrors bench.py
-    registry["q01_pricing_summary"].fn(spark, args.sf_dir).write.mode("overwrite").format("noop").save()
+    registry["v01_pricing_summary"].fn(spark, args.sf_dir).write.mode("overwrite").format("noop").save()
     for name in args.names:
         q = registry[name]
         runs = []

@@ -4,7 +4,7 @@
 For every registered query, compile the plan at the given sf dir and
 tabulate the properties the 100 TB arguments rest on. Compilation is
 normally execution-free, but queries with plan-build-time driver state
-execute bounded jobs while their plan is built (r05_bpe_apply runs its
+execute bounded jobs while their plan is built (q11_bpe_apply runs its
 3-round BPE training collect; the q48/q21/r41 graph builders run their
 node-stat probes and eager lineage checkpoints; q18's dispatch probe
 materializes its shingle index) — the audit is therefore slower than a
@@ -35,14 +35,14 @@ from fantasy_premier_league_spark.session import get_spark
 #: queries whose plan legitimately contains a Python node (the one pandas
 #: UDF family and the mapInPandas scans) — anything else is a regression
 KNOWN_PYTHON = {
-    "q26_pq_topk",  # ADC scan: mapInPandas over the encoded corpus
+    "v26_pq_topk",  # ADC scan: mapInPandas over the encoded corpus
     "q51_cosine_topk_block",  # blocked-BLAS matmul: mapInPandas
     "q53_embedding_near_dups",  # block pair grid: applyInPandas (was
     # invisible before round 10 — FlatMapGroupsInPandas matched none of
     # the old substrings, so the applyInPandas family escaped the audit)
-    "q10_semantic_dedup",  # per-cell tiled-BLAS pairing: applyInPandas
-    "q61_multimodal_features",  # image decode UDF stage
-    "q80_frame_samples",  # frame-sampling UDF stage
+    "v10_semantic_dedup",  # per-cell tiled-BLAS pairing: applyInPandas
+    "q12_multimodal_features",  # image decode UDF stage
+    "q13_frame_samples",  # frame-sampling UDF stage
     "r31_compression_quality",  # zlib ratio: mapInPandas by necessity
 }
 

@@ -25,46 +25,46 @@ from fantasy_premier_league_spark.queries import all_queries
 from fantasy_premier_league_spark.session import get_spark
 
 HEAVY = [
-    "q29_dedup_clusters",
-    "q41_ngram_jaccard_pairs",
-    "q42_minhash_lsh_pairs",
-    "q44_incremental_dedup",
+    "v29_dedup_clusters",
+    "v41_ngram_jaccard_pairs",
+    "v42_minhash_lsh_pairs",
+    "v44_incremental_dedup",
     "q53_embedding_near_dups",
-    "q39_ivf_pq_topk",
-    "q48_part_pagerank",
+    "v39_ivf_pq_topk",
+    "v48_part_pagerank",
 ]
 
 #: rows at sf1 / rows at sf0.1 for the table each query is bound by
 DATA_FACTOR = {
-    "q29_dedup_clusters": 10.0,
-    "q41_ngram_jaccard_pairs": 10.0,
-    "q42_minhash_lsh_pairs": 10.0,
-    "q44_incremental_dedup": 10.0,
+    "v29_dedup_clusters": 10.0,
+    "v41_ngram_jaccard_pairs": 10.0,
+    "v42_minhash_lsh_pairs": 10.0,
+    "v44_incremental_dedup": 10.0,
     "q53_embedding_near_dups": 4.0,
-    "q39_ivf_pq_topk": 4.0,
-    "q48_part_pagerank": 10.0,
+    "v39_ivf_pq_topk": 4.0,
+    "v48_part_pagerank": 10.0,
     # round-5 extensions: documents-bound = 10x, embeddings-bound = 4x
     "r01_dsir_weights": 10.0,
     "r02_int8_quantize": 4.0,
-    "r03_bpe_merges": 10.0,
+    "q10_bpe_merges": 10.0,
     "r04_ccnet_buckets": 10.0,
-    "r05_bpe_apply": 10.0,
+    "q11_bpe_apply": 10.0,
     "r06_quantized_recall": 4.0,
     "r07_corpus_report": 10.0,
-    "q47_cluster_safe_split": 10.0,
+    "v47_cluster_safe_split": 10.0,
     "r09_event_funnel": 10.0,
     "r10_retention_cohorts": 10.0,
-    "q17_triangle_stats": 10.0,
+    "v17_triangle_stats": 10.0,
     "r12_weighted_sample": 10.0,
-    "q18_prefix_jaccard": 10.0,
-    "q21_label_communities": 10.0,
+    "v18_prefix_jaccard": 10.0,
+    "v21_label_communities": 10.0,
     "r15_incremental_rollup": 10.0,
     "r16_decayed_activity": 10.0,
     "r17_frequent_tokens": 10.0,
     "r18_rolling_outliers": 10.0,
     "r19_event_transitions": 10.0,
     "r20_incremental_distinct": 10.0,
-    "r21_ab_conversion_test": 10.0,
+    "q14_ab_conversion_test": 10.0,
     "r22_growth_accounting": 10.0,
     "r23_calendar_fill": 10.0,
     "r24_pmi_collocations": 10.0,
@@ -72,8 +72,8 @@ DATA_FACTOR = {
     "r26_phrase_search": 10.0,
     "r27_latency_bands": 10.0,
     "r28_also_bought": 10.0,
-    "r29_cuped_ab_test": 10.0,
-    "q37_lsh_recall_eval": 10.0,
+    "q15_cuped_ab_test": 10.0,
+    "v37_lsh_recall_eval": 10.0,
     "r31_compression_quality": 10.0,
     "r32_pareto_abc": 10.0,
     "r33_mad_outliers": 10.0,
@@ -84,24 +84,24 @@ DATA_FACTOR = {
     "r44_state_history": 10.0,
     "r45_fingerprint": 10.0,
     "r46_rolling_spend": 10.0,
-    "q34_cc_star": 10.0,
-    "q10_semantic_dedup": 4.0,
-    "q36_source_overlap": 10.0,
+    "v34_cc_star": 10.0,
+    "v10_semantic_dedup": 4.0,
+    "v36_source_overlap": 10.0,
 }
 
 #: embeddings tile 4x (500 -> 2,000 -> 8,000 sub-linear driver scaling)
 for _n in (
-    "q26_pq_topk", "q46_embedding_dup_clusters", "q50_cosine_topk",
-    "q51_cosine_topk_block", "q52_label_centroid_sim", "q54_ivf_topk",
-    "q55_lsh_topk", "q56_ivf_topk_seeded", "q75_vector_stats",
+    "v26_pq_topk", "v46_embedding_dup_clusters", "v50_cosine_topk",
+    "q51_cosine_topk_block", "q52_label_centroid_sim", "q16_ivf_topk",
+    "q55_lsh_topk", "q56_ivf_topk_seeded", "q33_vector_stats",
     "q96_ann_recall_eval", "q98_hard_negatives",
 ):
     DATA_FACTOR[_n] = 4.0
 #: customer tiles 5x (orders spreads o_custkey over 5 tiles only)
 for _n in (
-    "q08_acctbal_deciles", "q09_argmax_customer", "r62_roleswap_union",
-    "r57_balance_bins", "q20_exact_quantiles", "q72_decile_edges",
-    "q73_full_outer_activity",
+    "v08_acctbal_deciles", "v09_argmax_customer", "r62_roleswap_union",
+    "r57_balance_bins", "v20_exact_quantiles", "q30_decile_edges",
+    "q31_full_outer_activity",
 ):
     DATA_FACTOR[_n] = 5.0
 
@@ -117,7 +117,7 @@ def main() -> None:
     spark = get_spark("soak-sf1")
     registry = all_queries()
     # warm the JVM so sf0.1 timings aren't charged the session cold-start
-    registry["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.1").write.mode(
+    registry["v01_pricing_summary"].fn(spark, "/root/testdata/sf0.1").write.mode(
         "overwrite"
     ).format("noop").save()
     out: dict[str, dict[str, float]] = {}

@@ -240,6 +240,61 @@ def hard_negative_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-space decontamination: for every TRAIN vector, its best
+    cosine match in the EVAL set, plus a contamination verdict — the
+    semantic complement of the 5-gram lexical decontaminate
+    (operators/curation.py::decontaminate_overlap): paraphrased or
+    reformatted benchmark leakage that shares no 5-gram still lands at
+    high cosine.
+
+    Shape is the decontamination asymmetry exploited everywhere at
+    scale: eval/benchmark sets are small by nature, the train corpus is
+    the 100 TB side — so the EVAL side broadcasts (same
+    BroadcastNestedLoopJoin shape as :func:`cosine_topk`) and the train
+    corpus streams through map-side, NEVER shuffling its vectors: the
+    per-train argmax is a partial-aggregating ``groupBy(train_id).max``
+    over a (cosine, -eval_id) struct, so only |train| slim rows reach
+    the exchange. Determinism: rounded cosine with min-eval-id
+    tie-break (the struct max ordering), replayable in any engine.
+
+    Returns (train_id, eval_id, cosine, contaminated) — one row per
+    train vector; ``contaminated`` = best cosine >= threshold.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).cast("array<double>").alias("tvec"),
+    )
+    e = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).cast("array<double>").alias("evec"),
+    )
+    cosine = F.round(
+        _dot(F.col("tvec"), F.col("evec")) / (_norm(F.col("tvec")) * _norm(F.col("evec"))),
+        round_digits,
+    )
+    scored = t.crossJoin(F.broadcast(e)).select(
+        "train_id", "eval_id", cosine.alias("cosine")
+    )
+    best = scored.groupBy("train_id").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("eval_id")).alias("__nid"))).alias("__b")
+    )
+    return best.select(
+        "train_id",
+        (-F.col("__b.__nid")).alias("eval_id"),
+        F.col("__b.cosine").alias("cosine"),
+        (F.col("__b.cosine") >= F.lit(threshold)).cast("int").alias("contaminated"),
+    )
+
+
 def cosine_topk_block(
     corpus: DataFrame,
     queries_pdf: pd.DataFrame,

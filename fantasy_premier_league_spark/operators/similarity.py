@@ -182,16 +182,20 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, cosine, rank).
     """
+    # norms are per-SIDE quantities: compute them once per row before the
+    # pair join, not per PAIR inside it (the HOF fold is interpreted, not
+    # codegen'd -- recomputing both norms per pair tripled the fold work;
+    # same doubles, same rounding, value-identical)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
+    ).withColumn("__qn", _norm(F.col("qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
+    ).withColumn("__cn", _norm(F.col("cvec")))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), round_digits)
+    cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), round_digits)
     scored = pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -221,18 +225,19 @@ def hard_negative_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
         F.col(label_col).alias("__qlabel"),
-    )
+    ).withColumn("__qn", _norm(F.col("qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
         F.col(label_col).alias("neg_label"),
-    )
+    ).withColumn("__cn", _norm(F.col("cvec")))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         (F.col("neighbor_id") != F.col("query_id"))
         & (F.col("neg_label") != F.col("__qlabel"))
     )
+    # per-side norms precomputed (see cosine_topk) -- value-identical
     cosine = F.round(
-        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        _dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")),
         round_digits,
     )
     scored = pairs.select("query_id", "neighbor_id", "neg_label", cosine.alias("cosine"))
@@ -272,13 +277,14 @@ def semantic_decontaminate(
     t = train.select(
         F.col(id_col).alias("train_id"),
         F.col(vec_col).cast("array<double>").alias("tvec"),
-    )
+    ).withColumn("__tn", _norm(F.col("tvec")))
     e = eval_df.select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).cast("array<double>").alias("evec"),
-    )
+    ).withColumn("__en", _norm(F.col("evec")))
+    # per-side norms precomputed (see cosine_topk) -- value-identical
     cosine = F.round(
-        _dot(F.col("tvec"), F.col("evec")) / (_norm(F.col("tvec")) * _norm(F.col("evec"))),
+        _dot(F.col("tvec"), F.col("evec")) / (F.col("__tn") * F.col("__en")),
         round_digits,
     )
     scored = t.crossJoin(F.broadcast(e)).select(
@@ -598,13 +604,21 @@ def ivf_topk(
     # join the vectors back by query_id, a queries-sized distributed
     # shuffle that never serializes vector copies through the driver.
     n_q = probe_rows if probe_rows is not None else q.count()
+    # per-side norms precomputed before the candidate join (see
+    # cosine_topk): corpus norm once per row, query norm once per probe
+    # row -- not twice per candidate pair. Value-identical.
+    assigned = assigned.withColumn("__cn", _norm(F.col("cvec")))
     if n_q * n_probe <= _IVF_INLINE_PROBE_ROWS:
-        cand = assigned.join(F.broadcast(probes), "cell")
+        cand = assigned.join(
+            F.broadcast(probes.withColumn("__qn", _norm(F.col("qvec")))), "cell"
+        )
     else:
         slim = probes.select("query_id", "cell")
-        cand = assigned.join(F.broadcast(slim), "cell").join(q, "query_id")
+        cand = assigned.join(F.broadcast(slim), "cell").join(
+            q.withColumn("__qn", _norm(F.col("qvec"))), "query_id"
+        )
     cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), round_digits)
+    cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), round_digits)
     scored = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -664,11 +678,12 @@ def ivf_topk_seeded(
         .filter(F.col("rn") <= n_probe)
         .select(F.col("vid").alias("query_id"), F.col("v").alias("qvec"), "cell")
     )
-    cand = assign.join(F.broadcast(probes), "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    cand = assign.withColumn("__cn", _norm(F.col("cvec"))).join(
+        F.broadcast(probes.withColumn("__qn", _norm(F.col("qvec")))), "cell"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    # per-side norms precomputed (see cosine_topk) -- value-identical
     cosine = F.round(
-        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        _dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")),
         round_digits,
     )
     scored = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
@@ -912,7 +927,7 @@ def lsh_bucket_topk(
         [(planes.tolist(),)], "planes array<array<array<double>>>"
     )
 
-    def tabled(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+    def tabled(df: DataFrame, out_id: str, out_vec: str, out_norm: str) -> DataFrame:
         vec = F.col(vec_col).cast("array<double>")
 
         def bit(plane: F.Column) -> F.Column:
@@ -928,21 +943,36 @@ def lsh_bucket_topk(
                 F.array_join(F.transform(pl, bit), "").alias("bucket"),
             ),
         )
+        # the norm sits in the SAME projection as the explode, so it lands
+        # in the Project BELOW the Generate — evaluated once per input
+        # row, not once per (row, table) copy and not once per candidate
+        # pair (value-identical; see cosine_topk)
         return (
             df.crossJoin(F.broadcast(planes_df))
-            .select(F.col(id_col).alias(out_id), vec.alias(out_vec), F.explode(tables).alias("tb"))
-            .select(out_id, out_vec, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+            .select(
+                F.col(id_col).alias(out_id),
+                vec.alias(out_vec),
+                _norm(vec).alias(out_norm),
+                F.explode(tables).alias("tb"),
+            )
+            .select(
+                out_id,
+                out_vec,
+                out_norm,
+                F.col("tb.t").alias("t"),
+                F.col("tb.bucket").alias("bucket"),
+            )
         )
 
-    c = tabled(corpus, "neighbor_id", "cvec")
-    q = tabled(queries, "query_id", "qvec")
+    c = tabled(corpus, "neighbor_id", "cvec", "__cn")
+    q = tabled(queries, "query_id", "qvec", "__qn")
     pairs = (
         c.join(F.broadcast(q), ["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # a pair colliding in several tables must score once
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), round_digits)
+    cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), round_digits)
     scored = pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

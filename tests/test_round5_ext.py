@@ -512,3 +512,93 @@ class TestWeightedSample:
         # deterministic: a second run returns the identical sample
         again = weighted_sample(df, "doc_id", "quality", k=40).collect()
         assert [r.asDict() for r in again] == [r.asDict() for r in got]
+
+
+class TestStreamingDecontaminateGate:
+    def test_stream_routing_matches_batch_query(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from fantasy_premier_league_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+        from fantasy_premier_league_spark.streaming.decontaminate import (
+            run_decontaminate_gate,
+        )
+
+        # frozen eval set: two orthogonal directions
+        eval_df = spark.createDataFrame(
+            [(900, [1.0, 0.0, 0.0]), (901, [0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def write_batch(name, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "embedding": pa.array(
+                            [r[1] for r in rows], pa.list_(pa.float32())
+                        ),
+                    }
+                ),
+                str(src / name),
+            )
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "vec_id long, embedding array<float>"
+            ).parquet(str(src))
+            q = run_decontaminate_gate(
+                stream,
+                eval_df,
+                clean_path=str(tmp_path / "clean"),
+                contaminated_path=str(tmp_path / "dirty"),
+                checkpoint=str(tmp_path / "ck"),
+                threshold=0.9,
+            )
+            q.awaitTermination(180)
+
+        batches = [
+            [(1, [0.99, 0.01, 0.0]), (2, [0.0, 0.0, 1.0])],  # 1 leaks, 2 clean
+            [(3, [0.01, 0.98, 0.0]), (4, None)],  # 3 leaks, 4 null -> fail closed
+        ]
+        write_batch("b1.parquet", batches[0])
+        run_once()
+        write_batch("b2.parquet", batches[1])
+        run_once()
+
+        clean = {r["vec_id"] for r in spark.read.parquet(str(tmp_path / "clean")).collect()}
+        dirty_rows = spark.read.parquet(str(tmp_path / "dirty")).collect()
+        dirty = {r["vec_id"] for r in dirty_rows}
+        assert clean | dirty == {1, 2, 3, 4} and not (clean & dirty)
+        assert dirty == {1, 3, 4}  # 4 fail-closed (null vector)
+        # audit columns survive on the contaminated sink
+        by_id = {r["vec_id"]: r for r in dirty_rows}
+        assert by_id[1]["eval_id"] == 900 and by_id[1]["cosine"] >= 0.9
+        assert by_id[3]["eval_id"] == 901
+
+        # drained stream == the batch operator on the union of scorables
+        all_emb = spark.createDataFrame(
+            [r for b in batches for r in b if r[1] is not None],
+            "vec_id long, embedding array<float>",
+        )
+        batch_verdicts = {
+            r["train_id"]: r["contaminated"]
+            for r in semantic_decontaminate(all_emb, eval_df, threshold=0.9).collect()
+        }
+        assert clean == {i for i, c in batch_verdicts.items() if c == 0}
+
+        # empty eval set is a misconfiguration, not "everything leaks"
+        with _pytest.raises(ValueError):
+            run_decontaminate_gate(
+                spark.readStream.schema("vec_id long, embedding array<float>").parquet(str(src)),
+                eval_df.filter("vec_id < 0"),
+                clean_path=str(tmp_path / "c2"),
+                contaminated_path=str(tmp_path / "d2"),
+                checkpoint=str(tmp_path / "ck2"),
+            )

@@ -45,6 +45,41 @@ from fantasy_premier_league_spark.queries import all_queries
 from fantasy_premier_league_spark.session import get_spark
 
 
+#: the driver keeps only the LAST 2000 chars of bench stdout (every
+#: BENCH_r02..r11 artifact carries parsed:null because the full
+#: 150+-query line is ~6 KB and its head — "metric"/"value" — is cut off
+#: before the driver's JSON parse); leave headroom under that cap
+_TAIL_BUDGET = 1900
+
+
+def fit_line(out: dict) -> str:
+    """Serialize the bench result to a single JSON line that FITS the
+    driver's 2000-char stdout tail. If the full line is over budget,
+    drop ``queries_cold`` (the sidecar has it) and keep only the slowest
+    ``queries`` entries that fit, with an explicit ``queries_omitted``
+    count and a ``full`` pointer to .scratch/bench_full.json (which
+    always holds every value)."""
+    line = json.dumps(out)
+    if len(line) <= _TAIL_BUDGET:
+        return line
+    timings = out.get("queries", {})
+    slim = dict(out)
+    slim.pop("queries_cold", None)
+    slim["full"] = ".scratch/bench_full.json"
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    keep = len(by_cost)
+    while keep > 0:
+        slim["queries"] = dict(by_cost[:keep])
+        slim["queries_omitted"] = len(by_cost) - keep
+        line = json.dumps(slim)
+        if len(line) <= _TAIL_BUDGET:
+            return line
+        keep -= 10
+    slim["queries"] = {}
+    slim["queries_omitted"] = len(by_cost)
+    return json.dumps(slim)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -232,7 +267,16 @@ def main() -> None:
             json.dump(out, fh, indent=1, sort_keys=True)
     except OSError:
         pass
-    print(json.dumps(out), file=real_stdout)
+    # BENCH_r02..r11 all carry parsed:null — the driver keeps only the
+    # LAST 2000 chars of stdout, and the full 150+-query line is ~6 KB,
+    # so its head (including "metric"/"value") is cut off before the
+    # driver's JSON parse. Emit a line that FITS: if the full line is
+    # over budget, drop queries_cold (sidecar has it) and keep only the
+    # slowest `queries` entries that fit, with an explicit omitted count
+    # and a pointer to the complete sidecar. Every omitted value is
+    # still in .scratch/bench_full.json and in the repo's SCALE.md
+    # analysis.
+    print(fit_line(out), file=real_stdout)
     real_stdout.flush()
 
 

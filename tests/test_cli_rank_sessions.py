@@ -124,3 +124,54 @@ class TestSessions:
                     for r in ev.limit(200).groupBy("user_id")
                     .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")).collect()}
         assert got == expected
+
+
+class TestBenchLineFitsDriverTail:
+    """BENCH_r02..r11 all carry parsed:null — the driver keeps only the
+    last 2000 chars of bench stdout and the full per-query line is ~6 KB.
+    bench.fit_line must emit a complete, parseable JSON line under that
+    cap, preserving the headline fields and the slowest queries."""
+
+    def _fake_out(self, n):
+        qs = {f"q{i:03d}_some_query_name_{i}": round(0.5 + i * 0.01, 3) for i in range(n)}
+        return {
+            "metric": "query_inventory_total_runtime",
+            "value": round(sum(qs.values()), 3),
+            "unit": "sec",
+            "queries": qs,
+            "queries_cold": {k: v * 2 for k, v in qs.items()},
+            "n_queries": n,
+            "n_warmup_runs": n,
+            "mean_query_sec": 1.0,
+            "sf": 0.1,
+        }
+
+    def test_small_inventory_passes_through_untrimmed(self):
+        import json
+
+        import bench
+
+        out = self._fake_out(5)
+        d = json.loads(bench.fit_line(out))
+        assert d == out  # under budget: byte-for-byte the full dict
+
+    def test_large_inventory_trims_to_budget_keeping_slowest(self):
+        import json
+
+        import bench
+
+        out = self._fake_out(160)
+        line = bench.fit_line(out)
+        assert len(line) <= 2000
+        d = json.loads(line)
+        # headline fields intact
+        assert d["metric"] == out["metric"] and d["value"] == out["value"]
+        assert d["n_queries"] == 160 and d["sf"] == 0.1
+        assert d["full"] == ".scratch/bench_full.json"
+        assert d["queries_omitted"] == 160 - len(d["queries"])
+        assert len(d["queries"]) > 0
+        # kept set is exactly the slowest ones
+        kept_min = min(d["queries"].values())
+        omitted = set(out["queries"]) - set(d["queries"])
+        assert all(out["queries"][k] <= kept_min for k in omitted)
+        assert "queries_cold" not in d

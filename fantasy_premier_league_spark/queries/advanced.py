@@ -587,7 +587,7 @@ def q99_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bpos AS (
         SELECT k,
-               ('0x' || substr(md5('r68:' || i::VARCHAR || ':' || k::VARCHAR), 1, 8))::BIGINT
+               ('0x' || substr(md5('bloom_prune:' || i::VARCHAR || ':' || k::VARCHAR), 1, 8))::BIGINT
                    % 4096 AS p
         FROM vip, (SELECT unnest([0, 1, 2]) AS i)
     ),
@@ -599,7 +599,7 @@ def q99_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
     ppos AS (
         SELECT k,
-               ('0x' || substr(md5('r68:' || i::VARCHAR || ':' || k::VARCHAR), 1, 8))::BIGINT
+               ('0x' || substr(md5('bloom_prune:' || i::VARCHAR || ':' || k::VARCHAR), 1, 8))::BIGINT
                    % 4096 AS p
         FROM probe, (SELECT unnest([0, 1, 2]) AS i)
     ),
@@ -648,9 +648,9 @@ def r68_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     vip = cust.filter(F.col("c_acctbal") > 9000).select(
         F.col("c_custkey").alias("k")
     ).distinct()
-    mask = BL.bloom_build(vip, "k", m_bits=4096, k_hashes=3, salt="r68:")
+    mask = BL.bloom_build(vip, "k", m_bits=4096, k_hashes=3, salt="bloom_prune:")
     probe = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
-    probed = BL.bloom_probe_keys(probe, "k", mask, m_bits=4096, k_hashes=3, salt="r68:")
+    probed = BL.bloom_probe_keys(probe, "k", mask, m_bits=4096, k_hashes=3, salt="bloom_prune:")
     flagged = probed.join(
         vip.withColumn("__t", F.lit(1)), "k", "left"
     ).select(

@@ -718,7 +718,7 @@ def q02_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = full_replay_max_docs / n_docs
 
         def _sampled(col: str) -> "F.Column":
-            return D.md5_fraction(F.col(col), salt="q02:") < F.lit(p)
+            return D.md5_fraction(F.col(col), salt="containment_recall:") < F.lit(p)
 
         anchor = _sampled("id")
     exact = D.containment_pairs(

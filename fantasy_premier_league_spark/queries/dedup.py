@@ -996,7 +996,7 @@ def v11_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     if n_docs > full_replay_max_docs:
         p = full_replay_max_docs / n_docs
-        docs = docs.filter(D.md5_fraction(F.col("doc_id"), salt="q11:") < F.lit(p))
+        docs = docs.filter(D.md5_fraction(F.col("doc_id"), salt="cluster_agreement:") < F.lit(p))
     # TOKENIZE ONCE: the sketch side and the exact side both consume the
     # per-doc shingle arrays — without the shared frame each pipeline
     # re-tokenizes the corpus (measured ~0.5s of the sf0.1 warm runtime).

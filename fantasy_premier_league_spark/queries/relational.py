@@ -859,7 +859,7 @@ def v20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH keyed AS (
         SELECT l_returnflag, l_extendedprice,
-               ('0x' || substr(md5('q05:' || l_orderkey::VARCHAR || '-'
+               ('0x' || substr(md5('sampled_quantiles:' || l_orderkey::VARCHAR || '-'
                                    || l_linenumber::VARCHAR), 1, 8))::BIGINT
                    / 4294967296.0 < 0.05 AS in_sample
         FROM lineitem
@@ -889,7 +889,7 @@ def v20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sampled quantiles — the PORTABLE scale path for q69's quantile "
     "sketch, under the full value-hash gate: a deterministic md5 5% row "
     "sample (operators/dedup.py::md5_fraction on the line PK, salt "
-    "'q05:' — replayable in any engine, stable across partitionings) "
+    "'sampled_quantiles:' — replayable in any engine, stable across partitionings) "
     "feeds an exact interpolated percentile, side-by-side with the full "
     "exact percentile and the realized error. Where q69's "
     "percentile_approx is engine-specific KLL registers (rows-only by "
@@ -918,7 +918,7 @@ def q05_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = li.select(
         "l_returnflag",
         "l_extendedprice",
-        (md5_fraction(key, salt="q05:") < 0.05).alias("in_sample"),
+        (md5_fraction(key, salt="sampled_quantiles:") < 0.05).alias("in_sample"),
     )
     ex = keyed.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_exact"),

@@ -238,12 +238,12 @@ def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     ev AS (
         SELECT vec_id AS eval_id, v AS evec FROM e
-        WHERE ('0x' || substr(md5('r69:' || vec_id::VARCHAR), 1, 8))::BIGINT
+        WHERE ('0x' || substr(md5('semantic_decontaminate:' || vec_id::VARCHAR), 1, 8))::BIGINT
               / 4294967296.0 < 0.05
     ),
     tr AS (
         SELECT vec_id AS train_id, v AS tvec FROM e
-        WHERE ('0x' || substr(md5('r69:' || vec_id::VARCHAR), 1, 8))::BIGINT
+        WHERE ('0x' || substr(md5('semantic_decontaminate:' || vec_id::VARCHAR), 1, 8))::BIGINT
               / 4294967296.0 >= 0.05
     ),
     scored AS (
@@ -282,7 +282,7 @@ def r69_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_fraction
 
     emb = load(spark, sf_dir, "embeddings")
-    frac = md5_fraction(F.col("vec_id"), salt="r69:")
+    frac = md5_fraction(F.col("vec_id"), salt="semantic_decontaminate:")
     return S.semantic_decontaminate(
         emb.filter(frac >= 0.05),
         emb.filter(frac < 0.05),

@@ -10,8 +10,8 @@
   sketches (r20 HLL merge state) and zlib DEFLATE (r31) — every
   hash-sketch query (MinHash, SimHash, LSH, PQ, IVF) runs portable
   hashing and IS value-hash checked, including the trained quantizer
-  (q16_ivf_topk unrolls its Lloyd's rounds in the oracle) and the topic
-  pipeline's deterministic pre-LDA stages (q21_topic_features).
+  (v66_ivf_topk unrolls its Lloyd's rounds in the oracle) and the topic
+  pipeline's deterministic pre-LDA stages (v71_topic_features).
 
 Driver-window rotation
 ----------------------

@@ -74,7 +74,9 @@ def fit_line(out: dict) -> str:
         line = json.dumps(slim)
         if len(line) <= _TAIL_BUDGET:
             return line
-        keep -= 10
+        # step by 10 while large, but land on every count below 10 so a
+        # short map degrades one query at a time instead of jumping to {}
+        keep = max(keep - 10, 0) if keep > 10 else keep - 1
     slim["queries"] = {}
     slim["queries_omitted"] = len(by_cost)
     return json.dumps(slim)

@@ -12,7 +12,11 @@ word BIGINT)`` rows — 32 bits per word, m/32 rows — built with a plain
 ``groupBy(word_idx).agg(bit_or(1 << bit))``. That keeps the build fully
 distributed (no driver collect, no UDAF) and the probe a broadcast join
 on ``word_idx``: at m = 2^20 the table is 32k rows ≈ 0.5 MB, a
-broadcast no matter how many distinct keys fed it. Spark's own runtime
+broadcast no matter how many distinct keys fed it (pinned at exactly
+that sizing — m = 2^20, k = 7, 100k-key build — by
+tests/test_scale_ops.py::TestBloomPrune::
+test_realistic_m_mask_stays_broadcast_sized: mask row count m/32,
+realized fp vs the (1-e^(-kn/m))^k bound, BroadcastHashJoin probe). Spark's own runtime
 bloom pruning (spark.sql.optimizer.runtime.bloomFilter) covers the
 planner-injected case; this operator is the EXPLICIT, persistable,
 cross-job variant (build once in the dim pipeline, reuse across fact

@@ -245,6 +245,12 @@ def hard_negative_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: above this many eval rows the broadcast fold stops being the right
+#: plan (the mask side is no longer "small by nature") and
+#: semantic_decontaminate routes through the IVF-bucketed probe instead
+_DECON_EVAL_BROADCAST_MAX_ROWS = 500_000
+
+
 def semantic_decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -253,6 +259,10 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     round_digits: int = 4,
+    eval_rows: int | None = None,
+    eval_broadcast_max_rows: int = _DECON_EVAL_BROADCAST_MAX_ROWS,
+    n_probe: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-space decontamination: for every TRAIN vector, its best
     cosine match in the EVAL set, plus a contamination verdict — the
@@ -271,9 +281,33 @@ def semantic_decontaminate(
     the exchange. Determinism: rounded cosine with min-eval-id
     tie-break (the struct max ordering), replayable in any engine.
 
+    Past ``eval_broadcast_max_rows`` (one bounded count job, skipped
+    when the caller passes ``eval_rows``) the broadcast fold is the
+    wrong plan — the eval side no longer fits an executor broadcast —
+    and the call routes through :func:`semantic_decontaminate_ivf`
+    (VERDICT r12 #4): probe only each train vector's ``n_probe``
+    nearest eval cells. That path is approximate (recall governed by
+    n_probe/n_centroids; exhaustive — and value-identical to this fold,
+    pinned in tests/test_scale_ops.py — when n_probe covers every
+    cell). Driver-SF corpora sit far below the gate, so the q37 oracle
+    always replays the exact broadcast fold.
+
     Returns (train_id, eval_id, cosine, contaminated) — one row per
     train vector; ``contaminated`` = best cosine >= threshold.
     """
+    n_eval = eval_rows if eval_rows is not None else eval_df.count()
+    if n_eval > eval_broadcast_max_rows:
+        return semantic_decontaminate_ivf(
+            train,
+            eval_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            round_digits=round_digits,
+            eval_rows=n_eval,
+            n_probe=n_probe,
+            seed=seed,
+        )
     t = train.select(
         F.col(id_col).alias("train_id"),
         F.col(vec_col).cast("array<double>").alias("tvec"),
@@ -298,6 +332,104 @@ def semantic_decontaminate(
         (-F.col("__b.__nid")).alias("eval_id"),
         F.col("__b.cosine").alias("cosine"),
         (F.col("__b.cosine") >= F.lit(threshold)).cast("int").alias("contaminated"),
+    )
+
+
+def semantic_decontaminate_ivf(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_digits: int = 4,
+    eval_rows: int | None = None,
+    n_centroids: int | None = None,
+    n_probe: int = 8,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Beyond-broadcast decontamination: the eval set is IVF-bucketed
+    (coarse quantizer trained on a bounded seeded eval sample — the
+    :func:`ivf_topk` machinery) and each train vector probes only its
+    ``n_probe`` nearest cells, so nothing eval-sized ever broadcasts and
+    the train side still never shuffles its vectors — only the slim
+    (train_id, cell) fan-out rows (x n_probe) and the per-cell
+    candidates move.
+
+    Plan shape: eval → assign cell (map-side argmin vs the centroid
+    literal); train → top-``n_probe`` cells via ONE codegen projection
+    (distance array vs the same literal, ``array_sort`` on
+    (distance, cell) structs — the trainer's exact rounded metric and
+    first-index tie-break) → explode → hash join with the bucketed eval
+    on ``cell``. The join key has n_centroids distinct values, sized
+    ~4k eval rows per cell (``n_centroids = n_eval/4096``), so AQE gets
+    real parallelism and skewed cells split at runtime. The per-train
+    argmax and verdict are IDENTICAL expressions to the broadcast fold
+    (rounded cosine, (cosine, -eval_id) struct max) — with full probing
+    (n_probe >= n_centroids) the two paths are value-identical; with
+    partial probing recall is governed by n_probe/n_centroids (the IVF
+    trade). A train vector whose probed cells are all empty still gets
+    its row: NULL eval_id/cosine, contaminated = 0.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).cast("array<double>").alias("tvec"),
+    ).withColumn("__tn", _norm(F.col("tvec")))
+    e = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).cast("array<double>").alias("evec"),
+    ).withColumn("__en", _norm(F.col("evec")))
+    if n_centroids is None:
+        n_eval = eval_rows if eval_rows is not None else e.count()
+        n_centroids = max(16, min(4096, -(-n_eval // 4096)))
+    centroids = _train_quantizer(
+        e, id_field="eval_id", vec_field="evec", k=n_centroids, iters=max_iter, seed=seed
+    )
+    bucketed = _assign_cells(e, centroids, vec_field="evec")
+
+    # train-side probe cells: one projection, no shuffle — the same
+    # centroid literal + rounded-sqrt metric as _assign_cells, kept as
+    # (distance, cell) structs so array_sort realizes the trainer's
+    # first-index tie-break, then sliced to the n_probe nearest
+    cent_sql = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(repr(float(x)) for x in ctr) for ctr in centroids
+    )
+    l2sq = (
+        "aggregate(zip_with(tvec, __ctrs[%d], (a, b) -> (a - b) * (a - b)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    structs = "array(%s)" % ", ".join(
+        f"struct(round(sqrt({l2sq % i}), 6) as d, {i} as cell)"
+        for i in range(len(centroids))
+    )
+    probe_list = (
+        f"transform(slice(array_sort({structs}), 1, {min(n_probe, len(centroids))}),"
+        " s -> s.cell)"
+    )
+    fanned = (
+        t.withColumn("__ctrs", F.expr(cent_sql))
+        .withColumn("cell", F.explode(F.expr(probe_list)))
+        .drop("__ctrs")
+    )
+
+    cosine = F.round(
+        _dot(F.col("tvec"), F.col("evec")) / (F.col("__tn") * F.col("__en")),
+        round_digits,
+    )
+    scored = fanned.join(bucketed, "cell").select(
+        "train_id", "eval_id", cosine.alias("cosine")
+    )
+    best = scored.groupBy("train_id").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("eval_id")).alias("__nid"))).alias("__b")
+    )
+    return t.select("train_id").join(best, "train_id", "left").select(
+        "train_id",
+        (-F.col("__b.__nid")).alias("eval_id"),
+        F.col("__b.cosine").alias("cosine"),
+        F.coalesce(
+            (F.col("__b.cosine") >= F.lit(threshold)).cast("int"), F.lit(0)
+        ).alias("contaminated"),
     )
 
 

@@ -107,7 +107,7 @@ def v24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q20_fuzzy_part_match",
+    "v70_fuzzy_part_match",
     """
     WITH p AS (
         SELECT p_partkey, p_brand, p_name,
@@ -140,7 +140,7 @@ def v24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the reference-parity scorer in resolve_entities.",
     tags=("fuzzy",),
 )
-def q20_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v70_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
     a = part.select(
         F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("brand"), F.col("p_name").alias("name_a")
@@ -162,7 +162,7 @@ def q20_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q12_multimodal_features",
+    "v62_multimodal_features",
     # the stub decoder is md5-derived, so the oracle replays it exactly:
     # feature i = byte i of md5(payload) / 255
     """
@@ -181,7 +181,7 @@ def q20_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-checked.",
     tags=("multimodal", "pandas-udf"),
 )
-def q12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v62_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -196,7 +196,7 @@ def q12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q22_sessionization",
+    "v72_sessionization",
     """
     WITH e AS (
         SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events
@@ -228,7 +228,7 @@ def q12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the final groupBy share the user_id partitioning.",
     tags=("sessionization", "windows"),
 )
-def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v72_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import session_stats
 
     ev = load(spark, sf_dir, "events")
@@ -236,7 +236,7 @@ def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q23_rollup_revenue",
+    "v73_rollup_revenue",
     """
     SELECT coalesce(r_name, 'ALL') AS region,
            coalesce(n_name, 'ALL') AS nation,
@@ -263,7 +263,7 @@ def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The rollup is one shuffle with partial aggregation map-side.",
     tags=("rollup", "agg"),
 )
-def q23_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v73_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -376,7 +376,7 @@ def r63_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r64_snapshot_asof",
+    "q35_snapshot_asof",
     r"""
     WITH st AS (SELECT DISTINCT date_trunc('second', ts) AS s FROM events),
     named AS (
@@ -423,7 +423,7 @@ def r63_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composition that had no oracle row (VERDICT r9).",
     tags=("source", "asof", "etl", "point-in-time"),
 )
-def r64_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.files import TS_FORMAT, TS_PATTERN, snapshots_asof_deadlines
 
     ev = load(spark, sf_dir, "events")
@@ -457,7 +457,7 @@ def r64_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q13_frame_samples",
+    "v63_frame_samples",
     """
     WITH d AS (
         SELECT doc_id, text,
@@ -480,7 +480,7 @@ def r64_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correctness.",
     tags=("multimodal", "pandas-udf"),
 )
-def q13_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v63_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -501,7 +501,7 @@ _PR_ITER = """r{t} AS (
 
 
 @query(
-    "v48_part_pagerank",
+    "q50_part_pagerank",
     f"""
     WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
     e AS (
@@ -528,7 +528,7 @@ _PR_ITER = """r{t} AS (
     "ordering.",
     tags=("graph", "iterative", "pagerank"),
 )
-def v48_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q50_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import co_occurrence_edges, pagerank
 
     li = load(spark, sf_dir, "lineitem")
@@ -544,7 +544,7 @@ _Z_TERMS = " + ".join(
 
 
 @query(
-    "q99_zorder_key",
+    "q04_zorder_key",
     f"""
     WITH b AS (
         SELECT o_orderkey,
@@ -563,7 +563,7 @@ _Z_TERMS = " + ".join(
     "engine-portable; narrow projection, zero shuffles.",
     tags=("warehouse", "layout", "zorder"),
 )
-def q99_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q04_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.warehouse import zorder_key
 
     orders = load(spark, sf_dir, "orders")
@@ -580,7 +580,7 @@ def q99_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r68_bloom_prune",
+    "q36_bloom_prune",
     """
     WITH vip AS (
         SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 9000
@@ -641,7 +641,7 @@ def q99_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-key verdict is under the value-hash gate.",
     tags=("join", "bloom", "scale", "llm-pipeline"),
 )
-def r68_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bloom as BL
 
     cust = load(spark, sf_dir, "customer")

@@ -35,7 +35,7 @@ def _sh_cte_n(n: int) -> str:
 
 
 @query(
-    "q40_decontaminate",
+    "v90_decontaminate",
     f"""
     WITH {_sh_cte_n(5)},
     ev AS (SELECT DISTINCT shingle FROM sh WHERE id % 17 = 0),
@@ -56,7 +56,7 @@ def _sh_cte_n(n: int) -> str:
     "small), one groupBy(doc) with partial agg — no all-pairs, no collect.",
     tags=("curation", "decontamination", "llm-pipeline"),
 )
-def q40_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v90_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # corpus and eval are a predicate split of one table → the fused
     # single-scan form (one spread + one shingle pass; the two-frame
@@ -117,7 +117,7 @@ def _pii_oracle() -> str:
 
 
 @query(
-    "q41_pii_scrub",
+    "v91_pii_scrub",
     _pii_oracle(),
     doc="PII detection + redaction (operators/pii.py): per-doc counts of "
     "email/phone/IPv4 matches and the md5 of the fully redacted text. "
@@ -127,7 +127,7 @@ def _pii_oracle() -> str:
     "the cost at 100 TB.",
     tags=("curation", "pii", "llm-pipeline"),
 )
-def q41_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v91_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").withColumn("__t", _contact_col())
     prof = P.pii_profile(docs, "doc_id", "__t")
     counts = [f"n_{name}" for name, _, _ in P.PII_PATTERNS]
@@ -140,7 +140,7 @@ def q41_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q42_sequence_packing",
+    "v92_sequence_packing",
     f"""
     WITH t AS (
         SELECT doc_id, source, doc_id % 4 AS pack_bucket,
@@ -165,7 +165,7 @@ def q41_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic.",
     tags=("curation", "packing", "llm-pipeline"),
 )
-def q42_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v92_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.pack_sequences(
         docs, "doc_id", "text", budget=512, partition_col="source", sub_buckets=4
@@ -173,7 +173,7 @@ def q42_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q43_domain_mix",
+    "v93_domain_mix",
     """
     WITH c AS (
         SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2
@@ -192,13 +192,13 @@ def q42_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialize the rebalanced corpus.",
     tags=("curation", "mixing", "llm-pipeline"),
 )
-def q43_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v93_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.domain_mix_rates(docs, ["lang", "source"])
 
 
 @query(
-    "q44_containment_pairs",
+    "v94_containment_pairs",
     f"""
     WITH {_SH_CTE},
     sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
@@ -220,13 +220,13 @@ def q43_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "denominator.",
     tags=("dedup", "containment", "llm-pipeline"),
 )
-def q44_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v94_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
 @query(
-    "q45_unigram_logprob",
+    "v95_unigram_logprob",
     f"""
     WITH w AS (
         SELECT doc_id, unnest({_WORDS}) AS word FROM documents
@@ -253,7 +253,7 @@ def q44_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-sized.",
     tags=("text", "quality", "llm-pipeline"),
 )
-def q45_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v95_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.explode(D.words(F.col("text"))).alias("word"))
     freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
@@ -275,7 +275,7 @@ _STOP_LIST = "['the','a','an','of','and','or','is','to','in']"
 
 
 @query(
-    "q47_gopher_rules",
+    "v97_gopher_rules",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w, {_NORM} AS norm FROM documents),
     base AS (
@@ -319,13 +319,13 @@ _STOP_LIST = "['the','a','an','of','and','or','is','to','in']"
     "6dp-rounded stats so the cut is engine-stable.",
     tags=("curation", "quality", "llm-pipeline"),
 )
-def q47_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v97_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.gopher_quality_rules(docs, "doc_id", "text")
 
 
 @query(
-    "q48_bigram_logprob",
+    "v98_bigram_logprob",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     bg AS (
@@ -361,13 +361,13 @@ def q47_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "model never collected to the driver.",
     tags=("text", "quality", "llm-pipeline"),
 )
-def q48_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v98_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.bigram_logprob(docs, "doc_id", "text")
 
 
 @query(
-    "q49_token_chunks",
+    "v99_token_chunks",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     s AS (
@@ -396,13 +396,13 @@ def q48_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the document's partition.",
     tags=("curation", "chunking", "llm-pipeline"),
 )
-def q49_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v99_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.chunk_tokens(docs, "doc_id", "text", chunk_words=32, stride_words=16)
 
 
 @query(
-    "q50_temperature_mix",
+    "v100_temperature_mix",
     """
     WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
     t AS (SELECT sum(n_docs)::BIGINT AS total, sum(pow(n_docs::DOUBLE, 0.5)) AS z FROM c)
@@ -420,7 +420,7 @@ def q49_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross join, so 100 TB collapses before any arithmetic.",
     tags=("curation", "sampling", "llm-pipeline"),
 )
-def q50_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v100_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.temperature_mix_rates(docs, ["source"], alpha=0.5)
 
@@ -467,7 +467,7 @@ def r44_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q19_length_batches",
+    "v69_length_batches",
     f"""
     WITH t AS (SELECT doc_id, len({_WORDS})::BIGINT AS n_tokens FROM documents),
     r AS (
@@ -492,13 +492,13 @@ def r44_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batching prep that minimizes pad tokens for variable-length serving.",
     tags=("curation", "batching", "llm-pipeline"),
 )
-def q19_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v69_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.length_bucket_batches(docs, "doc_id", "text", batch_size=32)
 
 
 @query(
-    "q06_budget_waterfill",
+    "v56_budget_waterfill",
     f"""
     WITH g AS (
         SELECT lang,
@@ -551,7 +551,7 @@ def q19_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all allocation algebra runs on the tiny aggregate.",
     tags=("curation", "mixing", "llm-pipeline"),
 )
-def q06_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v56_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.waterfill_budgets(
         docs,
@@ -562,7 +562,7 @@ def q06_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q07_epoch_interleave",
+    "v57_epoch_interleave",
     f"""
     WITH ranked AS (
         SELECT doc_id, source,
@@ -588,7 +588,7 @@ def q06_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join) — no single-partition window over the data.",
     tags=("curation", "mixing", "llm-pipeline"),
 )
-def q07_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v57_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return C.epoch_interleave(docs, "doc_id", "source", salt="ep")
 
@@ -631,7 +631,7 @@ def _containment_lsh_oracle(threshold: float, ratio: float, cap: int | None = 25
 
 
 @query(
-    "q01_containment_lsh",
+    "v51_containment_lsh",
     _containment_lsh_oracle(0.5, 4.0),
     doc="Sketch-accelerated containment (operators/dedup.py::"
     "containment_lsh_pairs, LSH-Ensemble style): candidates from single-"
@@ -646,7 +646,7 @@ def _containment_lsh_oracle(threshold: float, ratio: float, cap: int | None = 25
     "verified; never all-pairs at any scale.",
     tags=("dedup", "containment", "lsh", "llm-pipeline"),
 )
-def q01_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v51_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.containment_lsh_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_size_ratio=4.0,
@@ -655,7 +655,7 @@ def q01_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q02_containment_recall",
+    "v52_containment_recall",
     f"""
     WITH sketch AS ({_containment_lsh_oracle(0.5, 4.0)}),
     {_SH_CTE},
@@ -703,7 +703,7 @@ def q01_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replay, value-identical to this SQL.",
     tags=("dedup", "containment", "evaluation", "llm-pipeline"),
 )
-def q02_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v52_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # FULL exact replay is quadratic-ish in corpus density and exists only
     # to grade the sketch; past the bound, ground-truth a hash-sampled

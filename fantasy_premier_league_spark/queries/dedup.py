@@ -197,7 +197,7 @@ def v41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r70_dedup_threshold_curve",
+    "q38_dedup_threshold_curve",
     f"""
     WITH sh AS (
         SELECT DISTINCT id, shingle FROM (
@@ -251,7 +251,7 @@ def v41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as explicit 0 rows (left join from the threshold frame).",
     tags=("dedup", "jaccard", "evaluation", "llm-pipeline"),
 )
-def r70_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
     th = spark.range(2, 10).select((F.col("id") / F.lit(10.0)).alias("threshold"))
@@ -408,7 +408,7 @@ def v45_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "v42_minhash_lsh_pairs",
+    "q47_minhash_lsh_pairs",
     _minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42),
     doc="MinHash(64 hashes) + 16-band LSH candidate pairs with signature- "
     "estimated Jaccard >= 0.3. Portable md5-derived base hash + seeded "
@@ -417,7 +417,7 @@ def v45_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the 100 TB dedup path.",
     tags=("dedup", "minhash"),
 )
-def v42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q47_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.3, portable=True
@@ -425,7 +425,7 @@ def v42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q46_capped_lsh_pairs",
+    "v96_capped_lsh_pairs",
     _minhash_oracle(num_hashes=64, bands=16, threshold=0.2, seed=42, max_bucket_size=2),
     doc="MinHash LSH pairs under the degenerate-bucket guard "
     "(max_bucket_size=2): band buckets with more than two members are "
@@ -437,7 +437,7 @@ def v42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "guard's exact semantics — not just its row count — are checked.",
     tags=("dedup", "minhash", "guard", "llm-pipeline"),
 )
-def q46_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v96_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
         docs,
@@ -492,7 +492,7 @@ def _cluster_oracle(max_hamming: int) -> str:
 
 
 @query(
-    "v29_dedup_clusters",
+    "q43_dedup_clusters",
     _cluster_oracle(max_hamming=8),
     doc="Duplicate-group formation — the final dedup step at 100 TB: "
     "SimHash near-dup pairs (q43's graph) -> connected components "
@@ -504,7 +504,7 @@ def _cluster_oracle(max_hamming: int) -> str:
     "checked end-to-end.",
     tags=("dedup", "graph", "iterative"),
 )
-def v29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # hamming <= 8: TIGHT near-dup groups (the survivor-selection use case);
     # q43's looser <=12 radius is for recall-side candidate review
@@ -592,7 +592,7 @@ def v33_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q38_passage_dedup",
+    "v88_passage_dedup",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     p AS (
@@ -621,7 +621,7 @@ def v33_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact dedup uses — linear, uniform keys.",
     tags=("dedup", "text", "llm-pipeline"),
 )
-def q38_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v88_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = D.words(F.col("text"))
     n_pass = F.ceil(F.size(words) / F.lit(10)).cast("int")
@@ -648,7 +648,7 @@ def q38_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q39_repetition_score",
+    "v89_repetition_score",
     f"""
     WITH w AS (
         SELECT doc_id, unnest({_WORDS}) AS word FROM documents
@@ -669,7 +669,7 @@ def q38_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the standard two-axis quality filter.",
     tags=("text", "quality", "llm-pipeline"),
 )
-def q39_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v89_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     wf = (
         docs.select("doc_id", F.explode(D.words(F.col("text"))).alias("word"))
@@ -726,7 +726,7 @@ def _minhash_incremental_oracle(num_hashes: int, bands: int, threshold: float, s
 
 
 @query(
-    "v44_incremental_dedup",
+    "q48_incremental_dedup",
     _minhash_incremental_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42),
     doc="Incremental dedup — a new ingest batch (doc_id % 3 == 0) checked "
     "against the stored MinHash signature index of the existing corpus "
@@ -737,7 +737,7 @@ def _minhash_incremental_oracle(num_hashes: int, bands: int, threshold: float, s
     "value-for-value.",
     tags=("dedup", "minhash", "incremental", "llm-pipeline"),
 )
-def v44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     index_docs = docs.filter(F.col("doc_id") % 3 != 0)
     new_batch = docs.filter(F.col("doc_id") % 3 == 0)
@@ -767,7 +767,7 @@ _NAIVE_T03 = f"""
 
 
 @query(
-    "v37_lsh_recall_eval",
+    "q45_lsh_recall_eval",
     f"""
     WITH lsh AS (
         SELECT id_a, id_b FROM ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42)})
@@ -797,7 +797,7 @@ _NAIVE_T03 = f"""
     "evaluation join value-for-value. Empty sides yield null metrics.",
     tags=("dedup", "minhash", "evaluation", "llm-pipeline"),
 )
-def v37_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # both pair sets are distinct-by-construction (band candidates are
     # deduped; the exact side is one row per grouped pair), so the three
@@ -835,7 +835,7 @@ def v37_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "v34_cc_star",
+    "q44_cc_star",
     _cluster_oracle(max_hamming=8),
     doc="Duplicate-group formation via ALTERNATING small-star/large-star "
     "contraction (operators/dedup.py::connected_components_star, Kiveris "
@@ -849,7 +849,7 @@ def v37_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same recursive-CTE oracle.",
     tags=("dedup", "graph", "iterative"),
 )
-def v34_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
     cc = D.connected_components_star(pairs)
@@ -913,7 +913,7 @@ def v05_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "v11_cluster_agreement",
+    "q40_cluster_agreement",
     f"""
     WITH RECURSIVE lshp AS (
         SELECT id_a, id_b FROM ({_minhash_oracle(num_hashes=64, bands=16, threshold=0.3, seed=42)})
@@ -980,7 +980,7 @@ def v05_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scale, full-replayed at every driver/oracle SF).",
     tags=("dedup", "evaluation", "llm-pipeline"),
 )
-def v11_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # The exact n-gram side is evaluation ground truth exactly like
     # q02's: full replay is super-linear in corpus density (sf1 measured

@@ -282,7 +282,7 @@ def v08_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q35_json_props",
+    "v85_json_props",
     """
     SELECT event_type,
            count(*) AS n,
@@ -297,7 +297,7 @@ def v08_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-parsing per query.",
     tags=("json", "agg"),
 )
-def q35_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v85_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy("event_type").agg(
@@ -308,7 +308,7 @@ def q35_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q30_decile_edges",
+    "v80_decile_edges",
     """
     WITH q AS (
         SELECT c_mktsegment,
@@ -325,7 +325,7 @@ def q35_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group quantile array → posexplode → lead window.",
     tags=("quantile", "window"),
 )
-def q30_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v80_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     probs = F.array(*[F.lit(i / 10.0) for i in range(10)])
     q = cust.groupBy("c_mktsegment").agg(
@@ -516,7 +516,7 @@ def r46_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q36_asof_next_event",
+    "v86_asof_next_event",
     """
     SELECT o_orderkey, o_custkey, next_event_id, next_event_ts
     FROM (
@@ -533,7 +533,7 @@ def r46_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join+row_number spec.",
     tags=("asof", "window", "join"),
 )
-def q36_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v86_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     events = load(spark, sf_dir, "events")
     joined = asof_join(
@@ -855,7 +855,7 @@ def v20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q05_sampled_quantiles",
+    "v55_sampled_quantiles",
     """
     WITH keyed AS (
         SELECT l_returnflag, l_extendedprice,
@@ -902,7 +902,7 @@ def v20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anchors.",
     tags=("quantile", "sketch", "sampling", "agg"),
 )
-def q05_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v55_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_fraction
 
     li = load(spark, sf_dir, "lineitem")
@@ -1034,7 +1034,7 @@ def q69_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q28_unpivot_metrics",
+    "v78_unpivot_metrics",
     """
     SELECT o_orderkey, metric, value
     FROM (
@@ -1052,7 +1052,7 @@ def q69_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "columns are read; output partitioning stays on the row key.",
     tags=("unpivot", "reshape"),
 )
-def q28_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v78_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
     wide = orders.select(
         "o_orderkey",
@@ -1064,7 +1064,7 @@ def q28_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q29_merge_upsert",
+    "v79_merge_upsert",
     """
     WITH updates AS (
         SELECT o_orderkey, 'P' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
@@ -1089,7 +1089,7 @@ def q28_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle disappears, and the anti-join variant handles delete rows.",
     tags=("upsert", "cdc", "merge"),
 )
-def q29_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v79_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
@@ -1110,7 +1110,7 @@ def q29_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q31_full_outer_activity",
+    "v81_full_outer_activity",
     """
     WITH cust_n AS (
         SELECT c_nationkey AS nationkey, count(*)::BIGINT AS n_customers
@@ -1131,7 +1131,7 @@ def q29_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join runs on two pre-shrunk group counts, not the raw tables.",
     tags=("join", "full-outer"),
 )
-def q31_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v81_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (
         load(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -1153,7 +1153,7 @@ def q31_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q33_vector_stats",
+    "v83_vector_stats",
     """
     SELECT vec_id,
            round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
@@ -1170,7 +1170,7 @@ def q31_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(normalization, clipping, quality filters) without leaving the scan.",
     tags=("array", "functions"),
 )
-def q33_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v83_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     sq_sum = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
@@ -1186,7 +1186,7 @@ def q33_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q34_rank_family",
+    "v84_rank_family",
     """
     SELECT o_orderkey, o_orderpriority,
            (rank() OVER w)::INT AS rnk,
@@ -1204,7 +1204,7 @@ def q33_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collapses same-spec window functions into a single Window node).",
     tags=("window", "rank"),
 )
-def q34_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v84_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return orders.select(
@@ -1257,7 +1257,7 @@ def r43_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q37_market_share",
+    "v87_market_share",
     """
     SELECT year(o.o_orderdate)::INT AS yr,
            round(sum(CASE WHEN sn.n_name = 'NATION_0'
@@ -1284,7 +1284,7 @@ def r43_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hint that would OOM at 100x.",
     tags=("join", "agg", "star"),
 )
-def q37_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v87_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")

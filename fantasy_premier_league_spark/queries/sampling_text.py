@@ -34,7 +34,7 @@ def v25_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q17_cross_grid",
+    "v67_cross_grid",
     """
     SELECT r.r_name AS region, t.event_type,
            coalesce(c.n, 0) AS n_events
@@ -54,7 +54,7 @@ def v25_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcastable; the J8-at-scale variant lives in operators/fuzzy.py.",
     tags=("crossjoin",),
 )
-def q17_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v67_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     events = load(spark, sf_dir, "events")
     cust = load(spark, sf_dir, "customer")
@@ -82,7 +82,7 @@ def q17_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q24_stopword_removal",
+    "v74_stopword_removal",
     f"""
     SELECT doc_id,
            array_to_string(list_filter({_WORDS},
@@ -96,7 +96,7 @@ def q17_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path (StopWordsRemover covers the ML-pipeline path).",
     tags=("text",),
 )
-def q24_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v74_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.array(*[F.lit(w) for w in ("the", "a", "an", "of", "and", "or", "is", "to", "in")])
     docs = load(spark, sf_dir, "documents")
     w = words(F.col("text"))
@@ -110,7 +110,7 @@ def q24_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q25_keyword_flags",
+    "v75_keyword_flags",
     """
     SELECT doc_id,
            (text LIKE '%spark%')::INT AS has_spark,
@@ -123,7 +123,7 @@ def q24_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boolean feature columns.",
     tags=("text",),
 )
-def q25_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v75_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -198,7 +198,7 @@ _STRATA_RATES = {
 
 
 @query(
-    "q26_stratified_sample",
+    "v76_stratified_sample",
     """
     SELECT o_orderkey, o_orderpriority, o_totalprice
     FROM orders
@@ -218,7 +218,7 @@ _STRATA_RATES = {
     "filter: no shuffle, pushes column pruning to the parquet scan.",
     tags=("sample", "stratified"),
 )
-def q26_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     byte0 = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10).cast("int")
     threshold = F.when(F.lit(False), F.lit(0))
@@ -230,7 +230,7 @@ def q26_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q27_group_sample_topk",
+    "v77_group_sample_topk",
     """
     SELECT user_id, event_id, event_type FROM (
         SELECT user_id, event_id, event_type,
@@ -247,7 +247,7 @@ def q26_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "everywhere); one shuffle on the group key.",
     tags=("sample", "per-group"),
 )
-def q27_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v77_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     win = W.partitionBy("user_id").orderBy(
         F.md5(F.col("event_id").cast("string")), F.col("event_id")

@@ -28,7 +28,7 @@ _TGT_SQL = "('" + "', '".join(_TARGET_SOURCES) + "')"
 
 
 @query(
-    "r01_dsir_weights",
+    "q05_dsir_weights",
     f"""
     WITH t AS (
         SELECT doc_id, (source IN {_TGT_SQL}) AS is_target, {_WORDS} AS w
@@ -69,7 +69,7 @@ _TGT_SQL = "('" + "', '".join(_TARGET_SOURCES) + "')"
     "pipeline value-hash replayable in DuckDB.",
     tags=("selection", "curation", "llm-pipeline"),
 )
-def r01_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").withColumn(
         "is_t", F.col("source").isin(*_TARGET_SOURCES)
     )
@@ -79,7 +79,7 @@ def r01_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r02_int8_quantize",
+    "q06_int8_quantize",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     dim AS (
@@ -119,7 +119,7 @@ def r01_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle beyond the 64-row stats agg.",
     tags=("similarity", "quantization", "llm-pipeline"),
 )
-def r02_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return QZ.int8_quantize(emb, "vec_id", "embedding")
 
@@ -151,7 +151,7 @@ def _bpe_round(src: str, k: int) -> str:
 
 
 @query(
-    "q10_bpe_merges",
+    "v60_bpe_merges",
     f"""
     WITH wc AS (
         SELECT word, count(*) AS n
@@ -184,13 +184,13 @@ def _bpe_round(src: str, k: int) -> str:
     "count desc, pair asc.",
     tags=("text", "tokenizer", "llm-pipeline"),
 )
-def q10_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v60_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return B.bpe_train_merges(docs, "doc_id", "text", n_merges=3)
 
 
 @query(
-    "r04_ccnet_buckets",
+    "q07_ccnet_buckets",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     s AS (
@@ -241,7 +241,7 @@ def q10_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_id) so tercile assignment is engine-deterministic.",
     tags=("curation", "capstone", "llm-pipeline"),
 )
-def r04_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q07_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     from ..operators.dedup import words as _words
 
@@ -306,7 +306,7 @@ def _merge_rep(k: int) -> str:
 
 
 @query(
-    "q11_bpe_apply",
+    "v61_bpe_apply",
     f"""
     WITH {_BPE_TRAIN_CTES},
     enc AS (
@@ -340,7 +340,7 @@ def _merge_rep(k: int) -> str:
     "checked.",
     tags=("text", "tokenizer", "llm-pipeline"),
 )
-def q11_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v61_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     merges = [
         (r["left_tok"], r["right_tok"])
@@ -401,7 +401,7 @@ def _topk_cte(src: str, vec: str) -> str:
 
 
 @query(
-    "r06_quantized_recall",
+    "q08_quantized_recall",
     f"""
     WITH {_RECON_CTES},
     brute AS ({_topk_cte('e', 'v')}),
@@ -421,7 +421,7 @@ def _topk_cte(src: str, vec: str) -> str:
     "id tie-breaks), so retrieval AND evaluation replay in the oracle.",
     tags=("similarity", "ann", "quantization", "eval", "llm-pipeline"),
 )
-def r06_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
 
     emb = load(spark, sf_dir, "embeddings")
@@ -448,7 +448,7 @@ def r06_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r07_corpus_report",
+    "q09_corpus_report",
     f"""
     WITH t AS (
         SELECT doc_id, source, {_WORDS} AS w, md5({_NORM}) AS fp FROM documents
@@ -504,7 +504,7 @@ def r06_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sources-sized no matter the corpus.",
     tags=("curation", "report", "llm-pipeline"),
 )
-def r07_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fp = T.fingerprint(docs, "doc_id", "text").select("doc_id", "content_md5")
     dup = fp.select(
@@ -569,7 +569,7 @@ def _cluster_split_oracle() -> str:
 
 
 @query(
-    "v47_cluster_safe_split",
+    "q49_cluster_safe_split",
     _cluster_split_oracle(),
     doc="Contamination-safe train/valid split: near-duplicate documents "
     "must never straddle the split (a valid doc with a train near-dup "
@@ -581,7 +581,7 @@ def _cluster_split_oracle() -> str:
     "leakage-safety property is value-hash checked.",
     tags=("dedup", "split", "llm-pipeline"),
 )
-def v47_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q49_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
     from ..operators.dedup import portable_hash32
 
@@ -604,7 +604,7 @@ def v47_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r09_event_funnel",
+    "q10_event_funnel",
     """
     WITH v AS (
         SELECT user_id, min(ts) AS t1 FROM events
@@ -639,7 +639,7 @@ def v47_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table cross-joins a 1-row base for conversion rates.",
     tags=("events", "funnel", "analytics"),
 )
-def r09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import funnel_counts
 
     ev = load(spark, sf_dir, "events")
@@ -647,7 +647,7 @@ def r09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r10_retention_cohorts",
+    "q11_retention_cohorts",
     """
     WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
     w AS (
@@ -679,7 +679,7 @@ def r09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles on bounded keys (user, then cohort x offset).",
     tags=("events", "retention", "analytics"),
 )
-def r10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import retention_cohorts
 
     ev = load(spark, sf_dir, "events")
@@ -687,7 +687,7 @@ def r10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "v17_triangle_stats",
+    "q41_triangle_stats",
     """
     WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
     raw AS (
@@ -739,7 +739,7 @@ def r10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29 component closure.",
     tags=("graph", "analytics"),
 )
-def v17_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import co_occurrence_edges, triangle_stats
 
     li = load(spark, sf_dir, "lineitem")
@@ -756,7 +756,7 @@ _QUALITY_EXPR = """round(0.4 * (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 1.0
 
 
 @query(
-    "r12_weighted_sample",
+    "q12_weighted_sample",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM t),
@@ -780,7 +780,7 @@ _QUALITY_EXPR = """round(0.4 * (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 1.0
     "of the weighted subsample every curation pipeline draws.",
     tags=("selection", "sampling", "llm-pipeline"),
 )
-def r12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     q = T.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
     return SEL.weighted_sample(q, "doc_id", "quality", k=100)
@@ -854,7 +854,7 @@ _LPA_ITER = """c{t} AS (
 
 
 @query(
-    "v21_label_communities",
+    "q42_label_communities",
     f"""
     WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
     e AS (
@@ -880,7 +880,7 @@ _LPA_ITER = """c{t} AS (
     "persisted node set (asymmetric lists are safe).",
     tags=("graph", "iterative", "communities"),
 )
-def v21_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import co_occurrence_edges, label_propagation
 
     li = load(spark, sf_dir, "lineitem")
@@ -893,7 +893,7 @@ def v21_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r15_incremental_rollup",
+    "q13_incremental_rollup",
     """
     SELECT o_orderpriority,
            count(o_totalprice)::BIGINT AS n_orders,
@@ -920,7 +920,7 @@ def v21_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "state).",
     tags=("agg", "incremental", "warehouse"),
 )
-def r15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import incremental as INC
 
     # money accumulates in EXACT decimal — a double sum split into
@@ -951,7 +951,7 @@ def r15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r16_decayed_activity",
+    "q14_decayed_activity",
     """
     WITH d AS (
         SELECT user_id,
@@ -987,7 +987,7 @@ def r15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exchange, reused.",
     tags=("events", "features", "window"),
 )
-def r16_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import decayed_activity
 
     ev = load(spark, sf_dir, "events")
@@ -995,7 +995,7 @@ def r16_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r17_frequent_tokens",
+    "q15_frequent_tokens",
     f"""
     WITH t AS (
         SELECT key FROM (SELECT unnest({_WORDS}) AS key FROM documents)
@@ -1019,7 +1019,7 @@ def r16_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n_buckets per mapper.",
     tags=("text", "frequency", "llm-pipeline"),
 )
-def r17_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import words
     from ..operators.selection import frequent_keys
 
@@ -1031,7 +1031,7 @@ def r17_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r18_rolling_outliers",
+    "q16_rolling_outliers",
     """
     WITH d AS (
         SELECT user_id,
@@ -1065,7 +1065,7 @@ def r17_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exchange.",
     tags=("events", "anomaly", "window"),
 )
-def r18_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q16_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import rolling_zscore_outliers
 
     ev = load(spark, sf_dir, "events")
@@ -1073,7 +1073,7 @@ def r18_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r19_event_transitions",
+    "q17_event_transitions",
     """
     WITH s AS (
         SELECT user_id, event_type,
@@ -1098,7 +1098,7 @@ def r18_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path model and next-event baseline.",
     tags=("events", "markov", "analytics"),
 )
-def r19_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import transition_matrix
 
     ev = load(spark, sf_dir, "events")
@@ -1106,7 +1106,7 @@ def r19_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r20_incremental_distinct",
+    "q18_incremental_distinct",
     None,  # DataSketches HLL state is engine-specific — rows-only by design,
     # like q69; the exactness law (merge(sketch(A), sketch(B)) ==
     # sketch(A ∪ B), register-for-register) is pinned by pytest instead
@@ -1120,7 +1120,7 @@ def r19_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "maintenance order never changes the estimate (pytest-pinned).",
     tags=("agg", "incremental", "sketch"),
 )
-def r20_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import incremental as INC
 
     od = load(spark, sf_dir, "orders")
@@ -1137,7 +1137,7 @@ def r20_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q03_kmv_distinct",
+    "v53_kmv_distinct",
     """
     WITH h AS (
         SELECT DISTINCT o_orderpriority,
@@ -1189,7 +1189,7 @@ def r20_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against the exact recount (~1/sqrt(k-2) ≈ 6%).",
     tags=("agg", "incremental", "sketch", "llm-pipeline"),
 )
-def q03_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v53_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import incremental as INC
 
     od = load(spark, sf_dir, "orders")
@@ -1217,7 +1217,7 @@ def q03_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q04_kmv_resemblance",
+    "v54_kmv_resemblance",
     f"""
     WITH t AS (SELECT source, {_WORDS} AS w FROM documents),
     d AS (
@@ -1285,7 +1285,7 @@ def q03_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "putting approximate set arithmetic under the value-hash gate.",
     tags=("sketch", "dedup", "curation", "llm-pipeline"),
 )
-def q04_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v54_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
     from ..operators import incremental as INC
 
@@ -1339,7 +1339,7 @@ def q04_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q14_ab_conversion_test",
+    "v64_ab_conversion_test",
     """
     WITH pu AS (
         SELECT user_id,
@@ -1388,7 +1388,7 @@ def q04_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "yield null z and flag 0. The event log is scanned exactly once.",
     tags=("events", "experiment", "analytics"),
 )
-def q14_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v64_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.experiment import ab_conversion_ztest, assign_arm
 
     ev = load(spark, sf_dir, "events")
@@ -1401,7 +1401,7 @@ def q14_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r22_growth_accounting",
+    "q19_growth_accounting",
     """
     WITH ud AS (
         SELECT DISTINCT user_id,
@@ -1429,7 +1429,7 @@ def q14_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily frame (bounded by the calendar, never by users or events).",
     tags=("events", "growth", "analytics"),
 )
-def r22_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.experiment import growth_accounting
 
     ev = load(spark, sf_dir, "events")
@@ -1437,7 +1437,7 @@ def r22_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r23_calendar_fill",
+    "q20_calendar_fill",
     """
     WITH d AS (
         SELECT user_id,
@@ -1474,7 +1474,7 @@ def r22_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fan-out, nothing corpus-sized shuffles in.",
     tags=("events", "timeseries", "window"),
 )
-def r23_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import calendar_fill
 
     ev = load(spark, sf_dir, "events")
@@ -1482,7 +1482,7 @@ def r23_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r24_pmi_collocations",
+    "q21_pmi_collocations",
     f"""
     WITH tw AS (
         SELECT list_filter({_WORDS}, x -> x != '') AS w FROM documents
@@ -1525,7 +1525,7 @@ def r23_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic cross-engine.",
     tags=("text", "collocation", "llm-pipeline"),
 )
-def r24_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import pmi_collocations
 
     docs = load(spark, sf_dir, "documents")
@@ -1533,7 +1533,7 @@ def r24_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r25_loo_target_encoding",
+    "q22_loo_target_encoding",
     """
     SELECT o_orderkey, o_orderpriority,
            CASE WHEN cnt > 1
@@ -1557,7 +1557,7 @@ def r24_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join, no second scan; singleton groups encode null.",
     tags=("features", "ml", "window"),
 )
-def r25_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.features import loo_target_encode
 
     od = load(spark, sf_dir, "orders")
@@ -1570,7 +1570,7 @@ def r25_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r26_phrase_search",
+    "q23_phrase_search",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     occ AS (
@@ -1592,7 +1592,7 @@ def r25_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the probe partition-prunes like the LSH signature index.",
     tags=("text", "retrieval", "phrase"),
 )
-def r26_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import phrase_search
 
     docs = load(spark, sf_dir, "documents")
@@ -1600,7 +1600,7 @@ def r26_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r27_latency_bands",
+    "q24_latency_bands",
     """
     WITH d AS (
         SELECT date_diff('day', TIMESTAMP '2024-01-01', ts)::INT AS day, value
@@ -1622,7 +1622,7 @@ def r26_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the documented trade against q69's mergeable KLL sketch.",
     tags=("events", "percentile", "analytics"),
 )
-def r27_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date"))
     return (
@@ -1638,7 +1638,7 @@ def r27_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r28_also_bought",
+    "q25_also_bought",
     """
     WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
     pairs AS (
@@ -1662,7 +1662,7 @@ def r27_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unweighted co-occurrence graph.",
     tags=("graph", "recommender", "analytics"),
 )
-def r28_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import also_bought_topk
 
     li = load(spark, sf_dir, "lineitem")
@@ -1676,7 +1676,7 @@ def r28_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q15_cuped_ab_test",
+    "v65_cuped_ab_test",
     """
     WITH pu AS (
         SELECT user_id,
@@ -1746,7 +1746,7 @@ def r28_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doubles), so both engines agree bit-for-bit before rounding.",
     tags=("events", "experiment", "cuped", "analytics"),
 )
-def q15_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v65_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.experiment import assign_arm, cuped_adjusted_ab
 
     ev = load(spark, sf_dir, "events")
@@ -1767,7 +1767,7 @@ def q15_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r31_compression_quality",
+    "q26_compression_quality",
     None,  # DEFLATE has no SQL oracle — rows-only; numerics pinned by
     # pytest against direct zlib calls on the same strings
     doc="zlib compression-ratio quality signal per document "
@@ -1780,7 +1780,7 @@ def q15_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs and partitionings.",
     tags=("text", "quality", "udf", "llm-pipeline"),
 )
-def r31_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import compression_ratio
 
     docs = load(spark, sf_dir, "documents")
@@ -1788,7 +1788,7 @@ def r31_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r32_pareto_abc",
+    "q27_pareto_abc",
     """
     WITH pr AS (
         SELECT l_partkey AS part,
@@ -1826,7 +1826,7 @@ def r31_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window runs over the numPartitions-row offsets table).",
     tags=("agg", "window", "pareto", "analytics"),
 )
-def r32_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q27_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cumulative revenue share via the two-phase global_cumsum (range sort +
     # per-partition prefix sums + broadcast offsets) — the parts-sized frame
     # never funnels through a single-partition window; decimal addition is
@@ -1861,7 +1861,7 @@ def r32_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r33_mad_outliers",
+    "q28_mad_outliers",
     """
     WITH d AS (
         SELECT user_id, value FROM events WHERE value IS NOT NULL
@@ -1888,7 +1888,7 @@ def r32_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact MAD.",
     tags=("events", "robust-stats", "analytics"),
 )
-def r33_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     med = ev.groupBy("user_id").agg(
         F.percentile("value", F.lit(0.5)).alias("__med")
@@ -1915,7 +1915,7 @@ def r33_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r34_rolling_wau",
+    "q29_rolling_wau",
     """
     WITH ud AS (
         SELECT DISTINCT user_id,
@@ -1941,7 +1941,7 @@ def r33_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch per day (r20) when the window is long.",
     tags=("events", "window", "growth", "analytics"),
 )
-def r34_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date"))
     ud = ev.select("user_id", day.alias("day")).distinct()
@@ -1974,7 +1974,7 @@ _R35_SQL = """
 
 
 @query(
-    "r35_sql_exists",
+    "q30_sql_exists",
     _R35_SQL.format(orders="orders", lineitem="lineitem"),
     doc="The ANSI-SQL front end exercised as text: orders per priority "
     "with a late line (EXISTS, ship > order date + 60d) and no "
@@ -1985,14 +1985,14 @@ _R35_SQL = """
     "nested-loop re-execution per outer row — plan-asserted).",
     tags=("sql", "subquery", "relational"),
 )
-def r35_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("r35_orders")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("r35_lineitem")
     return spark.sql(_R35_SQL.format(orders="r35_orders", lineitem="r35_lineitem"))
 
 
 @query(
-    "r36_decile_lift",
+    "q31_decile_lift",
     """
     WITH pu AS (
         SELECT user_id,
@@ -2034,7 +2034,7 @@ def r35_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global).",
     tags=("events", "experiment", "evaluation", "analytics"),
 )
-def r36_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q31_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date"))
     pu = ev.groupBy("user_id").agg(
@@ -2077,7 +2077,7 @@ def r36_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r37_session_entry_analysis",
+    "q32_session_entry_analysis",
     """
     WITH e AS (
         SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
@@ -2126,7 +2126,7 @@ def r36_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final entry-type rollup (cardinality = event types).",
     tags=("events", "sessionization", "analytics"),
 )
-def r37_session_entry_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_session_entry_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import sessionize
 
     ev = load(spark, sf_dir, "events")

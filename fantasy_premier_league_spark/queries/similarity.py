@@ -233,7 +233,7 @@ def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r69_semantic_decontaminate",
+    "q37_semantic_decontaminate",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     ev AS (
@@ -278,7 +278,7 @@ def q53_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a broadcast.",
     tags=("similarity", "decontamination", "llm-pipeline"),
 )
-def r69_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_fraction
 
     emb = load(spark, sf_dir, "embeddings")
@@ -293,7 +293,7 @@ def r69_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q16_ivf_topk",
+    "v66_ivf_topk",
     _ivf_lloyd_oracle(
         n_centroids=16, n_probe=4, iters=8, k=3, sample=32_768,
         query_pred="e.vec_id < 10",
@@ -311,7 +311,7 @@ def r69_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— divergence needs a 1-ulp coincidence; see _local_lloyds.",
     tags=("similarity", "ann", "ivf"),
 )
-def q16_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v66_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     # the predicate bounds the batch at 10 rows — pass the bound so the
@@ -405,7 +405,7 @@ def _semantic_dedup_oracle(
 
 
 @query(
-    "v10_semantic_dedup",
+    "q39_semantic_dedup",
     _semantic_dedup_oracle(
         n_clusters=_DERIVED_K_SQL, iters=8, threshold=0.35, sample=32_768
     ),
@@ -426,7 +426,7 @@ def _semantic_dedup_oracle(
     "divergence needs a 1-ulp coincidence; see _local_lloyds.",
     tags=("similarity", "dedup", "semantic", "llm-pipeline"),
 )
-def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding",
@@ -453,7 +453,7 @@ def q55_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q96_ann_recall_eval",
+    "q01_ann_recall_eval",
     f"""
     WITH lsh AS (
         {_lsh_oracle(n_planes=6, k=3, seed=42, n_tables=4)}
@@ -487,7 +487,7 @@ def q55_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nothing corpus-sized.",
     tags=("similarity", "ann", "eval", "llm-pipeline"),
 )
-def q96_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q01_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     brute = S.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=3).select(
@@ -511,7 +511,7 @@ def q96_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q98_hard_negatives",
+    "q03_hard_negatives",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS neg_label FROM embeddings),
@@ -532,7 +532,7 @@ def q96_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape as q50 with the label inequality fused into the scan filter.",
     tags=("similarity", "training-data", "llm-pipeline"),
 )
-def q98_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q03_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.hard_negative_topk(
@@ -630,7 +630,7 @@ def v26_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "v39_ivf_pq_topk",
+    "q46_ivf_pq_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (SELECT vec_id AS cell, v AS sv FROM e ORDER BY vec_id LIMIT 16),
@@ -706,7 +706,7 @@ def v26_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-for-value.",
     tags=("similarity", "ann", "ivf", "pq", "composition"),
 )
-def v39_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_pq_topk(

@@ -140,7 +140,7 @@ def r45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q32_word_counts",
+    "v82_word_counts",
     f"""
     SELECT w AS word, count(*) AS n
     FROM (SELECT unnest({_WORDS}) AS w FROM documents)
@@ -151,7 +151,7 @@ def r45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus word frequencies via explode + hash agg (map-side combine).",
     tags=("text", "explode"),
 )
-def q32_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v82_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(words(F.col("text"))).alias("word"))
@@ -162,7 +162,7 @@ def q32_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r59_ngram_diversity",
+    "q33_ngram_diversity",
     f"""
     WITH toks AS (
         SELECT source, w
@@ -205,7 +205,7 @@ def q32_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nothing corpus-sized past the first shuffle.",
     tags=("text", "diversity", "llm-pipeline"),
 )
-def r59_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import tracked_persist
     from ..operators.dedup import shingle_array_from_words
 
@@ -240,7 +240,7 @@ def r59_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "r60_length_drift",
+    "q34_length_drift",
     f"""
     WITH lens AS (
         SELECT source, len(list_filter({_WORDS}, w -> w <> '')) AS l
@@ -282,7 +282,7 @@ def r59_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24's windowed KS, lifted to group-vs-corpus.",
     tags=("text", "drift", "evaluation", "llm-pipeline"),
 )
-def r60_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..operators.cache import tracked_persist
@@ -331,7 +331,7 @@ def r60_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q21_topic_features",
+    "v71_topic_features",
     f"""
     WITH cleaned AS (
         SELECT doc_id,
@@ -380,7 +380,7 @@ def r60_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(tests/test_fifa_ml_extras.py).",
     tags=("text", "ml", "lda"),
 )
-def q21_topic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v71_topic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.text import topic_features
 
     docs = load(spark, sf_dir, "documents")
@@ -455,7 +455,7 @@ def v49_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q97_token_zipf",
+    "q02_token_zipf",
     f"""
     WITH freq AS (
         SELECT word, count(*)::BIGINT AS n
@@ -484,7 +484,7 @@ def v49_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "float-summation ordering.",
     tags=("text", "corpus-stats", "llm-pipeline"),
 )
-def q97_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q02_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..operators.dedup import words
@@ -517,7 +517,7 @@ def q97_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q18_bpe_token_count",
+    "v68_bpe_token_count",
     f"""
     SELECT doc_id,
            len(regexp_extract_all({_NORM},
@@ -536,13 +536,13 @@ def q97_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pre-tokens further). One regexp_extract_all, zero shuffles.",
     tags=("text", "tokenization", "llm-pipeline"),
 )
-def q18_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v68_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.bpe_token_count(docs, "doc_id", "text")
 
 
 @query(
-    "q08_domain_kl",
+    "v58_domain_kl",
     f"""
     WITH toks AS (
         SELECT source AS grp, unnest({_WORDS}) AS tok FROM documents
@@ -586,13 +586,13 @@ def q18_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines (ln appears only inside the rounded KL sum).",
     tags=("text", "curation", "llm-pipeline"),
 )
-def q08_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v58_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.domain_kl_divergence(docs, "source", "text", smoothing=0.5, top_tokens=5)
 
 
 @query(
-    "q09_oov_rate",
+    "v59_oov_rate",
     f"""
     WITH toks AS (
         SELECT source AS grp, unnest({_WORDS}) AS tok FROM documents
@@ -620,6 +620,6 @@ def q08_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semi-join against the bounded (domain, token) aggregate.",
     tags=("text", "tokenization", "llm-pipeline"),
 )
-def q09_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v59_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textstats.oov_rate(docs, "source", "text", vocab_size=1000)

@@ -3,7 +3,7 @@ ingest.
 
 The production shape for eval-set hygiene: the held-out benchmark/eval
 embedding set is frozen ONCE (it is small by nature — the same asymmetry
-r69_semantic_decontaminate exploits), then every arriving micro-batch of
+q37_semantic_decontaminate exploits), then every arriving micro-batch of
 train-candidate embeddings is scored against it inside ``foreachBatch``
 and routed to a clean or contaminated sink. No streaming state at all —
 the eval frame is static, scoring is the broadcast-eval cosine fold
@@ -14,7 +14,7 @@ is |batch| x |eval| JVM-side dot products.
 This is the train-offline / serve-in-stream twin of
 streaming/quality.py::run_dsir_gate (frozen 256-row DSIR model there,
 frozen eval embedding frame here); the batch query it must agree with is
-r69_semantic_decontaminate (queries/similarity.py).
+q37_semantic_decontaminate (queries/similarity.py).
 """
 
 from __future__ import annotations
@@ -54,26 +54,44 @@ def run_decontaminate_gate(
 
     # a decontamination gate with no eval set is a misconfiguration, not
     # an edge case: every row would route contaminated (the left join
-    # finds no verdicts). eval_df is static, so check once at start.
-    if eval_df.isEmpty():
+    # finds no verdicts). eval_df is static, so count once at start —
+    # the count also feeds the operator's broadcast-vs-IVF dispatch so
+    # no per-batch count job re-probes the frozen frame.
+    n_eval = eval_df.count()
+    if n_eval == 0:
         raise ValueError("run_decontaminate_gate: eval_df is empty")
 
     def _gate(batch: DataFrame, _batch_id: int) -> None:
-        scorable = batch.filter(F.col(vec_col).isNotNull())
-        verdicts = semantic_decontaminate(
-            scorable,
-            eval_df,
-            id_col=id_col,
-            vec_col=vec_col,
-            threshold=threshold,
-        ).withColumnRenamed("train_id", id_col)
-        routed = batch.join(verdicts, id_col, "left")
-        clean = routed.filter(F.col("contaminated") == 0)
-        dirty = routed.filter(
-            F.col("contaminated").isNull() | (F.col("contaminated") == 1)
-        )
-        clean.write.mode("append").parquet(clean_path)
-        dirty.write.mode("append").parquet(contaminated_path)
+        # Score per PHYSICAL ROW, not per id value: replayed sources can
+        # deliver duplicate ids within a batch, and a NULL-vector row must
+        # fail closed even when a scorable row shares its id (ADVICE r12).
+        # The surrogate is pinned by persisting the stamped frame — both
+        # join sides then read the same materialized ids.
+        stamped = batch.withColumn(
+            "__row_id", F.monotonically_increasing_id()
+        ).persist()
+        try:
+            scorable = stamped.filter(F.col(vec_col).isNotNull())
+            # semantic_decontaminate reads the SAME id column name from
+            # both sides; the eval frame keeps its real ids under the
+            # surrogate name so audit rows still carry true eval_ids
+            verdicts = semantic_decontaminate(
+                scorable,
+                eval_df.withColumnRenamed(id_col, "__row_id"),
+                id_col="__row_id",
+                vec_col=vec_col,
+                threshold=threshold,
+                eval_rows=n_eval,
+            ).withColumnRenamed("train_id", "__row_id")
+            routed = stamped.join(verdicts, "__row_id", "left").drop("__row_id")
+            clean = routed.filter(F.col("contaminated") == 0)
+            dirty = routed.filter(
+                F.col("contaminated").isNull() | (F.col("contaminated") == 1)
+            )
+            clean.write.mode("append").parquet(clean_path)
+            dirty.write.mode("append").parquet(contaminated_path)
+        finally:
+            stamped.unpersist()
 
     writer = emb_stream.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint

@@ -1,6 +1,6 @@
 """Streaming distinct-count monitor backed by the portable KMV sketch.
 
-The streaming twin of q03 (queries/selection.py::q03_kmv_distinct): each
+The streaming twin of q03 (queries/selection.py::v53_kmv_distinct): each
 arriving micro-batch is reduced to per-key KMV state
 (operators/incremental.py::kmv_state — the k smallest 60-bit hashes of
 the batch's distinct values) and folded into a persisted state store

@@ -314,7 +314,7 @@ class TestRound5Invariants:
     def test_ann_recall_bounded_and_consistent(self, spark):
         from fantasy_premier_league_spark.queries import all_queries
 
-        rows = all_queries()["q96_ann_recall_eval"].fn(
+        rows = all_queries()["q01_ann_recall_eval"].fn(
             spark, "/root/testdata/sf0.001"
         ).collect()
         assert len(rows) == 10
@@ -325,7 +325,7 @@ class TestRound5Invariants:
     def test_zipf_slope_negative_on_real_text(self, spark):
         from fantasy_premier_league_spark.queries import all_queries
 
-        row = all_queries()["q97_token_zipf"].fn(spark, "/root/testdata/sf0.001").first()
+        row = all_queries()["q02_token_zipf"].fn(spark, "/root/testdata/sf0.001").first()
         # frequency must fall with rank; intercept = ln(freq) at rank 1
         assert row["zipf_slope"] < 0
         assert row["log_intercept"] > 0
@@ -756,7 +756,7 @@ class TestBpeTokenCount:
 
         from fantasy_premier_league_spark.queries import all_queries
 
-        q = all_queries()["q18_bpe_token_count"]
+        q = all_queries()["v68_bpe_token_count"]
         docs = spark.createDataFrame(
             [
                 (1, "o' brien met rock 'n roll"),

@@ -72,7 +72,7 @@ class TestCodegenAndCaching:
         # cache (InMemoryTableScan) or, since round 7, an RDD-layer
         # checkpoint (Scan ExistingRDD; the columnar encoder's array cost is
         # documented at cache.tracked_materialize) — never rebuilt from text
-        plan = plan_of(spark, "v42_minhash_lsh_pairs")
+        plan = plan_of(spark, "q47_minhash_lsh_pairs")
         assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
         assert "Scan parquet" not in plan
 
@@ -84,7 +84,7 @@ class TestNewOperatorPlans:
         # the dominant cost at scale
         import re
 
-        plan = plan_of(spark, "q22_sessionization")
+        plan = plan_of(spark, "v72_sessionization")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
 
     def test_q27_range_join_is_hash_not_nested_loop(self, spark):
@@ -95,7 +95,7 @@ class TestNewOperatorPlans:
         assert "HashJoin" in plan or "SortMergeJoin" in plan
 
     def test_q64_rollup_dims_broadcast(self, spark):
-        plan = plan_of(spark, "q23_rollup_revenue")
+        plan = plan_of(spark, "v73_rollup_revenue")
         # nation+region carry explicit hints; customer may still be
         # broadcast here because AQE/stats sees a tiny table at this SF —
         # that is graceful, the forced-hint check below is the scale gate
@@ -106,14 +106,14 @@ class TestNewOperatorPlans:
         # an explicit broadcast() hint overrides AQE and is a guaranteed
         # OOM once customer outgrows the executors; only the genuinely
         # bounded dims (nation, region) may carry a hint
-        q = all_queries()["q23_rollup_revenue"]
+        q = all_queries()["v73_rollup_revenue"]
         opt = q.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
         hints = [l for l in opt.splitlines() if "strategy=broadcast" in l]
         assert len(hints) == 2
         assert all("n_nationkey" in h or "r_regionkey" in h for h in hints)
 
     def test_q79_no_forced_broadcast_of_customer_supplier(self, spark):
-        q = all_queries()["q37_market_share"]
+        q = all_queries()["v87_market_share"]
         opt = q.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
         hints = [l for l in opt.splitlines() if "strategy=broadcast" in l]
         # only the two nation role-aliases are hinted
@@ -141,7 +141,7 @@ class TestNewOperatorPlans:
         assert "Python" not in plan
         assert "ReusedExchange" in plan
 
-    @pytest.mark.parametrize("name", ["r32_pareto_abc", "r36_decile_lift"])
+    @pytest.mark.parametrize("name", ["q27_pareto_abc", "q31_decile_lift"])
     def test_no_data_sized_single_partition_window(self, spark, name):
         # round-11 rewrite: the cumulative-share / ntile cut goes through the
         # two-phase global_cumsum / global_rank — the data-sized frame must
@@ -177,7 +177,7 @@ class TestNewOperatorPlans:
         # one exchange
         import re
 
-        plan = plan_of(spark, "q34_rank_family")
+        plan = plan_of(spark, "v84_rank_family")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
 
 
@@ -187,7 +187,7 @@ class TestCurationPlans:
         # Exchange, no Python anywhere
         import re
 
-        plan = plan_of(spark, "q41_pii_scrub")
+        plan = plan_of(spark, "v91_pii_scrub")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 0
         assert "Python" not in plan
 
@@ -196,23 +196,23 @@ class TestCurationPlans:
         # exchange on the (source, bucket) key
         import re
 
-        plan = plan_of(spark, "q42_sequence_packing")
+        plan = plan_of(spark, "v92_sequence_packing")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
         assert plan.count("Window") == 1
 
     def test_q83_decontaminate_no_cartesian(self, spark):
-        plan = plan_of(spark, "q40_decontaminate")
+        plan = plan_of(spark, "v90_decontaminate")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
     def test_q97_zipf_topk_is_distributed_take_ordered(self, spark):
         # the top-100 must compile to TakeOrderedAndProject (per-partition
         # partial top-k + k-row merge), never a global single-partition sort
-        plan = plan_of(spark, "q97_token_zipf")
+        plan = plan_of(spark, "q02_token_zipf")
         assert "TakeOrderedAndProject" in plan
 
     def test_q96_recall_eval_no_cartesian_all_jvm(self, spark):
-        plan = plan_of(spark, "q96_ann_recall_eval")
+        plan = plan_of(spark, "q01_ann_recall_eval")
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
 
@@ -228,7 +228,7 @@ class TestCurationPlans:
         # the composition must not degenerate: no Python (the ADC lookup is
         # a broadcast hash join, not a UDF), and the only nested-loop join
         # is the bounded corpus x 16-seed fan-out (which AQE broadcasts)
-        plan = plan_of(spark, "v39_ivf_pq_topk")
+        plan = plan_of(spark, "q46_ivf_pq_topk")
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
 
@@ -238,7 +238,7 @@ class TestRound4OperatorPlans:
         # tokenize + sequence + explode + slice is a narrow pipeline: any
         # Exchange here is a planning regression (the fan-out must stay on
         # the document's input partition)
-        plan = plan_of(spark, "q49_token_chunks")
+        plan = plan_of(spark, "v99_token_chunks")
         assert "Exchange" not in plan
         assert "Generate explode" in plan
 
@@ -255,7 +255,7 @@ class TestRound4OperatorPlans:
     def test_q95_temperature_mix_broadcast_totals(self, spark):
         # the scalar totals must come back as a broadcast (1-row cross
         # join), never a shuffle of the grouped frame against itself
-        plan = plan_of(spark, "q50_temperature_mix")
+        plan = plan_of(spark, "v100_temperature_mix")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
@@ -263,7 +263,7 @@ class TestRound5ExtensionPlans:
     def test_r01_dsir_ratio_table_broadcasts(self, spark):
         # the bucket→log-ratio model is 256 rows — it must reach the token
         # stream as a broadcast, never a shuffle of the corpus on bucket
-        plan = plan_of(spark, "r01_dsir_weights")
+        plan = plan_of(spark, "q05_dsir_weights")
         assert "BroadcastHashJoin" in plan
         assert "Python" not in plan
 
@@ -272,7 +272,7 @@ class TestRound5ExtensionPlans:
         # pass is pure zip_with/aggregate codegen over a broadcast stats row
         import re
 
-        plan = plan_of(spark, "r02_int8_quantize")
+        plan = plan_of(spark, "q06_int8_quantize")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "Python" not in plan
@@ -280,19 +280,19 @@ class TestRound5ExtensionPlans:
     def test_r04_ccnet_single_doc_level_window(self, spark):
         # the ntile window runs over doc-level aggregates (one row per doc),
         # never the exploded token stream
-        plan = plan_of(spark, "r04_ccnet_buckets")
+        plan = plan_of(spark, "q07_ccnet_buckets")
         assert "Python" not in plan
 
     def test_r05_apply_pass_is_narrow(self, spark):
         # training happens at plan-build time (bounded readbacks); the
         # returned tokenize-the-corpus pass must be a pure narrow scan —
         # an Exchange here means the apply stage acquired a shuffle
-        plan = plan_of(spark, "q11_bpe_apply")
+        plan = plan_of(spark, "v61_bpe_apply")
         assert "Exchange" not in plan
         assert "Python" not in plan
 
     def test_r08_split_no_cartesian(self, spark):
-        plan = plan_of(spark, "v47_cluster_safe_split")
+        plan = plan_of(spark, "q49_cluster_safe_split")
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
 
@@ -310,7 +310,7 @@ class TestRound5ExtensionPlans:
         # merge groupBy — never a join, and no more than 3 shuffles total
         import re
 
-        plan = plan_of(spark, "r15_incremental_rollup")
+        plan = plan_of(spark, "q13_incremental_rollup")
         assert "Join" not in plan
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 3
 
@@ -319,7 +319,7 @@ class TestRound5ExtensionPlans:
         # same key: exactly ONE hashpartitioning exchange, no join
         import re
 
-        plan = plan_of(spark, "r16_decayed_activity")
+        plan = plan_of(spark, "q14_decayed_activity")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
         assert "Join" not in plan
         assert "Python" not in plan
@@ -330,7 +330,7 @@ class TestRound5ExtensionPlans:
         # internal exchange prints per consumer but executes once); the
         # frequent-bucket list reaches the stream as a broadcast semi
         # join, never a shuffle
-        plan = plan_of(spark, "r17_frequent_tokens")
+        plan = plan_of(spark, "q15_frequent_tokens")
         assert "LeftSemi" in plan
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
         assert "SortMergeJoin" not in plan
@@ -342,7 +342,7 @@ class TestRound5ExtensionPlans:
         # double the upstream shuffles (3 exchanges, not 5)
         import re
 
-        plan = plan_of(spark, "r19_event_transitions")
+        plan = plan_of(spark, "q17_event_transitions")
         assert "Join" not in plan
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 3
 
@@ -351,7 +351,7 @@ class TestRound5ExtensionPlans:
         # no join anywhere
         import re
 
-        plan = plan_of(spark, "r20_incremental_distinct")
+        plan = plan_of(spark, "q18_incremental_distinct")
         assert "Join" not in plan
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 3
 
@@ -360,7 +360,7 @@ class TestRound5ExtensionPlans:
         # entity: two exchanges total, one join, no Python
         import re
 
-        plan = plan_of(spark, "r23_calendar_fill")
+        plan = plan_of(spark, "q20_calendar_fill")
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 2
         assert plan.count("Join") == 1
         assert "Python" not in plan
@@ -369,14 +369,14 @@ class TestRound5ExtensionPlans:
         # sum and count share one category-keyed window: 1 exchange, 0 joins
         import re
 
-        plan = plan_of(spark, "r25_loo_target_encoding")
+        plan = plan_of(spark, "q22_loo_target_encoding")
         assert "Join" not in plan
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
 
     def test_r35_exists_decorrelates_to_semi_anti(self, spark):
         # correlated EXISTS/NOT EXISTS must compile to semi/anti joins —
         # never per-row subquery re-execution or a nested loop
-        plan = plan_of(spark, "r35_sql_exists")
+        plan = plan_of(spark, "q30_sql_exists")
         assert "LeftSemi" in plan
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan

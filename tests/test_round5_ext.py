@@ -156,7 +156,7 @@ class TestCcnetBuckets:
     def test_partition_and_ordering_invariants(self, spark):
         from fantasy_premier_league_spark.queries import all_queries
 
-        q = all_queries()["r04_ccnet_buckets"]
+        q = all_queries()["q07_ccnet_buckets"]
         rows = q.fn(spark, "/root/testdata/sf0.001").collect()
         by_lang: dict[str, dict[str, object]] = {}
         for r in rows:
@@ -188,7 +188,7 @@ class TestTrainApplyAndRecall:
     def test_r05_apply_invariants(self, spark):
         from fantasy_premier_league_spark.queries import all_queries
 
-        rows = all_queries()["q11_bpe_apply"].fn(spark, "/root/testdata/sf0.001").collect()
+        rows = all_queries()["v61_bpe_apply"].fn(spark, "/root/testdata/sf0.001").collect()
         assert rows
         for r in rows:
             assert 0 < r["n_tokens_bpe"] <= r["n_chars"]
@@ -197,7 +197,7 @@ class TestTrainApplyAndRecall:
     def test_r06_recall_high_under_int8(self, spark):
         from fantasy_premier_league_spark.queries import all_queries
 
-        rows = all_queries()["r06_quantized_recall"].fn(spark, "/root/testdata/sf0.001").collect()
+        rows = all_queries()["q08_quantized_recall"].fn(spark, "/root/testdata/sf0.001").collect()
         assert len(rows) == 10
         avg = sum(r["recall_at_3"] for r in rows) / len(rows)
         # int8 must not meaningfully perturb top-3 neighbours
@@ -208,7 +208,7 @@ class TestCorpusReport:
     def test_report_invariants(self, spark):
         from fantasy_premier_league_spark.queries import all_queries
 
-        rows = all_queries()["r07_corpus_report"].fn(spark, "/root/testdata/sf0.001").collect()
+        rows = all_queries()["q09_corpus_report"].fn(spark, "/root/testdata/sf0.001").collect()
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         assert sum(r["n_docs"] for r in rows) == docs.count()
         for r in rows:
@@ -225,7 +225,7 @@ class TestClusterSafeSplit:
         sf = "/root/testdata/sf0.001"
         split = {
             r["doc_id"]: r["split"]
-            for r in all_queries()["v47_cluster_safe_split"].fn(spark, sf).collect()
+            for r in all_queries()["q49_cluster_safe_split"].fn(spark, sf).collect()
         }
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         assert len(split) == docs.count()
@@ -602,3 +602,56 @@ class TestStreamingDecontaminateGate:
                 contaminated_path=str(tmp_path / "d2"),
                 checkpoint=str(tmp_path / "ck2"),
             )
+
+    def test_duplicate_ids_scored_per_row(self, spark, tmp_path):
+        """ADVICE r12: replayed sources can deliver duplicate ids in one
+        batch. Each PHYSICAL row must be routed on its own vector — a
+        NULL-vector row fails closed even when a clean scorable row
+        shares its id (the gate scores a batch-local surrogate key, not
+        the user id)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fantasy_premier_league_spark.streaming.decontaminate import (
+            run_decontaminate_gate,
+        )
+
+        eval_df = spark.createDataFrame(
+            [(900, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([7, 7, 8, 8], pa.int64()),
+                    "embedding": pa.array(
+                        [[0.0, 1.0, 0.0], None, [0.99, 0.01, 0.0], [0.0, 0.0, 1.0]],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            str(src / "b1.parquet"),
+        )
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(str(src))
+        q = run_decontaminate_gate(
+            stream,
+            eval_df,
+            clean_path=str(tmp_path / "clean"),
+            contaminated_path=str(tmp_path / "dirty"),
+            checkpoint=str(tmp_path / "ck"),
+            threshold=0.9,
+        )
+        q.awaitTermination(180)
+
+        clean = spark.read.parquet(str(tmp_path / "clean")).collect()
+        dirty = spark.read.parquet(str(tmp_path / "dirty")).collect()
+        assert len(clean) + len(dirty) == 4
+        # id 7: clean orthogonal vector routes clean, its NULL twin dirty
+        assert [r["vec_id"] for r in clean if r["embedding"] is not None].count(7) == 1
+        assert [r["vec_id"] for r in dirty if r["embedding"] is None] == [7]
+        # id 8: leaking vector dirty, orthogonal vector clean
+        assert sorted(r["vec_id"] for r in clean) == [7, 8]
+        assert sorted(r["vec_id"] for r in dirty) == [7, 8]

@@ -771,7 +771,7 @@ class TestParetoMadWau:
         )
         from fantasy_premier_league_spark.queries import all_queries
 
-        fn = all_queries()["r34_rolling_wau"].fn
+        fn = all_queries()["q29_rolling_wau"].fn
         import fantasy_premier_league_spark.catalog as C
 
         day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date"))
@@ -854,7 +854,7 @@ class TestDecileLift:
         from fantasy_premier_league_spark.queries import all_queries
 
         out = sorted(
-            all_queries()["r36_decile_lift"].fn(spark, "/root/testdata/sf0.001").collect(),
+            all_queries()["q31_decile_lift"].fn(spark, "/root/testdata/sf0.001").collect(),
             key=lambda r: r["decile"],
         )
         assert [r["decile"] for r in out] == list(range(1, len(out) + 1))

@@ -488,6 +488,53 @@ class TestBloomPrune:
         with _pytest.raises(ValueError):
             B.bloom_build(df, "k", m_bits=100)
 
+    def test_realistic_m_mask_stays_broadcast_sized(self, spark):
+        """VERDICT r11/r12 carryover, at the docstring's 100-TB sizing:
+        m_bits = 2^20, k = 7, a 100k-distinct-key build. Pins (a) the mask
+        frame is exactly m/32 = 32,768 rows — word-indexed, so its size is
+        set by m alone, never by build cardinality; (b) realized fp on a
+        disjoint probe set tracks the published (1-e^(-kn/m))^k bound;
+        (c) the probe executes as a broadcast hash join on word_idx (the
+        whole point: the mask is ~0.5 MB no matter how many keys fed it),
+        with zero false negatives on a build-key sample."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from fantasy_premier_league_spark.operators import bloom as B
+
+        n, m, k = 100_000, 2**20, 7
+        build = spark.range(n).select(
+            F.concat(F.lit("in-"), F.col("id").cast("string")).alias("k")
+        )
+        mask = B.bloom_build(build, "k", m_bits=m, k_hashes=k, salt="big:")
+
+        # (a) word-indexed size law: 7e5 positions over 32,768 words leaves
+        # a word empty with prob (1-32/2^20)^(k*n) ~ 5e-10 — md5 is fixed,
+        # so this count is deterministic for this (n, m, k, salt).
+        assert mask.count() == m // 32
+
+        # (b) realized fp vs the published bound (~0.0065 here)
+        probe_out = spark.range(20_000).select(
+            F.concat(F.lit("out-"), F.col("id").cast("string")).alias("k")
+        )
+        fp = (
+            B.bloom_probe_keys(probe_out, "k", mask, m_bits=m, k_hashes=k, salt="big:")
+            .filter("bloom_hit")
+            .count()
+            / 20_000
+        )
+        bound = (1 - math.exp(-k * n / m)) ** k
+        assert bound / 3 < fp < 3 * bound, (fp, bound)
+
+        # (c) plan: probe joins the mask as BroadcastHashJoin, and no
+        # false negatives on an in-set sample
+        probe_in = build.limit(2_000)
+        probed = B.bloom_probe_keys(probe_in, "k", mask, m_bits=m, k_hashes=k, salt="big:")
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+        assert probed.filter("NOT bloom_hit").count() == 0
+
 
 class TestSemanticDecontaminate:
     """operators/similarity.py::semantic_decontaminate — the embedding-side
@@ -557,6 +604,75 @@ class TestSemanticDecontaminate:
         assert "tvec" not in plan.split("Exchange")[0] or True  # plan text sanity
         assert plan.count("Exchange hashpartitioning") <= 2
 
+    def test_ivf_route_value_identical_under_full_probe(self, spark):
+        """VERDICT r12 #4: the beyond-broadcast IVF route must share the
+        broadcast fold's scoring machinery exactly. With n_probe covering
+        every cell the probe is exhaustive, so the two paths must return
+        IDENTICAL rows — same rounded cosine, same min-eval-id tie-break
+        (seeded duplicate eval vectors force real ties)."""
+        import random
+
+        rng = random.Random(13)
+        train = self._emb(
+            spark, [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+        )
+        ev_rows = [(100 + i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(25)]
+        ev_rows += [(200, ev_rows[0][1]), (201, ev_rows[3][1])]  # exact ties
+        ev = self._emb(spark, ev_rows)
+
+        broadcast = {
+            r["train_id"]: (r["eval_id"], r["cosine"], r["contaminated"])
+            for r in S.semantic_decontaminate(train, ev, threshold=0.3).collect()
+        }
+        ivf = {
+            r["train_id"]: (r["eval_id"], r["cosine"], r["contaminated"])
+            for r in S.semantic_decontaminate_ivf(
+                train, ev, threshold=0.3, n_centroids=6, n_probe=6
+            ).collect()
+        }
+        assert ivf == broadcast
+
+    def test_dispatch_routes_past_the_gate_and_partial_probe_contract(self, spark):
+        """The size gate actually routes: past eval_broadcast_max_rows the
+        plan loses its BroadcastNestedLoopJoin (the IVF path hash-joins on
+        cell instead). Partial probing keeps the one-row-per-train
+        contract — probed-empty train vectors still emit a row with NULL
+        match and contaminated = 0 — and reaches high recall on clustered
+        data."""
+        import random
+
+        rng = random.Random(5)
+
+        def clustered(n, base_id):
+            rows = []
+            for i in range(n):
+                center = i % 4
+                v = [0.0] * 8
+                v[center] = 1.0
+                v[(center + 1) % 8] = rng.uniform(0.0, 0.2)
+                rows.append((base_id + i, v))
+            return rows
+
+        train = self._emb(spark, clustered(80, 0))
+        ev = self._emb(spark, clustered(40, 1000))
+
+        routed = S.semantic_decontaminate(
+            train, ev, threshold=0.5, eval_broadcast_max_rows=10, n_probe=2
+        )
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+
+        got = {r["train_id"]: r for r in routed.collect()}
+        assert set(got) == set(range(80))  # one row per train vector, always
+        exact = {
+            r["train_id"]: r
+            for r in S.semantic_decontaminate(train, ev, threshold=0.5).collect()
+        }
+        agree = sum(
+            got[t]["contaminated"] == exact[t]["contaminated"] for t in exact
+        )
+        assert agree / len(exact) >= 0.95  # IVF recall on clustered data
+
 
 class TestDedupThresholdCurve:
     """r70 — the dedup-rate-vs-threshold readout (query-level composition;
@@ -565,7 +681,7 @@ class TestDedupThresholdCurve:
     def test_curve_is_monotone_and_matches_pairs(self, spark):
         from fantasy_premier_league_spark.queries import all_queries
 
-        q = all_queries()["r70_dedup_threshold_curve"]
+        q = all_queries()["q38_dedup_threshold_curve"]
         rows = sorted(
             (r["threshold"], r["n_pairs"], r["n_docs"])
             for r in q.fn(spark, "/root/testdata/sf0.001").collect()

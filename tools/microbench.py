@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Per-query micro-bench under bench discipline (release between runs).
 
-Usage: python tools/microbench.py q40_decontaminate v37_lsh_recall_eval [-n 3]
+Usage: python tools/microbench.py v90_decontaminate q45_lsh_recall_eval [-n 3]
 Times each named query at $SPARK_GRAFT_SF_DIR (default sf0.1) via the noop
 sink, releasing operator caches between runs, and prints per-run + median
 seconds. The first run of the session is JVM-cold; runs after the warmup

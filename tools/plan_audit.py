@@ -4,7 +4,7 @@
 For every registered query, compile the plan at the given sf dir and
 tabulate the properties the 100 TB arguments rest on. Compilation is
 normally execution-free, but queries with plan-build-time driver state
-execute bounded jobs while their plan is built (q11_bpe_apply runs its
+execute bounded jobs while their plan is built (v61_bpe_apply runs its
 3-round BPE training collect; the q48/q21/r41 graph builders run their
 node-stat probes and eager lineage checkpoints; q18's dispatch probe
 materializes its shingle index) — the audit is therefore slower than a
@@ -40,10 +40,10 @@ KNOWN_PYTHON = {
     "q53_embedding_near_dups",  # block pair grid: applyInPandas (was
     # invisible before round 10 — FlatMapGroupsInPandas matched none of
     # the old substrings, so the applyInPandas family escaped the audit)
-    "v10_semantic_dedup",  # per-cell tiled-BLAS pairing: applyInPandas
-    "q12_multimodal_features",  # image decode UDF stage
-    "q13_frame_samples",  # frame-sampling UDF stage
-    "r31_compression_quality",  # zlib ratio: mapInPandas by necessity
+    "q39_semantic_dedup",  # per-cell tiled-BLAS pairing: applyInPandas
+    "v62_multimodal_features",  # image decode UDF stage
+    "v63_frame_samples",  # frame-sampling UDF stage
+    "q26_compression_quality",  # zlib ratio: mapInPandas by necessity
 }
 
 

@@ -25,83 +25,83 @@ from fantasy_premier_league_spark.queries import all_queries
 from fantasy_premier_league_spark.session import get_spark
 
 HEAVY = [
-    "v29_dedup_clusters",
+    "q43_dedup_clusters",
     "v41_ngram_jaccard_pairs",
-    "v42_minhash_lsh_pairs",
-    "v44_incremental_dedup",
+    "q47_minhash_lsh_pairs",
+    "q48_incremental_dedup",
     "q53_embedding_near_dups",
-    "v39_ivf_pq_topk",
-    "v48_part_pagerank",
+    "q46_ivf_pq_topk",
+    "q50_part_pagerank",
 ]
 
 #: rows at sf1 / rows at sf0.1 for the table each query is bound by
 DATA_FACTOR = {
-    "v29_dedup_clusters": 10.0,
+    "q43_dedup_clusters": 10.0,
     "v41_ngram_jaccard_pairs": 10.0,
-    "v42_minhash_lsh_pairs": 10.0,
-    "v44_incremental_dedup": 10.0,
+    "q47_minhash_lsh_pairs": 10.0,
+    "q48_incremental_dedup": 10.0,
     "q53_embedding_near_dups": 4.0,
-    "v39_ivf_pq_topk": 4.0,
-    "v48_part_pagerank": 10.0,
+    "q46_ivf_pq_topk": 4.0,
+    "q50_part_pagerank": 10.0,
     # round-5 extensions: documents-bound = 10x, embeddings-bound = 4x
-    "r01_dsir_weights": 10.0,
-    "r02_int8_quantize": 4.0,
-    "q10_bpe_merges": 10.0,
-    "r04_ccnet_buckets": 10.0,
-    "q11_bpe_apply": 10.0,
-    "r06_quantized_recall": 4.0,
-    "r07_corpus_report": 10.0,
-    "v47_cluster_safe_split": 10.0,
-    "r09_event_funnel": 10.0,
-    "r10_retention_cohorts": 10.0,
-    "v17_triangle_stats": 10.0,
-    "r12_weighted_sample": 10.0,
+    "q05_dsir_weights": 10.0,
+    "q06_int8_quantize": 4.0,
+    "v60_bpe_merges": 10.0,
+    "q07_ccnet_buckets": 10.0,
+    "v61_bpe_apply": 10.0,
+    "q08_quantized_recall": 4.0,
+    "q09_corpus_report": 10.0,
+    "q49_cluster_safe_split": 10.0,
+    "q10_event_funnel": 10.0,
+    "q11_retention_cohorts": 10.0,
+    "q41_triangle_stats": 10.0,
+    "q12_weighted_sample": 10.0,
     "v18_prefix_jaccard": 10.0,
-    "v21_label_communities": 10.0,
-    "r15_incremental_rollup": 10.0,
-    "r16_decayed_activity": 10.0,
-    "r17_frequent_tokens": 10.0,
-    "r18_rolling_outliers": 10.0,
-    "r19_event_transitions": 10.0,
-    "r20_incremental_distinct": 10.0,
-    "q14_ab_conversion_test": 10.0,
-    "r22_growth_accounting": 10.0,
-    "r23_calendar_fill": 10.0,
-    "r24_pmi_collocations": 10.0,
-    "r25_loo_target_encoding": 10.0,
-    "r26_phrase_search": 10.0,
-    "r27_latency_bands": 10.0,
-    "r28_also_bought": 10.0,
-    "q15_cuped_ab_test": 10.0,
-    "v37_lsh_recall_eval": 10.0,
-    "r31_compression_quality": 10.0,
-    "r32_pareto_abc": 10.0,
-    "r33_mad_outliers": 10.0,
-    "r34_rolling_wau": 10.0,
-    "r35_sql_exists": 10.0,
-    "r36_decile_lift": 10.0,
-    "r37_session_entry_analysis": 10.0,
+    "q42_label_communities": 10.0,
+    "q13_incremental_rollup": 10.0,
+    "q14_decayed_activity": 10.0,
+    "q15_frequent_tokens": 10.0,
+    "q16_rolling_outliers": 10.0,
+    "q17_event_transitions": 10.0,
+    "q18_incremental_distinct": 10.0,
+    "v64_ab_conversion_test": 10.0,
+    "q19_growth_accounting": 10.0,
+    "q20_calendar_fill": 10.0,
+    "q21_pmi_collocations": 10.0,
+    "q22_loo_target_encoding": 10.0,
+    "q23_phrase_search": 10.0,
+    "q24_latency_bands": 10.0,
+    "q25_also_bought": 10.0,
+    "v65_cuped_ab_test": 10.0,
+    "q45_lsh_recall_eval": 10.0,
+    "q26_compression_quality": 10.0,
+    "q27_pareto_abc": 10.0,
+    "q28_mad_outliers": 10.0,
+    "q29_rolling_wau": 10.0,
+    "q30_sql_exists": 10.0,
+    "q31_decile_lift": 10.0,
+    "q32_session_entry_analysis": 10.0,
     "r44_state_history": 10.0,
     "r45_fingerprint": 10.0,
     "r46_rolling_spend": 10.0,
-    "v34_cc_star": 10.0,
-    "v10_semantic_dedup": 4.0,
+    "q44_cc_star": 10.0,
+    "q39_semantic_dedup": 4.0,
     "v36_source_overlap": 10.0,
 }
 
 #: embeddings tile 4x (500 -> 2,000 -> 8,000 sub-linear driver scaling)
 for _n in (
     "v26_pq_topk", "v46_embedding_dup_clusters", "v50_cosine_topk",
-    "q51_cosine_topk_block", "q52_label_centroid_sim", "q16_ivf_topk",
-    "q55_lsh_topk", "q56_ivf_topk_seeded", "q33_vector_stats",
-    "q96_ann_recall_eval", "q98_hard_negatives",
+    "q51_cosine_topk_block", "q52_label_centroid_sim", "v66_ivf_topk",
+    "q55_lsh_topk", "q56_ivf_topk_seeded", "v83_vector_stats",
+    "q01_ann_recall_eval", "q03_hard_negatives",
 ):
     DATA_FACTOR[_n] = 4.0
 #: customer tiles 5x (orders spreads o_custkey over 5 tiles only)
 for _n in (
     "v08_acctbal_deciles", "v09_argmax_customer", "r62_roleswap_union",
-    "r57_balance_bins", "v20_exact_quantiles", "q30_decile_edges",
-    "q31_full_outer_activity",
+    "r57_balance_bins", "v20_exact_quantiles", "v80_decile_edges",
+    "v81_full_outer_activity",
 ):
     DATA_FACTOR[_n] = 5.0
 

@@ -65,6 +65,7 @@ def fit_line(out: dict) -> str:
     timings = out.get("queries", {})
     slim = dict(out)
     slim.pop("queries_cold", None)
+    slim.pop("queries_sweep_min", None)  # sidecar keeps the full map
     slim["full"] = ".scratch/bench_full.json"
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     keep = len(by_cost)
@@ -260,6 +261,41 @@ def main() -> None:
         out["warmup_failed"] = warmup_failed
     if errors:
         out["errors"] = errors
+    # Steady-state view without judge-side re-derivation (VERDICT r12
+    # item 8): host CPU variance means sweeps compare honestly by MIN
+    # (see the pre-read note above), so keep a per-SF sweep history for
+    # the CURRENT commit and publish the per-query min across them.
+    # A HEAD change resets the history — timings from older code must
+    # not shadow a real regression.
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True, timeout=10
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        head = ""
+    hist_path = f".scratch/bench_sweeps_sf{sf}.json"
+    try:
+        os.makedirs(".scratch", exist_ok=True)
+        hist = {"head": head, "sweeps": []}
+        if os.path.exists(hist_path):
+            with open(hist_path) as fh:
+                prev = json.load(fh)
+            if head and prev.get("head") == head:
+                hist = prev
+        hist["sweeps"].append(timings)
+        with open(hist_path, "w") as fh:
+            json.dump(hist, fh)
+        if len(hist["sweeps"]) > 1:
+            names = sorted({n for s in hist["sweeps"] for n in s})
+            out["queries_sweep_min"] = {
+                n: min(s[n] for s in hist["sweeps"] if n in s) for n in names
+            }
+            out["n_sweeps"] = len(hist["sweeps"])
+            out["sweep_min_total"] = round(sum(out["queries_sweep_min"].values()), 3)
+    except (OSError, ValueError):
+        pass
     # the driver artifact truncates long stdout to a tail — persist the
     # complete name→seconds map to a sidecar so every query is diffable
     # round-over-round (VERDICT r6 item 4)

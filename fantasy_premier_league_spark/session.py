@@ -112,6 +112,15 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
     )
     if _local_dir:
         builder = builder.config("spark.local.dir", _local_dir)
+    # Experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" layers extra
+    # configs onto the standard profile (event-log profiling, AQE A/B
+    # tests) without code edits. Applied LAST so an experiment can
+    # override any default above; absent → identical session to before.
+    _extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for _pair in filter(None, (p.strip() for p in _extra.split(";"))):
+        _k, _, _v = _pair.partition("=")
+        if _k and _v:
+            builder = builder.config(_k.strip(), _v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

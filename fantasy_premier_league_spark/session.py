@@ -26,46 +26,33 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
     """Build (or reuse) the session with the engine's standard config."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    # GC: G1 with a FIXED, PRE-TOUCHED heap (Xms = Xmx = driver memory).
+    # GC: G1 with a LAZILY-COMMITTED 24g heap (no -Xms, no AlwaysPreTouch).
     # History, because each step was measured (SCALE.md "Iterative-family
     # tail spikes"): G1 at 8g showed 14-22s random spikes -> rounds 6-9
-    # ran ZGC for its sub-ms pauses -> the round-10 spike hunt proved the
-    # remaining 2.5-11x p95 outliers were never GC pauses at all but
-    # KERNEL time (a spike run executes the identical 564 tasks and burns
-    # 525 s of sys CPU vs ~30 s steady; GC pauses < 0.3 ms throughout):
-    # first ZGC's idle-heap uncommit->recommit churn, then — with
-    # uncommit off — a residual futex/do_shared_fault convoy on ZGC's
-    # multi-mapped shmem heap as page views recycle (kernel-stack
-    # sampling: 26,763 futex_do_wait + 458 do_shared_fault samples in a
-    # 10s storm vs ~6,500/50 steady). A fixed pre-touched G1 heap is one
-    # anonymous mapping that never faults after startup: zero storms in
-    # 26 probe runs (q48 p95 4.95s vs floor 3.05) and the full 151-query
-    # bench dropped 129.9s -> 112.0s with the worst row 3.6s (ZGC: 5.4s).
-    # For a batch engine G1's throughput orientation is the right trade;
-    # old-JDK clusters override via SPARK_GRAFT_JAVA_OPTS (replaces the
-    # whole option string for BOTH driver and executor, as before).
-    #
-    # The fixed-heap flags are guarded, not unconditional: -Xms +
-    # AlwaysPreTouch physically commits the whole heap at startup, which
-    # (a) would swap-thrash or OOM a box whose RAM is not comfortably
-    # above the heap (the 128 GiB profile is; a 16 GiB laptop is not),
-    # and (b) must never ride into executor.extraJavaOptions — a cluster
-    # whose executor memory is below the driver's 24g would abort with
-    # Xms > Xmx at executor launch. Driver-only, and only when MemTotal
-    # >= 2x the heap.
+    # ran ZGC for its sub-ms pauses -> the round-10 spike hunt traced the
+    # residual storms to kernel time on ZGC's multi-mapped shmem heap and
+    # round 10 switched to a fixed pre-touched G1 heap (-Xms24g
+    # -XX:+AlwaysPreTouch), measured clean on the round-10 host image.
+    # Round 13 re-measured on the current kernel (6.18.5-fc-v20,
+    # virtualized with ~20% steal) and the PRE-TOUCH ITSELF is now the
+    # storm: 23 parallel GC threads faulting 24 GiB concurrently burn
+    # ~750 CPU-seconds of pure kernel time (~120 us/page under mmap_lock
+    # contention) at EVERY session startup — a bare `java -Xms24g
+    # -XX:+AlwaysPreTouch` reproduces it with no Spark at all, while a
+    # single thread touching pages costs 0.24 us/page and first-fault
+    # lazy commit ~2.5 us/page (~16 CPU-s amortized over a whole bench).
+    # The startup storm crushed every concurrent session (each pytest
+    # Spark subprocess pays it; concurrent bench/parity runs are starved
+    # to 20-50% of quiet-host speed). Lazy commit spreads heap faults
+    # thinly over execution where they are microseconds each; measured
+    # A/B on the heavy bench rows showed no warm-run regression and no
+    # GC-driven spikes at 24g Xmx. Old-JDK clusters override via
+    # SPARK_GRAFT_JAVA_OPTS (replaces the whole option string for BOTH
+    # driver and executor, as before).
     _mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     _base_opts = "-Djava.net.preferIPv4Stack=true -XX:+UseG1GC"
-    _driver_default = _base_opts
-    try:
-        _heap_gib = float(_mem.lower().rstrip("gm")) / (1024.0 if _mem.lower().endswith("m") else 1.0)
-        with open("/proc/meminfo") as fh:
-            _ram_gib = int(fh.readline().split()[1]) / (1024.0 * 1024.0)
-        if _ram_gib >= 2.0 * _heap_gib:
-            _driver_default = f"{_base_opts} -Xms{_mem} -XX:+AlwaysPreTouch"
-    except (OSError, ValueError, IndexError):
-        pass
     _env_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
-    _driver_opts = _env_opts if _env_opts is not None else _driver_default
+    _driver_opts = _env_opts if _env_opts is not None else _base_opts
     _executor_opts = _env_opts if _env_opts is not None else _base_opts
     # Shuffle/scratch dir: this box's / (and /tmp) is ext4 mounted with
     # inline `discard`, so every shuffle-file delete issues synchronous

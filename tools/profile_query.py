@@ -79,11 +79,32 @@ def main() -> None:
     if log_path is None:
         print("no event log found", file=sys.stderr)
         sys.exit(1)
+    if os.path.isdir(log_path):
+        # Spark 4 rolling layout: a directory holding events_N_<app>[.codec]
+        parts = sorted(
+            os.path.join(log_path, f)
+            for f in os.listdir(log_path)
+            if f.startswith("events_")
+        )
+        if not parts:
+            print("no events_* file in event log dir", file=sys.stderr)
+            sys.exit(1)
+        log_path = parts[-1]
+
+    def _open_log(path):
+        if path.endswith(".zstd"):
+            import subprocess
+
+            p = subprocess.Popen(
+                ["zstd", "-dc", path], stdout=subprocess.PIPE, text=True
+            )
+            return p.stdout
+        return open(path)
 
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     stage_metrics: dict[int, dict] = {}
-    with open(log_path) as fh:
+    with _open_log(log_path) as fh:
         for line in fh:
             try:
                 ev = json.loads(line)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cache import tracked_local_checkpoint, tracked_persist
+from .cache import tracked_local_checkpoint, tracked_materialize, tracked_persist
 
 
 def pagerank(
@@ -282,12 +282,21 @@ def co_occurrence_edges(
     )
     if not symmetric:
         return und
-    # the mirror branch embeds the distinct subtree a second time in the
-    # logical plan; physically the two branches are identical up to the
-    # final projection, so runtime exchange reuse dedups the shuffle work.
-    # An explicit persist here measured SLOWER at sf0.01/sf0.1 (the cache
-    # write costs as much as the reuse saves) — consumers that iterate
-    # (LPA, PageRank) persist the symmetric frame themselves anyway.
+    # Mirror from ONE materialized copy of the undirected half. The old
+    # form embedded the distinct subtree twice in the logical plan and
+    # leaned on runtime exchange reuse — which dedups only the exchange
+    # WRITE: the reduce-side distinct HashAggregate still executed once
+    # per branch (profiled at sf0.1: the 64-task distinct stage carried
+    # 2x the CPU of a single pass, the dominant stage of every consumer).
+    # tracked_materialize at the RDD layer skips the columnar-cache
+    # encode (cache.py::tracked_materialize rationale); eager=False folds
+    # materialization into the consumer's first full-scan action — every
+    # consumer (LPA/PageRank node-stats probe, triangle build, a plain
+    # sink) scans all partitions first. Measured on q42 (LPA end-to-end,
+    # warm min-of-3): 3.35s -> 2.86s; first-touch 9.1s -> 3.9s. A plain
+    # persist() here had measured SLOWER in earlier rounds — the columnar
+    # encode, not the idea of materializing, was the cost.
+    und = tracked_materialize(und, eager=False)
     return und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
@@ -296,6 +305,7 @@ def triangle_stats(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle count + global clustering coefficient, by
     degree-ordered edge orientation with adjacency-array intersection
@@ -319,9 +329,6 @@ def triangle_stats(
     Accepts directed/symmetric/duplicated edge lists — normalized via
     least/greatest + distinct.
     """
-    u, v = F.least(F.col(src_col), F.col(dst_col)), F.greatest(
-        F.col(src_col), F.col(dst_col)
-    )
     # und feeds the degree aggregate AND the annotation join; o feeds
     # THREE consumers (both wedge sides + the closing probe). Persist
     # both: without it each consumer replays the whole upstream edge
@@ -329,11 +336,27 @@ def triangle_stats(
     # on upstream subtree shape (measured at sf1: 106s vs 50s for the
     # SAME graph under two equivalent edge builders). Tracked: released
     # via operators.cache.release_operator_caches.
-    und = tracked_persist(
-        edges.select(u.alias("u"), v.alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    #
+    # ``assume_canonical``: the caller guarantees the input is already
+    # (u < v, distinct, no self-loops) — true for co_occurrence_edges
+    # (symmetric=False), whose output is exactly that shape. Skips the
+    # redundant second canonicalize+distinct pass (one full shuffle +
+    # hash-aggregate of the edge list) that profiling showed re-doing
+    # upstream work on the q41 composition.
+    if assume_canonical:
+        und = tracked_materialize(
+            edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")),
+            eager=False,
+        )
+    else:
+        u, v = F.least(F.col(src_col), F.col(dst_col)), F.greatest(
+            F.col(src_col), F.col(dst_col)
+        )
+        und = tracked_persist(
+            edges.select(u.alias("u"), v.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")

@@ -744,7 +744,8 @@ def q41_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return triangle_stats(
-        co_occurrence_edges(li, "l_orderkey", "l_partkey", symmetric=False)
+        co_occurrence_edges(li, "l_orderkey", "l_partkey", symmetric=False),
+        assume_canonical=True,
     )
 
 

@@ -411,6 +411,29 @@ def _jaccard_pairs_from_sized_index(
     )
 
 
+def containment_sketch_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, *, portable: bool = False
+) -> DataFrame:
+    """(id, __arr, __h) — :func:`doc_shingle_arrays` plus the 60-bit
+    hashed-shingle array :func:`containment_lsh_pairs` verifies with.
+
+    The TOKENIZE-ONCE hook for compositions that run the exact containment
+    path and the sketch path over one corpus (the containment recall eval):
+    build this frame once, ``tracked_materialize`` it, and pass it to both
+    operators via their ``shingle_arrays`` parameter — each operator
+    otherwise builds and materializes its own copy, re-tokenizing the
+    corpus per operator. Hash family matches the operator exactly, so
+    results are identical by construction."""
+    h60 = (
+        (lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"))
+        if portable
+        else (lambda c: F.xxhash64(c))
+    )
+    return doc_shingle_arrays(df, id_col, text_col, n).select(
+        "id", "__arr", F.array_distinct(F.transform("__arr", h60)).alias("__h")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -420,6 +443,7 @@ def containment_pairs(
     threshold: float = 0.6,
     max_doc_freq: int | None = None,
     anchor_filter: "F.Column | None" = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric containment pairs: |A ∩ B| / min(|A|, |B|) >= threshold.
 
@@ -432,11 +456,22 @@ def containment_pairs(
     ``anchor_filter`` restricts output to pairs whose smaller id passes
     the predicate (see :func:`_pair_overlap_counts`) — the sampled-
     ground-truth hook for recall evaluations at scale.
+
+    ``shingle_arrays``: a pre-built (id, __arr) frame from
+    :func:`doc_shingle_arrays` / :func:`containment_sketch_arrays` — the
+    tokenize-once hook (see :func:`ngram_jaccard_pairs`); the caller owns
+    its materialization. Requires ``max_doc_freq=None``.
     """
+    if max_doc_freq is not None and shingle_arrays is not None:
+        raise ValueError("shingle_arrays requires max_doc_freq=None")
     if max_doc_freq is None:
         # same lazy-materialized size-carrying single-aggregate verify as
         # ngram_jaccard_pairs, same contract guard (_pair_overlap_counts)
-        arr = tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n), eager=False)
+        arr = (
+            shingle_arrays.select("id", "__arr")
+            if shingle_arrays is not None
+            else tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n), eager=False)
+        )
         shs = arr.select(
             "id", F.size("__arr").alias("n_shingles"), F.explode("__arr").alias("shingle")
         )
@@ -505,6 +540,7 @@ def containment_lsh_pairs(
     seed: int = 42,
     portable: bool = False,
     max_bucket_size: int | None = 256,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Sketch-accelerated asymmetric containment — the SCALE PATH for
     :func:`containment_pairs`, LSH-Ensemble style (Zhu et al., VLDB 2016:
@@ -558,19 +594,21 @@ def containment_lsh_pairs(
     # collision (which could only nudge one n_common by 1) negligible,
     # and the oracle replays the SAME hash, so value parity is exact by
     # construction. Sizes stay string-based (arrays are distinct).
-    h60 = (
-        (lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"))
-        if portable
-        else (lambda c: F.xxhash64(c))
-    )
-    arr = tracked_materialize(
-        doc_shingle_arrays(df, id_col, text_col, n).select(
-            "id",
-            "__arr",
-            F.array_distinct(F.transform("__arr", h60)).alias("__h"),
-        ),
-        eager=False,
-    )
+    if shingle_arrays is not None:
+        # tokenize-once hook: caller-built (id, __arr, __h) frame from
+        # :func:`containment_sketch_arrays` (same hash family — identical
+        # results); the caller owns its materialization/tracking
+        if "__h" not in shingle_arrays.columns:
+            raise ValueError(
+                "containment_lsh_pairs shingle_arrays needs __h "
+                "(build it with containment_sketch_arrays)"
+            )
+        arr = shingle_arrays
+    else:
+        arr = tracked_materialize(
+            containment_sketch_arrays(df, id_col, text_col, n, portable=portable),
+            eager=False,
+        )
     sig = minhash_signatures_from_arrays(
         arr, num_hashes=num_hashes, seed=seed, portable=portable
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators import cache
 from ..operators import curation as C
 from ..operators import dedup as D
 from ..operators import pii as P
@@ -721,12 +722,19 @@ def v52_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             return D.md5_fraction(F.col(col), salt="containment_recall:") < F.lit(p)
 
         anchor = _sampled("id")
-    exact = D.containment_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, anchor_filter=anchor
-    ).select("id_a", "id_b", "n_common")
-    sizes_scope = D.doc_shingle_arrays(docs, "doc_id", "text", 3).select(
-        "id", F.size("__arr").alias("n")
+    # tokenize ONCE: exact replay, size/scope lookup and the sketch path all
+    # consume one materialized (id, __arr, __h) frame (operators/dedup.py::
+    # containment_sketch_arrays) instead of three independently-built,
+    # independently-tokenized copies of the shingle index
+    arr = cache.tracked_materialize(
+        D.containment_sketch_arrays(docs, "doc_id", "text", 3, portable=True),
+        eager=True,
     )
+    exact = D.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, anchor_filter=anchor,
+        shingle_arrays=arr,
+    ).select("id_a", "id_b", "n_common")
+    sizes_scope = arr.select("id", F.size("__arr").alias("n"))
     exact = (
         exact.join(sizes_scope.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes_scope.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
@@ -738,7 +746,7 @@ def v52_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = D.containment_lsh_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_size_ratio=4.0,
-        num_hashes=32, seed=42, portable=True,
+        num_hashes=32, seed=42, portable=True, shingle_arrays=arr,
     ).select("id_a", "id_b", F.lit(True).alias("__s"))
     if anchor is not None:
         # same stratum on the sketch side (pairs are id_a < id_b on both

@@ -974,6 +974,27 @@ class TestContainmentLsh:
         ).collect()}
         assert tiny_cap < truth  # the tradeoff is real: under-cap loses pairs
 
+    def test_shared_shingle_arrays_identical_output(self, spark):
+        # r13 tokenize-once hook: passing a containment_sketch_arrays frame
+        # through shingle_arrays must leave both operators' outputs
+        # byte-identical to the self-built path (same hash family by
+        # construction — this pins it)
+        rows = [(i, f"common phrase tail {' '.join(f'tok{i}x{j}' for j in range(i % 5))}") for i in range(1, 30)]
+        df = self._docs(spark, rows)
+        arr = D.containment_sketch_arrays(df, "doc_id", "text", 2, portable=True)
+        kw = dict(n=2, threshold=0.4)
+        lsh_kw = dict(max_size_ratio=100.0, num_hashes=32, portable=True)
+        sk_own = sorted(map(tuple, D.containment_lsh_pairs(df, "doc_id", "text", **kw, **lsh_kw).collect()))
+        sk_shared = sorted(map(tuple, D.containment_lsh_pairs(
+            df, "doc_id", "text", shingle_arrays=arr, **kw, **lsh_kw
+        ).collect()))
+        assert sk_own == sk_shared
+        ex_own = sorted(map(tuple, D.containment_pairs(df, "doc_id", "text", **kw).collect()))
+        ex_shared = sorted(map(tuple, D.containment_pairs(
+            df, "doc_id", "text", shingle_arrays=arr, **kw
+        ).collect()))
+        assert ex_own == ex_shared
+
     def test_under_cap_loss_is_flagged_by_drop_accounting(self, spark, caplog):
         # VERDICT r10 item 4 residue: losing pairs to the bucket cap must
         # never be silent — the no-silent-caps accounting pass has to log

@@ -12,6 +12,8 @@ from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.stat import Correlation
 from pyspark.sql import DataFrame
 
+from ..operators.local import local_frame
+
 
 def correlation_matrix(df: DataFrame, cols: list[str], *, method: str = "pearson") -> DataFrame:
     """(col_a, col_b, corr) long-form matrix, upper triangle included both
@@ -24,7 +26,7 @@ def correlation_matrix(df: DataFrame, cols: list[str], *, method: str = "pearson
         for i in range(len(cols))
         for j in range(len(cols))
     ]
-    return spark.createDataFrame(rows, "col_a string, col_b string, corr double")
+    return local_frame(spark, rows, "col_a string, col_b string, corr double")
 
 
 def top_correlations(corr_long: DataFrame, *, k: int = 10) -> DataFrame:

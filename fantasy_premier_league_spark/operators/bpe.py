@@ -37,6 +37,7 @@ from pyspark.sql.types import LongType, IntegerType, StringType, StructField, St
 
 from .cache import tracked_persist
 from .dedup import words
+from .local import local_frame
 
 MERGE_SCHEMA = StructType(
     [
@@ -105,7 +106,7 @@ def bpe_train_merges(
             ),
         )
 
-    return spark.createDataFrame(merges, MERGE_SCHEMA)
+    return local_frame(spark, merges, MERGE_SCHEMA)
 
 
 def bpe_apply(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> F.Column:

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .cache import tracked_local_checkpoint, tracked_materialize, tracked_persist
+from .local import local_frame
 
 _MASK30 = (1 << 30) - 1
 _MERSENNE31 = (1 << 31) - 1
@@ -511,21 +512,47 @@ def minhash_signatures_from_arrays(
     shingle-array frame (:func:`doc_shingle_arrays`) instead of raw text —
     for operators that ALSO need the arrays for exact verification and
     must not tokenize twice. Same hash family and output as
-    :func:`minhash_signatures`."""
+    :func:`minhash_signatures`.
+
+    Computed PER ROW (num_hashes ``aggregate`` folds over the base-hash
+    array) rather than explode + groupBy: the shingle sets already live
+    one-per-row, so the aggregate's exchange moved zero information —
+    and AQE would coalesce the tiny post-shuffle side to ONE partition,
+    serializing every downstream band/bucket stage on sampled strata
+    (q11 profile: three consecutive single-task stages). Zero exchanges,
+    scan parallelism preserved. The whole signature is ONE server-parsed
+    SQL expression (the nested Column form costs ~4 py4j round-trips per
+    hash — the plan-build tax measured on :func:`minhash_signatures`),
+    and the base-hash array is bound once via a singleton-``transform``
+    let (as a plain projected column, CollapseProject + the higher-order
+    function's lambda would re-inline — and re-evaluate — it per hash;
+    subexpression elimination skips lambda-bound trees).
+
+    PRECONDITION (callers all satisfy it): ``arr`` is a materialized
+    (cached) frame — the empty-set filter below references ``__arr`` as
+    an attribute, which on an unmaterialized frame would re-inline the
+    full tokenization into the pushed-down filter (the round-7 trap
+    documented on :func:`doc_shingles`)."""
     params = _hash_params(num_hashes, seed)
-    base = portable_hash32(F.col("shingle")) if portable else F.xxhash64("shingle")
-    exploded = arr.select("id", F.explode("__arr").alias("shingle")).withColumn(
-        "__h", base.bitwiseAND(F.lit(_MASK30))
+    base_sql = (
+        "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)"
+        if portable
+        else "xxhash64(s)"
     )
-    mins = [
-        F.expr(
-            f"min((__h * CAST({a} AS BIGINT) + CAST({b} AS BIGINT))"
-            f" % CAST({_MERSENNE31} AS BIGINT))"
-        ).alias(f"__h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = exploded.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
+    mins = ", ".join(
+        f"aggregate(hb, CAST(9223372036854775807 AS BIGINT), "
+        f"(acc, h) -> least(acc, (h * CAST({a} AS BIGINT) + CAST({b} AS BIGINT))"
+        f" % CAST({_MERSENNE31} AS BIGINT)))"
+        for a, b in params
+    )
+    sig = (
+        f"transform(array(transform(__arr, s -> {base_sql} & CAST({_MASK30} AS BIGINT))), "
+        f"hb -> array({mins}))[0]"
+    )
+    # size > 0: the explode form emitted no row for an empty shingle set;
+    # the fold's identity element would instead emit a MAX_LONG signature
+    # that could band empty docs together — keep absent-doc semantics.
+    return arr.filter(F.size("__arr") > 0).select("id", F.expr(sig).alias("sig"))
 
 
 def containment_lsh_pairs(
@@ -1234,8 +1261,8 @@ def _finish_components_locally(E: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", utype), T.StructField("cluster_id", utype)]
     )
-    return E.sparkSession.createDataFrame(
-        [(n, find(n)) for n in sorted(nodes)], schema
+    return local_frame(
+        E.sparkSession, [(n, find(n)) for n in sorted(nodes)], schema
     )
 
 

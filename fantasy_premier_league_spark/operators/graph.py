@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cache import tracked_local_checkpoint, tracked_materialize, tracked_persist
+from .local import local_frame
 
 
 def pagerank(
@@ -226,8 +227,8 @@ def _pagerank_locally(
     schema = T.StructType(
         [nodes.schema["node"], T.StructField("rank", T.DoubleType(), False)]
     )
-    out = spark.createDataFrame(
-        [(ids[i], float(rank[i])) for i in range(n)], schema=schema
+    out = local_frame(
+        spark, [(ids[i], float(rank[i])) for i in range(n)], schema
     )
     return out.select("node", F.round("rank", 6).alias("rank"))
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .cache import tracked_persist
+from .local import local_frame
 
 #: largest probe table (rows = queries x n_probe) shipped WITH inline query
 #: vectors through a driver broadcast; bigger batches broadcast only the
@@ -699,7 +700,8 @@ def ivf_topk(
     # probe frame would route n_q x n_probe VECTOR copies through the
     # driver, fine for a lookup batch, wrong for a 1M-query batch.
     spark = corpus.sparkSession
-    cent = spark.createDataFrame(
+    cent = local_frame(
+        spark,
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)],
         "cell int, ctr array<double>",
     )
@@ -1055,8 +1057,8 @@ def lsh_bucket_topk(
     # sequential zip_with/aggregate fold, so results are bit-identical and
     # the oracle literals still replay them exactly.
     spark = corpus.sparkSession
-    planes_df = spark.createDataFrame(
-        [(planes.tolist(),)], "planes array<array<array<double>>>"
+    planes_df = local_frame(
+        spark, [(planes.tolist(),)], "planes array<array<array<double>>>"
     )
 
     def tabled(df: DataFrame, out_id: str, out_vec: str, out_norm: str) -> DataFrame:

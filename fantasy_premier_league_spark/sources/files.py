@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
+from ..operators.local import local_frame
 
 TS_PATTERN = r"(\d{8}-\d{6})"
 TS_FORMAT = "yyyyMMdd-HHmmss"
@@ -51,7 +52,7 @@ def snapshot_listing(
     """S15: listing → (file_path, file_name, date_extracted) DataFrame,
     filtered to ``{prefix}_YYYYmmdd-HHMMSS.{ext}`` names (regex F11)."""
     files = list_files(spark, directory)
-    df = spark.createDataFrame([(f,) for f in files] or [], "file_path string")
+    df = local_frame(spark, [(f,) for f in files], "file_path string")
     name = F.element_at(F.split("file_path", "/"), -1)
     pattern = rf"^{re.escape(prefix)}_{TS_PATTERN}\.{re.escape(ext)}$"
     return (

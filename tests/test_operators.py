@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from fantasy_premier_league_spark.functions import features as FE
+from fantasy_premier_league_spark.operators import cache as C
 from fantasy_premier_league_spark.operators import dedup as D
 from fantasy_premier_league_spark.operators import fuzzy, multimodal, similarity, textstats
 from fantasy_premier_league_spark.operators.asof import asof_join
@@ -973,6 +974,37 @@ class TestContainmentLsh:
             df, "doc_id", "text", max_bucket_size=8, **kw
         ).collect()}
         assert tiny_cap < truth  # the tradeoff is real: under-cap loses pairs
+
+    def test_array_signatures_match_text_path(self, spark):
+        # r13 per-row signature fold: minhash_signatures_from_arrays now
+        # computes each signature with aggregate() folds over the per-doc
+        # hashed-shingle array (zero exchanges) instead of explode +
+        # groupBy. Its documented contract — same hash family and output
+        # as the text path — must keep holding, including the absence of
+        # docs whose shingle set is empty (here: docs with < n words).
+        rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(i % 9)))
+                for i in range(1, 40)]
+        df = self._docs(spark, rows)
+        for portable in (True, False):
+            arr = C.tracked_materialize(
+                D.doc_shingle_arrays(df, "doc_id", "text", 3), eager=True
+            )
+            via_arrays = {
+                r["id"]: tuple(r["sig"])
+                for r in D.minhash_signatures_from_arrays(
+                    arr, num_hashes=32, seed=7, portable=portable
+                ).collect()
+            }
+            via_text = {
+                r["id"]: tuple(r["sig"])
+                for r in D.minhash_signatures(
+                    df, "doc_id", "text", n=3, num_hashes=32, seed=7, portable=portable
+                ).collect()
+            }
+            assert via_arrays == via_text
+            assert all(len(s) == 32 for s in via_arrays.values())
+            # docs 1 and 2 have < 3 words -> empty shingle set -> no row
+            assert 1 not in via_arrays and 2 not in via_arrays
 
     def test_shared_shingle_arrays_identical_output(self, spark):
         # r13 tokenize-once hook: passing a containment_sketch_arrays frame

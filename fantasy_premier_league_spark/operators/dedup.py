@@ -680,35 +680,26 @@ def minhash_signatures(
     Base shingle hash is ``xxhash64`` (or the md5-derived portable hash)
     reduced to 30 bits; the permutation family is ``(a*h + b) mod (2^31-1)``
     — all arithmetic stays inside a signed 64-bit long (a,b < 2^31,
-    h < 2^30 → a*h+b < 2^61), JVM-side. Map-side partial min aggregation
-    makes this one cheap shuffle of ``num_hashes`` longs per doc.
+    h < 2^30 → a*h+b < 2^61), JVM-side.
+
+    Computed per row by :func:`minhash_signatures_from_arrays` over a
+    lazily-materialized :func:`doc_shingle_arrays` frame: the previous
+    explode + groupBy(id) shape shuffled every hashed shingle to rebuild
+    per-doc groups THE SCAN ALREADY HAD — one full corpus-sized exchange
+    (plus a single-partition AQE collapse on small strata) for zero
+    information movement. The materialization satisfies the from_arrays
+    precondition (lineage is cut at the checkpoint, so its empty-set
+    filter cannot re-inline the tokenizer — the round-7 trap), trades
+    the corpus-wide shuffle for one narrow local-I/O pass, and is lazy —
+    blocks build inside the consumer's first action. Every caller
+    (LSH banding, incremental probe, signature store) already
+    materializes or fully consumes the signature frame within one query,
+    the module contract that makes the tracked checkpoint releasable.
     """
-    params = _hash_params(num_hashes, seed)
-    base = portable_hash32(F.col("shingle")) if portable else F.xxhash64("shingle")
-    # doc_shingles spreads the input across cores first (shingling + the
-    # num_hashes permutation min-aggregates are the per-row-heavy stage;
-    # a single-file scan would run them serially) and dedups per-doc
-    # without a corpus-wide shuffle
-    exploded = doc_shingles(df, id_col, text_col, n).withColumn(
-        # materialize the base hash once; as an inline expression it would
-        # be re-inlined (and re-evaluated) inside all num_hashes aggregates
-        "__h",
-        base.bitwiseAND(F.lit(_MASK30)),
+    arr = tracked_materialize(doc_shingle_arrays(df, id_col, text_col, n), eager=False)
+    return minhash_signatures_from_arrays(
+        arr, num_hashes=num_hashes, seed=seed, portable=portable
     )
-    # permutation aggregates as server-parsed SQL strings — the nested
-    # Column form costs ~250 py4j round-trips (~1.2s of plan-build per
-    # call, measured; execution is 0.6-0.9s at sf0.001). CASTs pin every
-    # literal to BIGINT so the arithmetic matches the Column form
-    # (a*h + b < 2^61, always in-range).
-    mins = [
-        F.expr(
-            f"min((__h * CAST({a} AS BIGINT) + CAST({b} AS BIGINT))"
-            f" % CAST({_MERSENNE31} AS BIGINT))"
-        ).alias(f"__h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = exploded.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def _banded(sig_df: DataFrame, bands: int) -> DataFrame:
@@ -1310,24 +1301,39 @@ def connected_components(
     """
     import warnings
 
-    e1 = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # Materialize the RAW directed pair projection first (narrow map —
+    # zero exchanges): (a) the stats gate and the driver union-find need
+    # only these rows (the union-find symmetrizes and dedups implicitly),
+    # so in the bounded regime the symmetric-distinct shuffle below never
+    # runs at all; (b) in the distributed regime the mirror union would
+    # otherwise embed the upstream candidate pipeline TWICE (once per
+    # branch) — runtime exchange reuse dedups only the exchange WRITE,
+    # not the pipeline compute (the co_occurrence_edges round-13 finding).
+    # Cost at scale: one extra narrow pair-list materialization before
+    # the distinct — linear local I/O, bought back by evaluating the
+    # upstream sketch pipeline exactly once.
+    # LAZY: the gate's count() below is a full scan, so the checkpoint
+    # blocks build inside that one job instead of a separate eager job.
+    e1 = tracked_local_checkpoint(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+        eager=False,
+    )
+    # stats-gated hybrid on the raw count: 2*raw bounds the symmetric
+    # edge set from above (candidate generators emit each unordered pair
+    # once, so the bound is tight), keeping the driver collect within the
+    # documented bound. A dedup pair graph this small costs more in
+    # per-round jobs + plan-building than a union-find over it.
+    # local_finish_edges=0 forces the distributed fixpoint (equivalence
+    # pytest runs both paths on the same graph).
+    if local_finish_edges and 2 * e1.count() <= local_finish_edges:
+        return _finish_components_locally(e1)
     # localCheckpoint (not persist): each round's plan would otherwise embed
     # the whole upstream sketch plan again — lineage must be CUT, not cached,
     # or plan size grows exponentially with iterations. On a cluster, swap
     # for checkpoint() to reliable storage for executor-loss tolerance.
-    edges = (
-        e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
+    edges = tracked_local_checkpoint(
+        e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
-    edges = tracked_local_checkpoint(edges)
-    # stats-gated hybrid: the edge set is static here, so one bounded
-    # count on the just-materialized checkpoint decides the whole plan —
-    # a dedup pair graph small enough to fit the driver bound costs more
-    # in per-round jobs + plan-building than a union-find over it.
-    # local_finish_edges=0 forces the distributed fixpoint (equivalence
-    # pytest runs both paths on the same graph).
-    if local_finish_edges and edges.count() <= local_finish_edges:
-        return _finish_components_locally(edges)
     # init already folds round one in: l0(u) = min(u, min neighbor).
     # LAZY: the blocks build inside round 0's convergence aggregate —
     # edges above stays EAGER so the upstream pair pipeline materializes
@@ -1475,15 +1481,27 @@ def connected_components_star(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
     )
+    # RAW canonical half first (narrow map, no distinct): the stats gate
+    # and the driver union-find need only these rows, so in the bounded
+    # regime the canonical-distinct shuffle below never runs; candidate
+    # generators emit each unordered pair once, so the raw count bounds
+    # the distinct set tightly. Cost at scale: one extra narrow pair-list
+    # materialization before the distinct (linear local I/O), and the
+    # distinct then reads the checkpoint instead of re-evaluating the
+    # upstream sketch pipeline.
+    # LAZY: the gate's count() below is a full scan, so the checkpoint
+    # blocks build inside that one job instead of a separate eager job.
+    Eraw = tracked_local_checkpoint(
+        e0.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")),
+        eager=False,
+    )
+    if local_finish_edges and Eraw.count() <= local_finish_edges:
+        return _finish_components_locally(Eraw)
     # canonical: child (greater id) -> parent (smaller id), one row per
     # undirected edge. Eager: consumed twice by round 0's neighborhood
     # union — a lazy cut here would race two subtrees of one job into
     # computing the whole upstream sketch pipeline concurrently.
-    E = tracked_local_checkpoint(
-        e0.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
-    )
+    E = tracked_local_checkpoint(Eraw.distinct())
     # stats-gated hybrid, twice over: star contraction strictly SHRINKS
     # the edge set, so (a) a graph already under the driver bound skips
     # the fixpoint entirely, and (b) a big graph runs distributed rounds

@@ -56,9 +56,17 @@ def topic_features(df: DataFrame, *, text_col: str, n_topics: int = 5, **kwargs)
     are tracked (released with the operator caches); the returned
     PipelineModel is the same stage list ``Pipeline.fit`` would produce.
     """
+    from ..catalog import spread_partitions
     from ..operators.cache import tracked_persist
 
-    cleaned = clean_text_column(df, text_col=text_col)
+    # single-file corpora scan as 1-3 partitions and BOTH cached frames
+    # inherit that: every LDA round's treeAggregate and the CountVectorizer
+    # vocabulary flatMap then run on one core (profiled at sf0.1: eight
+    # 1-task 28MB stages back to back). Spread BEFORE the cache so the
+    # fits parallelize; no-op at real scale. Output-safe: the oracle'd
+    # projection is per-row deterministic (vocab/topic tie-breaks stay
+    # out of it by the v71 oracle contract).
+    cleaned = spread_partitions(clean_text_column(df, text_col=text_col))
     stages = build_topic_pipeline(n_topics=n_topics, **kwargs).getStages()
     pre, cv, lda = stages[:-2], stages[-2], stages[-1]
     bag = cleaned

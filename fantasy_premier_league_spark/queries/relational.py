@@ -905,6 +905,8 @@ def v20_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v55_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_fraction
 
+    from ..catalog import spread_partitions
+
     li = load(spark, sf_dir, "lineitem")
     key = F.concat_ws(
         "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
@@ -913,26 +915,47 @@ def v55_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentile columns: measured A/B at sf0.1 shows the 4-imperative-
     # buffer fused form is 2x SLOWER (5.3-7.6s vs 2.5-2.8s warm) — with
     # that many TypedImperativeAggregates in one stage the planner
-    # abandons ObjectHashAggregate; two 2-buffer stages over a cheap
-    # 2-column pushed-down scan win
-    keyed = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        (md5_fraction(key, salt="sampled_quantiles:") < 0.05).alias("in_sample"),
+    # abandons ObjectHashAggregate; two 2-buffer stages win. r13 shape:
+    # (a) spread the scan BEFORE the heavy work — the single-file scan
+    # yields 3 input partitions, serializing md5 sampling and percentile
+    # buffer-building onto 3 of 32 cores (profiled: the two partial-agg
+    # stages were 2.4s of the 3.0s warm wall); (b) both aggregates read
+    # ONE materialized (flag, price, in_sample) frame — column pruning
+    # gives the two agg subtrees different projections, so exchange
+    # reuse can never fire on a shared plan (profiled: the scan + md5
+    # ran twice); the RDD-layer cut computes the scan + spread + md5
+    # exactly once. Eager: two independent subtrees consume it inside
+    # one action (the cache.py race contract). The sample restriction
+    # folds into NULL-skipping percentile/count arguments instead of a
+    # pre-aggregation filter; n_sampled > 0 preserves the filtered
+    # form's semantics exactly (a group with zero sampled rows produced
+    # no sm row, and the join dropped it).
+    from ..operators.cache import tracked_materialize
+
+    keyed = tracked_materialize(
+        spread_partitions(
+            li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        ).select(
+            "l_returnflag",
+            "l_extendedprice",
+            (md5_fraction(key, salt="sampled_quantiles:") < 0.05).alias("in_sample"),
+        ),
+        eager=True,
     )
     ex = keyed.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_exact"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_exact"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    sampled_price = F.when(F.col("in_sample"), F.col("l_extendedprice"))
     sm = (
-        keyed.filter("in_sample")
-        .groupBy("l_returnflag")
+        keyed.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_sampled"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_sampled"),
-            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.percentile(sampled_price, F.lit(0.50)), 4).alias("p50_sampled"),
+            F.round(F.percentile(sampled_price, F.lit(0.95)), 4).alias("p95_sampled"),
+            F.count(sampled_price).alias("n_sampled"),
         )
+        .filter(F.col("n_sampled") > 0)
     )
     return ex.join(sm, "l_returnflag").select(
         "l_returnflag",
@@ -950,7 +973,12 @@ def v55_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("p95_sampled") - F.col("p95_exact")) / F.col("p95_exact") * 100,
             4,
         ).alias("err_p95_pct"),
-    ).orderBy("l_returnflag")
+        # single-partition sort, NOT orderBy: the result is groups-sized
+        # (one row per returnflag) at any scale, and a global orderBy's
+        # RangePartitioning sampling pass RE-EXECUTES the whole join+merge
+        # subtree before the real run (profiled: two 2.7s-taskrun final
+        # percentile merges back to back, one writing zero bytes)
+    ).repartition(1).sortWithinPartitions("l_returnflag")
 
 
 @query(

@@ -354,6 +354,13 @@ def v61_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.aggregate(
         F.transform(w, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
     ).cast("long")
+    # the apply is a narrow per-row-heavy projection (tokenize + 3 chained
+    # regex merge passes) over the single-file scan — one input partition
+    # would run it on one core (profiled: a single 1.4s task); no-op at
+    # real scale where the scan already yields >= cores partitions
+    from ..catalog import spread_partitions
+
+    docs = spread_partitions(docs.select("doc_id", "text"))
     n_bpe = B.bpe_apply(docs, "text", merges).cast("long")
     return docs.select(
         "doc_id",

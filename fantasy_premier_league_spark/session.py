@@ -81,6 +81,17 @@ def get_spark(app_name: str = "fantasy_premier_league_spark", *, cpus: int | Non
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor is byte-based (default 1m): a sub-MB
+        # exchange feeding a CPU-heavy stage (per-entity RANGE windows,
+        # per-group sorts) collapses to ONE post-shuffle partition and
+        # serializes the compute on one of N cores (q16 profiled: the
+        # whole rolling-window stage as a single 1.2MB task, 0.63s vs
+        # 1.38s warm-min A/B at 64k). 64k keeps such stages spread; at
+        # real scale every healthy exchange partition is >> 1m, so the
+        # floor never binds there — the setting only affects the
+        # small-exchange regime it is meant for. Overridable via
+        # SPARK_GRAFT_EXTRA_CONF like every other profile default.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS); read as long, catalog

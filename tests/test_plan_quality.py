@@ -285,10 +285,15 @@ class TestRound5ExtensionPlans:
 
     def test_r05_apply_pass_is_narrow(self, spark):
         # training happens at plan-build time (bounded readbacks); the
-        # returned tokenize-the-corpus pass must be a pure narrow scan —
-        # an Exchange here means the apply stage acquired a shuffle
+        # returned tokenize-the-corpus pass must not acquire a KEYED
+        # shuffle (hash/range exchange = some join/agg/window snuck in).
+        # A RoundRobin REPARTITION_BY_NUM exchange is permitted: that is
+        # catalog.spread_partitions parallelizing the single-file local
+        # scan, conditional on partitions < cores (no-op at real scale).
+        import re
+
         plan = plan_of(spark, "v61_bpe_apply")
-        assert "Exchange" not in plan
+        assert not re.search(r"Exchange (hash|range)partitioning", plan)
         assert "Python" not in plan
 
     def test_r08_split_no_cartesian(self, spark):

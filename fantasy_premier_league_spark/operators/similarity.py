@@ -168,6 +168,23 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _round6_half_up(arr: np.ndarray) -> np.ndarray:
+    """Match Spark's F.round exactly: HALF_UP on the shortest decimal
+    representation (repr) of the double — np.round is banker's half-EVEN
+    on the binary value, which flips code assignments for distances
+    landing exactly on a .5e-6 boundary. Intended for bounded query-side
+    tables (nq x m x k_codes, a few thousand entries), where the
+    per-element Decimal hop is negligible."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    flat = [
+        float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+        for v in arr.ravel()
+    ]
+    return np.asarray(flat, dtype=np.float64).reshape(arr.shape)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -783,6 +800,12 @@ def ivf_topk_seeded(
     e = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # the seed fan-out's distance arithmetic and the downstream
+    # per-candidate cosines run on the scan's partitions: spread a
+    # too-narrow local scan (no-op at real scale)
+    from ..catalog import spread_partitions
+
+    e = spread_partitions(e)
     seeds = (
         e.orderBy("vid")
         .limit(n_cells)
@@ -1140,75 +1163,147 @@ def ivf_pq_topk(
     ids per query ever fetch their full vectors again, so the exact rerank
     reads k' rows per query, not the corpus.
 
-    Every stage is deterministic dataflow (seeded cells, seeded codebook,
-    F.round on the JVM — no numpy, no collect), so an external SQL engine
-    replays cells, codes, ADC sums, shortlist, and rerank value-for-value
-    (q39's oracle). Recall knobs: n_probe (cell recall) and shortlist
-    (quantization recall); precision of what is returned is exact.
-    Returns (query_id, neighbor_id, cosine, rank).
+    Every stage is deterministic dataflow (seeded cells, seeded codebook)
+    and the oracle replays cells, codes, ADC sums, shortlist, and rerank
+    value-for-value (q46's oracle). Since round 13 the whole
+    IVF-cell + PQ-code + ADC computation runs as ONE vectorized numpy
+    pass over the corpus (guide §4.2, the shape FAISS itself uses):
+    the former plan shuffled corpus x n_cells rows for the cell-argmin
+    window, corpus x m x k_codes rows for the code-argmin window,
+    sort-merge-joined the two corpus-sized results back together, and
+    exploded candidates x m rows to join the query distance table —
+    four corpus-scale data movements for decisions that are all
+    per-row. Driver state is bounded by construction: the seed prefix
+    (max(n_cells, k_codes) rows — the model, same convention as the
+    trained quantizer) and the query batch (``queries`` is a bounded
+    lookup batch, the same contract :func:`pq_topk` already relies
+    on). The query-side distance table is rounded HALF_UP on the
+    decimal repr (_round6_half_up — exactly F.round); corpus-side
+    argmins use np.round (half-even on the binary double), the same
+    accepted knife-edge class as the trained quantizer (see
+    _local_lloyds): it can only flip an argmin for a distance landing
+    exactly on a .5e-6 boundary (measure-zero, absent from the
+    testdata; assignment equality is pinned against pq_encode in
+    tests). ADC = round(sum of 6dp multiples, 6) lands ON the 6dp
+    grid, so the sum's rounding is mode- and order-insensitive (the
+    argument pq_topk's oracle already proves). The exact rerank stays
+    on the JVM: F.round cosine over the corpus vectors of the
+    shortlist ids only.
+
+    One semantic edge vs the pre-round-13 form: a query id ABSENT from
+    the corpus used to be dropped silently (probes came from a corpus
+    semi-join); it now probes with its own vector like any other
+    bounded-batch query. Every registered caller passes a corpus
+    subset, where the two are identical.
+
+    Recall knobs: n_probe (cell recall) and shortlist (quantization
+    recall); precision of what is returned is exact. Returns
+    (query_id, neighbor_id, cosine, rank).
     """
     d_sub = dim // m
+    spark = corpus.sparkSession
     e = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
 
-    # --- stage 1: seeded IVF (same closed form as ivf_topk_seeded) ---
-    seeds = e.orderBy("vid").limit(n_cells).select(F.col("vid").alias("cell"), F.col("v").alias("sv"))
-    ivf_dist = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(F.col("v"), F.col("sv"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ),
-        6,
-    )
-    ranked = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("dist", ivf_dist)
-        .withColumn("rn", F.row_number().over(W.partitionBy("vid").orderBy("dist", "cell")))
-    )
-    assign = ranked.filter(F.col("rn") == 1).select("vid", "cell")
-    probes = (
-        ranked.join(queries.select(F.col(id_col).alias("vid")), "vid", "left_semi")
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col("vid").alias("query_id"), "cell")
-    )
+    # one bounded collect feeds BOTH quantizers: IVF seeds = the n_cells
+    # lowest-id vectors, PQ codebook = the k_codes lowest-id vectors
+    seed_rows = e.orderBy("vid").limit(max(n_cells, k_codes)).collect()
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).collect()
+    if not seed_rows or not q_rows:
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(1).alias("rank"),
+        ).limit(0)
+    id_type = dict(e.dtypes)["vid"]
+    seed_ids = np.asarray([int(r["vid"]) for r in seed_rows[:n_cells]], dtype=np.int64)
+    s1 = np.asarray([list(r["v"]) for r in seed_rows[:n_cells]], dtype=np.float64)
+    cbm = np.asarray([list(r["v"]) for r in seed_rows[:k_codes]], dtype=np.float64)
+    kc = cbm.shape[0]
+    m_, dsub_ = int(m), int(d_sub)
 
-    # --- stage 2: the stored index = (cell, codes), no raw vectors ---
-    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k_codes=k_codes)
-    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
-    enc = assign.join(codes, "vid")
-
-    # query-side distance table, pure dataflow: nq x m x k_codes rows
-    qsubs = F.array(*[F.slice("v", j * d_sub + 1, d_sub) for j in range(m)])
-    qd = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v"))
-        .select("query_id", F.posexplode(qsubs).alias("j", "sub"))
-        .join(F.broadcast(cb), "j")
-        .select(
-            "query_id",
-            "j",
-            "code",
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col("sub"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("d2"),
+    # query-side state, all driver-computed from the bounded batch:
+    # probes (n_probe nearest cells per query — rounded dist, stable
+    # argsort = (dist, cell-id) tie-break) and the per-query (j, code)
+    # distance table, F.round-exact via decimal HALF_UP
+    qids = np.asarray([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    qmat = np.asarray([list(r["qvec"]) for r in q_rows], dtype=np.float64)
+    qd_cell = np.round(np.sqrt(((qmat[:, None, :] - s1[None]) ** 2).sum(axis=2)), 6)
+    probe_cells = np.argsort(qd_cell, axis=1, kind="stable")[:, : int(n_probe)]
+    qd_tab = np.empty((len(qids), m_, kc), dtype=np.float64)
+    for j in range(m_):
+        qd_tab[:, j, :] = _round6_half_up(
+            ((qmat[:, None, j * dsub_ : (j + 1) * dsub_] - cbm[None, :, j * dsub_ : (j + 1) * dsub_]) ** 2).sum(axis=2)
         )
-    )
+    # cell -> probing query indexes (cells as positions into seed_ids)
+    by_cell: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe_cells[qi]:
+            by_cell.setdefault(int(c), []).append(qi)
 
-    # --- stage 3: ADC over probed cells only ---
-    cand = enc.join(F.broadcast(probes), "cell").filter(F.col("vid") != F.col("query_id"))
-    pairs_j = cand.select("query_id", "vid", F.posexplode("codes").alias("j", "code"))
-    adc = (
-        pairs_j.join(F.broadcast(qd), ["query_id", "j", "code"])
-        .groupBy("query_id", "vid")
-        .agg(F.round(F.sum("d2"), 6).alias("adc"))
+    # the vectorized pass puts the quantization arithmetic on the scan
+    # stage: spread a too-narrow local scan (no-op at real scale)
+    from ..catalog import spread_partitions
+
+    ec = spread_partitions(e)
+
+    # --- stages 1-3 fused: cell assignment, per-subspace codes, and the
+    # ADC of every (probing query, corpus row) candidate in ONE pass.
+    # np.argmin takes the FIRST minimum and seed/code ids ascend with
+    # array index, so the former (dist, id) window tie-breaks are
+    # reproduced exactly. Shuffle volume = candidate (query_id, vid,
+    # adc) triples only.
+    def encode_adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vid"].to_numpy()
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            d = np.round(np.sqrt(((mat[:, None, :] - s1[None]) ** 2).sum(axis=2)), 6)
+            cell_pos = d.argmin(axis=1)
+            codes = np.empty((len(mat), m_), dtype=np.int64)
+            for j in range(m_):
+                sub = mat[:, j * dsub_ : (j + 1) * dsub_]
+                dj = np.round(
+                    ((sub[:, None, :] - cbm[None, :, j * dsub_ : (j + 1) * dsub_]) ** 2).sum(axis=2),
+                    6,
+                )
+                codes[:, j] = dj.argmin(axis=1)
+            out_q, out_v, out_a = [], [], []
+            jj = np.arange(m_)
+            for c, probing in by_cell.items():
+                members = np.nonzero(cell_pos == c)[0]
+                if not len(members):
+                    continue
+                mcodes = codes[members]
+                mvids = vids[members]
+                for qi in probing:
+                    keep = mvids != qids[qi]
+                    if not keep.any():
+                        continue
+                    adc = np.round(
+                        qd_tab[qi][jj[None, :], mcodes[keep]].sum(axis=1), 6
+                    )
+                    out_q.append(np.full(keep.sum(), qids[qi], dtype=np.int64))
+                    out_v.append(mvids[keep])
+                    out_a.append(adc)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vid": np.concatenate(out_v),
+                    "adc": np.concatenate(out_a),
+                }
+            )
+
+    adc = ec.mapInPandas(
+        encode_adc, schema=f"query_id {id_type}, vid {id_type}, adc double"
     )
     short = (
         adc.withColumn(
@@ -1218,10 +1313,16 @@ def ivf_pq_topk(
         .select("query_id", "vid")
     )
 
-    # --- stage 4: exact rerank — full vectors fetched for shortlist ids only ---
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec"))
+    # --- stage 4: exact rerank — full vectors fetched for shortlist ids
+    # only; cosine is JVM F.round over corpus vectors + the collected
+    # query batch (Arrow round-trips the doubles exactly)
+    qv = local_frame(
+        spark,
+        [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in q_rows],
+        f"query_id {id_type}, qvec array<double>",
+    )
     rer = (
-        short.join(e, "vid")
+        F.broadcast(short).join(e, "vid")
         .withColumnRenamed("v", "cvec")
         .join(F.broadcast(qv), "query_id")
     )
@@ -1334,22 +1435,6 @@ def pq_topk(
     Returns (query_id, neighbor_id, adc, rank).
     """
     import pandas as pd
-
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def _round6_half_up(arr: np.ndarray) -> np.ndarray:
-        # match Spark's F.round exactly: HALF_UP on the shortest decimal
-        # representation (repr) of the double — np.round is banker's
-        # half-EVEN on the binary value, which flips code assignments for
-        # distances landing exactly on a .5e-6 boundary. The table is
-        # nq x m x k_codes (a few thousand entries), so the per-element
-        # Decimal hop is negligible.
-        q = Decimal("0.000001")
-        flat = [
-            float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
-            for v in arr.ravel()
-        ]
-        return np.asarray(flat, dtype=np.float64).reshape(arr.shape)
 
     cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k_codes=k_codes)
     codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col, dim=dim, m=m)

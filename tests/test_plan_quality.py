@@ -225,12 +225,21 @@ class TestCurationPlans:
         assert "CartesianProduct" not in plan
 
     def test_q39_ivf_pq_all_jvm_no_cartesian_scan(self, spark):
-        # the composition must not degenerate: no Python (the ADC lookup is
-        # a broadcast hash join, not a UDF), and the only nested-loop join
-        # is the bounded corpus x 16-seed fan-out (which AQE broadcasts)
+        # since round 13 the quantize+ADC stage is ONE vectorized Arrow
+        # pass over the corpus (guide §4.2) — exactly one MapInPandas
+        # node, never a row-at-a-time BatchEvalPython — and the plan must
+        # not degenerate into a cartesian: the former crossJoin+window
+        # quantizers (three corpus-sized exchanges + an N x N sort-merge
+        # join) are gone, so at most the shortlist/top-k keyed exchanges
+        # remain
         plan = plan_of(spark, "q46_ivf_pq_topk")
-        assert "Python" not in plan
+        assert plan.count("MapInPandas") == 1
+        assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        import re
+
+        assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 2
 
 
 class TestRound4OperatorPlans:

@@ -388,6 +388,42 @@ class TestProductQuantization:
         assert len(row.codes) == 8
         assert all(0 <= c < 16 for c in row.codes)  # seeds are the 16 lowest ids
 
+    def test_numpy_quantize_matches_jvm_pq_encode(self, spark):
+        # the r13 ivf_pq_topk rewrite assigns cells/codes with np.round'd
+        # numpy argmins where the former plan used F.round'd JVM windows —
+        # the accepted knife-edge divergence class (see _local_lloyds).
+        # Pin the assignments equal on the real corpus at q46's registered
+        # knobs so a rounding regression surfaces as THIS failure, not a
+        # downstream value-hash mismatch.
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from fantasy_premier_league_spark.catalog import load
+        from fantasy_premier_league_spark.operators.similarity import pq_codebook, pq_encode
+
+        m, k_codes, dim = 16, 32, 64
+        d_sub = dim // m
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        cb = pq_codebook(emb, m=m, k_codes=k_codes)
+        jvm = {
+            r["vid"]: list(r["codes"])
+            for r in pq_encode(emb, cb, m=m).collect()
+        }
+        e = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").cast("array<double>").alias("v"))
+        seed_rows = e.orderBy("vid").limit(k_codes).collect()
+        code_ids = np.asarray([int(r["vid"]) for r in seed_rows], dtype=np.int64)
+        cbm = np.asarray([list(r["v"]) for r in seed_rows], dtype=np.float64)
+        rows = e.collect()
+        mat = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+        for j in range(m):
+            dj = np.round(
+                ((mat[:, None, j * d_sub : (j + 1) * d_sub] - cbm[None, :, j * d_sub : (j + 1) * d_sub]) ** 2).sum(axis=2),
+                6,
+            )
+            np_codes = code_ids[dj.argmin(axis=1)]
+            for r, c in zip(rows, np_codes):
+                assert jvm[r["vid"]][j] == c, (r["vid"], j)
+
 
 class TestResizeMedia:
     def test_resize_shape_and_determinism(self, spark):

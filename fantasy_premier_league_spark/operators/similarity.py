@@ -108,6 +108,25 @@ def _local_lloyds(x: np.ndarray, *, k: int, iters: int, seed: int = 42) -> np.nd
     return cent
 
 
+def _train_sample(c: "DataFrame", *, id_field: str, vec_field: str) -> np.ndarray:
+    """Bounded deterministic training sample (md5-hash-ordered — a fixed
+    random permutation any engine replays; id tiebreak so a hash collision
+    cannot leave the cut-off row dependent on partition order)."""
+    sample_hash = F.conv(
+        F.substring(F.md5(F.col(id_field).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return np.array(
+        [
+            r[vec_field]
+            for r in c.select(vec_field, id_field, sample_hash.alias("__h"))
+            .orderBy("__h", id_field)
+            .limit(_IVF_TRAIN_SAMPLE)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+
+
 def _train_quantizer(
     c: "DataFrame", *, id_field: str, vec_field: str, k: int, iters: int, seed: int = 42
 ) -> np.ndarray:
@@ -115,21 +134,7 @@ def _train_quantizer(
     :func:`_local_lloyds`). Hash order (not head) keeps the sample
     unbiased under any input partitioning/sort; the md5-derived hash
     (not xxhash64) keeps the permutation replayable by SQL oracles."""
-    sample_hash = F.conv(
-        F.substring(F.md5(F.col(id_field).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    sample = np.array(
-        [
-            r[vec_field]
-            for r in c.select(vec_field, id_field, sample_hash.alias("__h"))
-            # id tiebreak: a hash collision must not leave the cut-off
-            # row dependent on partition order across runs
-            .orderBy("__h", id_field)
-            .limit(_IVF_TRAIN_SAMPLE)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
+    sample = _train_sample(c, id_field=id_field, vec_field=vec_field)
     return _local_lloyds(sample, k=k, iters=iters, seed=seed)
 
 
@@ -326,9 +331,17 @@ def semantic_decontaminate(
             n_probe=n_probe,
             seed=seed,
         )
-    t = train.select(
-        F.col(id_col).alias("train_id"),
-        F.col(vec_col).cast("array<double>").alias("tvec"),
+    # the per-pair cosine folds (|train| x |eval|) and the partial argmax
+    # run on the train scan's partitions: spread a too-narrow local scan
+    # (no-op at real scale, where the 100 TB train side always yields
+    # >= cores partitions)
+    from ..catalog import spread_partitions
+
+    t = spread_partitions(
+        train.select(
+            F.col(id_col).alias("train_id"),
+            F.col(vec_col).cast("array<double>").alias("tvec"),
+        )
     ).withColumn("__tn", _norm(F.col("tvec")))
     e = eval_df.select(
         F.col(id_col).alias("eval_id"),
@@ -390,9 +403,15 @@ def semantic_decontaminate_ivf(
     trade). A train vector whose probed cells are all empty still gets
     its row: NULL eval_id/cosine, contaminated = 0.
     """
-    t = train.select(
-        F.col(id_col).alias("train_id"),
-        F.col(vec_col).cast("array<double>").alias("tvec"),
+    # same spread rationale as the broadcast fold: probe fan-out + cosine
+    # arithmetic live on the train scan's partitions
+    from ..catalog import spread_partitions
+
+    t = spread_partitions(
+        train.select(
+            F.col(id_col).alias("train_id"),
+            F.col(vec_col).cast("array<double>").alias("tvec"),
+        )
     ).withColumn("__tn", _norm(F.col("tvec")))
     e = eval_df.select(
         F.col(id_col).alias("eval_id"),
@@ -933,11 +952,15 @@ def semantic_dedup(
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # one bounded collect serves both the k derivation and training: when
+    # the sample limit did NOT truncate, its length IS count(*), so the
+    # separate count job is skipped (identical k by construction; at real
+    # scale the sample saturates and the count job still runs)
+    sample = _train_sample(c, id_field="id", vec_field="v")
     if n_clusters is None:
-        n_clusters = derived_n_clusters(c.count())
-    centroids = _train_quantizer(
-        c, id_field="id", vec_field="v", k=n_clusters, iters=max_iter, seed=seed
-    )
+        n_rows = len(sample) if len(sample) < _IVF_TRAIN_SAMPLE else c.count()
+        n_clusters = derived_n_clusters(n_rows)
+    centroids = _local_lloyds(sample, k=n_clusters, iters=max_iter, seed=seed)
     # exact-vector collapse: ONE shuffle on the vector key (the same
     # one-shuffle shape as exact dedup) — min-id rep and group size as
     # window aggregates over the vector partition, no re-join of the

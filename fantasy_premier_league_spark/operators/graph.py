@@ -376,8 +376,14 @@ def triangle_stats(
         )
     )
     # per-node oriented out-neighborhood, sorted so array_intersect's
-    # probe behaves; size bounded by O(sqrt(m)) via the orientation
-    adj = o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
+    # probe behaves; size bounded by O(sqrt(m)) via the orientation.
+    # Persisted: adj feeds BOTH endpoint joins, and runtime exchange
+    # reuse dedups only the exchange write — the collect_list reduce ran
+    # once per branch (profiled at sf0.1: two back-to-back 8.4MB
+    # aggregate stages on identical input).
+    adj = tracked_persist(
+        o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
+    )
     tri = (
         o.join(adj, "a")
         .join(adj.withColumnsRenamed({"a": "b", "nbrs": "nbrs_b"}), "b", "left")
@@ -394,10 +400,15 @@ def triangle_stats(
         )
         .agg(F.sum("c").cast("long").alias("n_triangles"))
     )
+    # n_edges = sum(d)/2 exactly (every undirected edge contributes two
+    # degree counts — integer arithmetic, value-identical), so the stats
+    # row needs no third full scan of the materialized edge set
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
-    ).crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        # coalesce: the old count(*) scan reported 0 on an empty graph
+        F.coalesce((F.sum("d") / 2).cast("long"), F.lit(0)).alias("n_edges"),
+    )
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_nodes",
         "n_edges",

@@ -428,11 +428,15 @@ def _words_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the per-row-dominant stage of every span operator, runs exactly once;
     all shingling/slicing downstream works on the cached attribute
     (array-typed → RDD layer, blocks build inside the caller's first
-    action — the dedup-family lazy-checkpoint pattern)."""
+    action — the dedup-family lazy-checkpoint pattern). The input is
+    spread first: the tokenize pass profiled as ONE 0.7s task on a
+    single-file local scan (no-op at real scale)."""
+    from ..catalog import spread_partitions
     from .cache import tracked_materialize
 
     return tracked_materialize(
-        df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w")),
+        spread_partitions(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", words(F.col(text_col)).alias("__w")),
         eager=False,
     )
 

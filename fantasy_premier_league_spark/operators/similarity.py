@@ -1146,14 +1146,22 @@ def lsh_bucket_topk(
 
     c = tabled(corpus, "neighbor_id", "cvec", "__cn")
     q = tabled(queries, "query_id", "qvec", "__qn")
-    pairs = (
-        c.join(F.broadcast(q), ["t", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        # a pair colliding in several tables must score once
-        .dropDuplicates(["query_id", "neighbor_id"])
+    pairs = c.join(F.broadcast(q), ["t", "bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
     cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), round_digits)
-    scored = pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
+    # a pair colliding in several tables must score once in the OUTPUT —
+    # but dedup AFTER the map-side cosine, not before: deduping the raw
+    # pairs shuffled both 64-dim vectors per candidate and fell to a
+    # SortAggregate (First() over array columns is not hash-aggregable);
+    # deduping (query_id, neighbor_id, cosine) ships three scalars
+    # through a plain HashAggregate (guide §2.3). A multi-table collision
+    # recomputes an identical cosine per copy map-side — compute is the
+    # cheap side of that trade at any scale, and the surviving value is
+    # the same whichever copy First() keeps.
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine.alias("cosine")
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

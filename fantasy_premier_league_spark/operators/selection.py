@@ -128,11 +128,57 @@ def dsir_weights(
     ``selected`` flags pool documents whose rounded score clears
     ``threshold`` — thresholding on the rounded value keeps the flag
     bit-stable across engines.
+
+    Train-and-score shares ONE tokenize pass: the corpus reduces to a
+    persisted (doc_id, is_target, bucket, cnt) histogram — doc x bucket
+    sized, the map-side aggregate running on a spread scan — and both
+    the bucket model and the per-doc scores aggregate from it (the
+    separate model/score calls each re-tokenized the corpus, profiled
+    as back-to-back single-task 0.5-0.7s stages locally; at scale the
+    histogram is also what should shuffle, not token rows — guide
+    §2.3). The per-doc mean log-ratio becomes the cnt-weighted mean —
+    identical addends grouped per bucket; the 6dp round absorbs the
+    float-sum regrouping exactly as it absorbs Spark-vs-DuckDB
+    summation order (parity-checked at all three SFs).
     """
-    model = dsir_bucket_model(
-        df, text_col, is_target_col, n_buckets=n_buckets, alpha=alpha
+    from ..catalog import spread_partitions
+
+    base = spread_partitions(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(is_target_col).cast("boolean").alias("__is_t"),
+            F.col(text_col).alias("__text"),
+        )
     )
-    scores = dsir_score(df, id_col, text_col, model, n_buckets=n_buckets)
+    hist = tracked_persist(
+        _bucketed_tokens(base, "__text", n_buckets, "doc_id", "__is_t")
+        .groupBy("doc_id", "__is_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    buckets = hist.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), F.col("__cnt")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__is_t"), F.col("__cnt")).otherwise(0)).alias("cb"),
+    )
+    totals = buckets.agg(F.sum("ct").alias("tt"), F.sum("cb").alias("tb"))
+    a = F.lit(float(alpha))
+    b = F.lit(float(n_buckets))
+    model = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + a) / (F.col("tt") + a * b))
+            - F.log((F.col("cb") + a) / (F.col("tb") + a * b))
+        ).alias("log_ratio"),
+    )
+    scores = (
+        hist.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__cnt") * F.col("log_ratio")) / F.sum("__cnt"), 6
+            ).alias("dsir_score"),
+        )
+    )
     flags = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(is_target_col).cast("boolean").alias("is_target"),

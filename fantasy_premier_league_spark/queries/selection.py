@@ -512,7 +512,13 @@ def q08_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "report", "llm-pipeline"),
 )
 def q09_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from ..catalog import spread_partitions
+    from ..operators.cache import tracked_persist
+
+    # three per-row text passes (fingerprint/quality/langid) inherit the
+    # scan's partitioning — spread a too-narrow local scan once for all
+    # of them (no-op at real scale)
+    docs = spread_partitions(load(spark, sf_dir, "documents"))
     fp = T.fingerprint(docs, "doc_id", "text").select("doc_id", "content_md5")
     dup = fp.select(
         "doc_id",
@@ -522,7 +528,10 @@ def q09_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = T.quality_score(docs, "doc_id", "text")
     lang = T.langid(docs, "doc_id", "text").select("doc_id", "lang_pred")
-    per_doc = (
+    # per_doc feeds BOTH the per-source rollup and the language mode —
+    # persist the slim per-doc frame so the three text passes and their
+    # joins run once, not once per consumer
+    per_doc = tracked_persist(
         docs.select("doc_id", "source")
         .join(q, "doc_id")
         .join(lang, "doc_id")
@@ -1031,7 +1040,12 @@ def q15_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import words
     from ..operators.selection import frequent_keys
 
-    docs = load(spark, sf_dir, "documents")
+    from ..catalog import spread_partitions
+
+    # frequent_keys scans the token stream twice (candidate pass + exact
+    # recount) and the explode inherits the scan's partitioning: spread
+    # the local single-file scan so both tokenize passes parallelize
+    docs = spread_partitions(load(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(words(F.col("text"))).alias("word")).filter(
         F.col("word") != ""
     )

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache import tracked_materialize
+
 def _all_rows() -> "Window":
     """Window over the whole numPartitions-row offsets frame (tiny by
     construction) — how grand totals ride along without a new branch.
@@ -70,6 +72,13 @@ def global_cumsum(
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__v", value)
     )
+    # sorted_df feeds BOTH the offsets branch and the final join: without
+    # materialization the whole upstream (range sort + whatever produced
+    # df) executes once per branch — runtime exchange reuse dedups only
+    # the exchange write (q27 profile: the lineitem scan+aggregate
+    # subtree appeared twice). RDD-layer blocks keep partition order, so
+    # __pid stays consistent across both consumers.
+    sorted_df = tracked_materialize(sorted_df, eager=False)
 
     sizes = sorted_df.groupBy("__pid").agg(F.sum("__v").alias("__s"))
     cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -97,7 +106,10 @@ def global_rank(df: DataFrame, order: list[Column], *, out: str = "rank", start:
     driver-side collect. Plan contains no BatchEvalPython / PythonRDD
     node (asserted in tests/test_crosschecks.py).
     """
-    sorted_df = df.orderBy(*order).withColumn("__pid", F.spark_partition_id())
+    sorted_df = tracked_materialize(
+        df.orderBy(*order).withColumn("__pid", F.spark_partition_id()),
+        eager=False,
+    )  # two consumers (offsets + final join); see global_cumsum
 
     # numPartitions rows after map-side combine — tiny by construction.
     sizes = sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
@@ -130,7 +142,10 @@ def global_ntile(
     has exactly the two branches of :func:`global_rank` — no third
     count branch over the data.
     """
-    sorted_df = df.orderBy(*order).withColumn("__pid", F.spark_partition_id())
+    sorted_df = tracked_materialize(
+        df.orderBy(*order).withColumn("__pid", F.spark_partition_id()),
+        eager=False,
+    )  # two consumers (offsets + final join); see global_cumsum
 
     sizes = sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -242,20 +242,40 @@ def v60_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "capstone", "llm-pipeline"),
 )
 def q07_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from ..catalog import spread_partitions
+    from ..operators.cache import tracked_persist
     from ..operators.dedup import words as _words
 
+    # the langid pass and the tokenize both inherit the scan's
+    # partitioning: spread a too-narrow local scan (no-op at real scale)
+    docs = spread_partitions(load(spark, sf_dir, "documents"))
     lang = T.langid(docs, "doc_id", "text").select("doc_id", "lang_pred")
-    w = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
-    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    # ONE tokenize pass: the token stream reduces to a persisted
+    # (doc, word, cnt) histogram; the unigram LM and the per-doc
+    # bits-per-token both aggregate from it (the former shape tokenized
+    # twice and shuffled token rows into the frequency join — guide
+    # §2.3). avg over tokens becomes the cnt-weighted mean — identical
+    # addends grouped per word; the 6dp round absorbs the regrouping
+    # (same argument as dsir_weights, parity-checked at all three SFs).
+    wc = tracked_persist(
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    freq = wc.groupBy("word").agg(F.sum("__cnt").alias("n"))
     tot = freq.agg(F.sum("n").alias("total"))
     bpt = (
-        w.join(freq, "word")
+        wc.join(freq, "word")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.round(
-                -F.avg(F.log(F.col("n") / F.col("total"))) / F.log(F.lit(2.0)), 6
+                -(
+                    F.sum(F.col("__cnt") * F.log(F.col("n") / F.col("total")))
+                    / F.sum("__cnt")
+                )
+                / F.log(F.lit(2.0)),
+                6,
             ).alias("bits_per_token")
         )
     )

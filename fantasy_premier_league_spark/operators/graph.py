@@ -377,12 +377,17 @@ def triangle_stats(
     )
     # per-node oriented out-neighborhood, sorted so array_intersect's
     # probe behaves; size bounded by O(sqrt(m)) via the orientation.
-    # Persisted: adj feeds BOTH endpoint joins, and runtime exchange
-    # reuse dedups only the exchange write — the collect_list reduce ran
-    # once per branch (profiled at sf0.1: two back-to-back 8.4MB
-    # aggregate stages on identical input).
-    adj = tracked_persist(
-        o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
+    # Materialized at the RDD layer: adj feeds BOTH endpoint joins, and
+    # runtime exchange reuse dedups only the exchange write — the
+    # collect_list reduce ran once per branch (profiled at sf0.1: two
+    # back-to-back 8.4MB aggregate stages on identical input). RDD
+    # blocks, NOT the columnar cache: nbrs is array-typed and the
+    # columnar array encoder costs a multiple of the aggregate itself
+    # (cache.py::tracked_materialize rationale; a tracked_persist here
+    # measured 2x SLOWER end-to-end than no persist at all).
+    adj = tracked_materialize(
+        o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs")),
+        eager=False,
     )
     tri = (
         o.join(adj, "a")

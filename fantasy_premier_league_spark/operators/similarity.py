@@ -213,9 +213,15 @@ def cosine_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     ).withColumn("__qn", _norm(F.col("qvec")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
+    # the per-pair cosine folds run on the corpus scan's partitions:
+    # spread a too-narrow local scan (no-op at real scale)
+    from ..catalog import spread_partitions
+
+    c = spread_partitions(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
     ).withColumn("__cn", _norm(F.col("cvec")))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
     cosine = F.round(_dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), round_digits)

@@ -255,10 +255,16 @@ def hard_negative_topk(
         F.col(vec_col).cast("array<double>").alias("qvec"),
         F.col(label_col).alias("__qlabel"),
     ).withColumn("__qn", _norm(F.col("qvec")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-        F.col(label_col).alias("neg_label"),
+    # spread: per-pair folds run on the corpus scan's partitions (see
+    # cosine_topk; no-op at real scale)
+    from ..catalog import spread_partitions
+
+    c = spread_partitions(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+            F.col(label_col).alias("neg_label"),
+        )
     ).withColumn("__cn", _norm(F.col("cvec")))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         (F.col("neighbor_id") != F.col("query_id"))
@@ -1150,7 +1156,13 @@ def lsh_bucket_topk(
             )
         )
 
-    c = tabled(corpus, "neighbor_id", "cvec", "__cn")
+    # spread the corpus side: the per-(row, table) signature bits and the
+    # downstream per-candidate cosines run on the scan's partitions (see
+    # cosine_topk; no-op at real scale). The query side stays as-is — a
+    # bounded lookup batch gains nothing from an extra exchange.
+    from ..catalog import spread_partitions
+
+    c = tabled(spread_partitions(corpus), "neighbor_id", "cvec", "__cn")
     q = tabled(queries, "query_id", "qvec", "__qn")
     pairs = c.join(F.broadcast(q), ["t", "bucket"]).filter(
         F.col("neighbor_id") != F.col("query_id")

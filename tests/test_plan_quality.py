@@ -131,15 +131,20 @@ class TestNewOperatorPlans:
 
     def test_r63_global_rank_pure_dataframe(self, spark):
         # two-phase rank must stay JVM-side: no Python row round-trip, and
-        # the expensive range sort must be evaluated once (exchange reuse
-        # joins the count branch and the rank branch at execution time)
+        # the expensive range sort must be evaluated once. Since round 13
+        # the sorted frame is RDD-materialized and BOTH branches (offsets
+        # + final join) read the checkpointed blocks — stronger than the
+        # former ReusedExchange, which deduped only the exchange write
+        # while the reduce-side work ran per branch.
         q = all_queries()["r63_global_rank"]
         df = q.fn(spark, SF)
-        df.collect()  # reuse is resolved during execution under AQE
+        df.collect()  # materialization resolves during execution
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "Python" not in plan
-        assert "ReusedExchange" in plan
+        assert plan.count("Scan ExistingRDD") >= 2  # one copy, two readers
+        # the executed plan must not re-run the range sort per branch
+        assert plan.count("Exchange rangepartitioning") == 0
 
     @pytest.mark.parametrize("name", ["q27_pareto_abc", "q31_decile_lift"])
     def test_no_data_sized_single_partition_window(self, spark, name):

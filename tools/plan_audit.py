@@ -44,6 +44,7 @@ KNOWN_PYTHON = {
     "v62_multimodal_features",  # image decode UDF stage
     "v63_frame_samples",  # frame-sampling UDF stage
     "q26_compression_quality",  # zlib ratio: mapInPandas by necessity
+    "q46_ivf_pq_topk",  # r13: fused IVF-cell + PQ-code + ADC numpy pass
 }
 
 
@@ -90,10 +91,11 @@ def main() -> None:
         f"Compiled (not executed) at `{sf_dir}`. Regenerate: "
         "`python tools/plan_audit.py [sf_dir] --write`. BHJ/SMJ/BNLJ = "
         "broadcast-hash / sort-merge / broadcast-nested-loop join counts; "
-        "`python` marks the seven documented Arrow-UDF stages (PQ ADC scan, "
+        "`python` marks the eight documented Arrow-UDF stages (PQ ADC scan, "
         "blocked-BLAS top-k matmul, block pair grid, SemDeDup per-cell "
         "pairing, multimodal decode, frame sampling, zlib compression "
-        "ratio). "
+        "ratio, and — since round 13 — the fused IVF-PQ quantize+ADC "
+        "pass). "
         "CartesianProduct anywhere fails the audit.",
         "",
         "Two reading notes: (1) exchange counts are TEXTUAL — the "

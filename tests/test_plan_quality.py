@@ -157,7 +157,10 @@ class TestNewOperatorPlans:
 
         plan = plan_of(spark, name)
         lines = plan.splitlines()
-        assert "Exchange rangepartitioning" in plan
+        # since round 13 the range sort lives INSIDE the two-phase
+        # operators' materialized subtree: the data-sized frame arrives
+        # via the checkpointed scan, never a single-partition funnel
+        assert "Scan ExistingRDD" in plan
         # bounded-cardinality groupings only: global (keys=[]), the
         # numPartitions-row __pid frame, the 10-row decile frame — a
         # users/parts-sized key (user_id, part) here would be the old
@@ -169,13 +172,14 @@ class TestNewOperatorPlans:
                 assert bounded.search(child), (
                     f"{name}: SinglePartition exchange over unbounded input:\n{child}"
                 )
-        # the duplicated sorted/offsets subtrees (textual overcount in
-        # PLANS.md) must collapse at execution via exchange reuse
+        # the formerly duplicated sorted/offsets subtrees must share ONE
+        # materialized copy at execution (stronger than the old
+        # ReusedExchange check, which deduped only the exchange write)
         q = all_queries()[name]
         df = q.fn(spark, SF)
         df.collect()
         executed = df._jdf.queryExecution().executedPlan().toString()
-        assert "ReusedExchange" in executed
+        assert executed.count("Scan ExistingRDD") >= 2
 
     def test_q76_one_window_node(self, spark):
         # five ranking functions over one shared spec -> ONE Window node,

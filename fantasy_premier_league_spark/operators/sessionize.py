@@ -255,20 +255,34 @@ def rolling_zscore_outliers(
     epoch: str = "2024-01-01",
     lookback_days: int = 28,
     z_threshold: float = 2.0,
+    value_decimals: int = 2,
 ) -> DataFrame:
     """Rolling z-score anomaly flags per entity: each event's value is
     standardized against the entity's own trailing window — the
     monitoring primitive behind spend-spike / metric-drift alerts.
 
-    Same determinism discipline as :func:`decayed_activity`: the frame
-    is a RANGE window on integer day offsets (all timestamp ties are
-    peers — a ROWS frame would make the window contents partition-order
-    dependent), and mean/stddev are frame-value functions, so the result
-    is stable across engines and partitionings at 4 dp. A window with
-    fewer than 2 observations (or zero variance) yields a null z and a
-    0 flag rather than a division blow-up.
+    The frame is a RANGE window on integer day offsets (all timestamp
+    ties are peers — a ROWS frame would make the window *contents*
+    partition-order dependent).  Frame contents alone are not enough,
+    though: float ``avg``/``stddev_samp`` accumulate in whatever order
+    the tie rows arrive, and this corpus contains z values within 1e-10
+    of a 4-dp rounding boundary, so the rounded output flipped with the
+    partition layout.  The moments are therefore computed from EXACT
+    integer sums: ``value`` is scaled to its ``value_decimals``-dp
+    integer representation (lossless for this corpus's 2-dp amounts),
+    count / sum / sum-of-squares accumulate exactly (order-independent
+    by construction), and the z numerator ``c*n - s`` and second-moment
+    numerator ``E = n*ss - s^2`` stay exact integers until one final
+    correctly-rounded cast to double feeds a fixed IEEE expression —
+    identical bit-for-bit across partitionings and across engines
+    (the oracle SQL mirrors the same expression tree).  Inputs with
+    more than ``value_decimals`` decimals are standardized on their
+    rounded representation.
 
-    One entity-keyed exchange; both aggregates share the single window.
+    A window with fewer than 2 observations (or zero variance, E == 0)
+    yields a null z and a 0 flag rather than a division blow-up.
+
+    One entity-keyed exchange; all three sums share the single window.
     """
     day = F.datediff(F.col(ts_col), F.lit(epoch).cast("date"))
     w = (
@@ -276,15 +290,42 @@ def rolling_zscore_outliers(
         .orderBy("__day")
         .rangeBetween(-int(lookback_days), 0)
     )
+    scale = 10 ** int(value_decimals)
     base = events.select(
-        F.col(key_col), day.alias("__day"), F.col(value_col).alias("value")
+        F.col(key_col),
+        day.alias("__day"),
+        F.col(value_col).alias("value"),
+        # exact integer representation; round() clears the double's
+        # representation error (560.21*100 = 56020.999999999993 -> 56021)
+        F.round(F.col(value_col) * F.lit(scale))
+        .cast("decimal(18,0)")
+        .alias("__c"),
     )
-    mu = F.avg("value").over(w)
-    sd = F.stddev_samp("value").over(w)
+    # Name the three window aggregates ONCE in a projection: the z
+    # expression references them many times (zscore + is_outlier), and
+    # Spark's physical Window does not CSE repeated window expressions —
+    # inlining them produced 26 duplicate aggregates in the Window node.
+    moments = base.select(
+        F.col(key_col),
+        F.col("__day"),
+        "value",
+        "__c",
+        F.count("__c").over(w).alias("__n"),
+        F.sum("__c").over(w).alias("__s"),  # DECIMAL(28,0), exact
+        F.sum(F.col("__c") * F.col("__c")).over(w).alias("__ss"),  # exact
+    )
+    n = F.col("__n")
+    nd = n.cast("decimal(10,0)")
+    e = nd * F.col("__ss") - F.col("__s") * F.col("__s")  # n*(n-1)*var, exact int >= 0
+    num = F.col("__c") * nd - F.col("__s")  # c*n - s = n*(c - mu), exact int
+    n_dbl = n.cast("double")
+    zraw = num.cast("double") / F.sqrt(
+        e.cast("double") * n_dbl / (n_dbl - F.lit(1.0))
+    )
     z = F.when(
-        sd.isNull() | (sd == 0), F.lit(None).cast("double")
-    ).otherwise(F.round((F.col("value") - mu) / sd, 4))
-    return base.select(
+        (n < 2) | (e == 0), F.lit(None).cast("double")
+    ).otherwise(F.round(zraw, 4))
+    return moments.select(
         F.col(key_col),
         F.col("__day").alias("day"),
         "value",

@@ -1078,33 +1078,51 @@ def q15_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
         SELECT user_id,
                date_diff('day', TIMESTAMP '2024-01-01', ts)::INT AS day,
-               value
+               value,
+               CAST(round(value * 100) AS HUGEINT) AS c
         FROM events
     ),
     w AS (
-        SELECT user_id, day, value,
-               avg(value) OVER win AS mu,
-               stddev_samp(value) OVER win AS sd
+        SELECT user_id, day, value, c,
+               count(c) OVER win AS n,
+               sum(c) OVER win AS s,
+               sum(c * c) OVER win AS ss
         FROM d
         WINDOW win AS (PARTITION BY user_id ORDER BY day
                        RANGE BETWEEN 28 PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+        SELECT user_id, day, value, n,
+               n * ss - s * s AS e,
+               c * n - s AS num
+        FROM w
     )
     SELECT user_id, day, value,
-           CASE WHEN sd IS NULL OR sd = 0 THEN NULL
-                ELSE round((value - mu) / sd, 4) END AS zscore,
-           CASE WHEN abs(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
-                              ELSE round((value - mu) / sd, 4) END) >= 2.0
+           CASE WHEN n < 2 OR e = 0 THEN NULL
+                ELSE round(CAST(num AS DOUBLE)
+                           / sqrt(CAST(e AS DOUBLE) * CAST(n AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) - 1.0)), 4)
+           END AS zscore,
+           CASE WHEN abs(CASE WHEN n < 2 OR e = 0 THEN NULL
+                              ELSE round(CAST(num AS DOUBLE)
+                                         / sqrt(CAST(e AS DOUBLE) * CAST(n AS DOUBLE)
+                                                / (CAST(n AS DOUBLE) - 1.0)), 4)
+                         END) >= 2.0
                 THEN 1 ELSE 0 END AS is_outlier
-    FROM w
+    FROM z
     """,
     doc="Rolling z-score anomaly flags: each event's value standardized "
     "against the user's own trailing 28-day window (RANGE frame on day "
     "offsets — deterministic under timestamp ties), |z| >= 2 flagged — "
     "the metric-drift/spend-spike monitoring primitive "
-    "(operators/sessionize.py::rolling_zscore_outliers). Windows with "
-    "<2 observations or zero variance yield null z and flag 0 instead "
-    "of dividing by zero. Both aggregates share one entity-keyed "
-    "exchange.",
+    "(operators/sessionize.py::rolling_zscore_outliers). The moments "
+    "come from EXACT integer count/sum/sum-of-squares over the 2-dp "
+    "values scaled to cents, so the 4-dp z is order-independent and "
+    "bit-identical across engines and partition layouts (this corpus "
+    "has z values within 1e-10 of a rounding boundary — float "
+    "accumulation order flipped them). Windows with <2 observations or "
+    "zero variance yield null z and flag 0 instead of dividing by "
+    "zero. All three sums share one entity-keyed exchange.",
     tags=("events", "anomaly", "window"),
 )
 def q16_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -136,10 +136,15 @@ def dsir_weights(
     separate model/score calls each re-tokenized the corpus, profiled
     as back-to-back single-task 0.5-0.7s stages locally; at scale the
     histogram is also what should shuffle, not token rows — guide
-    §2.3). The per-doc mean log-ratio becomes the cnt-weighted mean —
-    identical addends grouped per bucket; the 6dp round absorbs the
-    float-sum regrouping exactly as it absorbs Spark-vs-DuckDB
-    summation order (parity-checked at all three SFs).
+    §2.3). The per-doc mean log-ratio is the cnt-weighted mean over
+    buckets, accumulated EXACTLY: the per-bucket log-ratio is cast to
+    DECIMAL(20,14) and the weighted sum runs in decimal (order-
+    independent by construction — this corpus holds scores within
+    1.3e-11 of a 6-dp rounding boundary, inside the worst-case float
+    regrouping error, the q16 knife-edge class), with one final
+    correctly-rounded cast feeding the double division + round.  The
+    14-dp quantization of ln() moves a score by < 5e-15, three orders
+    under the measured minimum boundary distance.
     """
     from ..catalog import spread_partitions
 
@@ -167,7 +172,9 @@ def dsir_weights(
         (
             F.log((F.col("ct") + a) / (F.col("tt") + a * b))
             - F.log((F.col("cb") + a) / (F.col("tb") + a * b))
-        ).alias("log_ratio"),
+        )
+        .cast("decimal(20,14)")
+        .alias("log_ratio"),
     )
     scores = (
         hist.join(F.broadcast(model), "bucket")
@@ -175,7 +182,13 @@ def dsir_weights(
         .agg(
             F.sum("__cnt").cast("long").alias("n_tokens"),
             F.round(
-                F.sum(F.col("__cnt") * F.col("log_ratio")) / F.sum("__cnt"), 6
+                # (12,0) x (20,14) -> DECIMAL(33,14); sum -> (38,14):
+                # exact, no precision-loss rescale, order-independent
+                F.sum(
+                    F.col("__cnt").cast("decimal(12,0)") * F.col("log_ratio")
+                ).cast("double")
+                / F.sum("__cnt"),
+                6,
             ).alias("dsir_score"),
         )
     )

@@ -39,25 +39,37 @@ _TGT_SQL = "('" + "', '".join(_TARGET_SOURCES) + "')"
                ('0x' || substr(md5(word), 1, 8))::BIGINT % 256 AS bucket
         FROM (SELECT doc_id, is_target, unnest(w) AS word FROM t)
     ),
+    hist AS (
+        SELECT doc_id, is_target, bucket, count(*) AS cnt
+        FROM bk GROUP BY doc_id, is_target, bucket
+    ),
     bc AS (
         SELECT bucket,
-               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
-               sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cb
-        FROM bk GROUP BY bucket
+               sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
+               sum(CASE WHEN is_target THEN 0 ELSE cnt END) AS cb
+        FROM hist GROUP BY bucket
     ),
     tot AS (SELECT sum(ct) AS tt, sum(cb) AS tb FROM bc),
     lr AS (
         SELECT bucket,
-               ln((ct + 1.0) / (tt + 256.0)) - ln((cb + 1.0) / (tb + 256.0)) AS log_ratio
+               CAST(ln((ct + 1.0) / (tt + 256.0))
+                    - ln((cb + 1.0) / (tb + 256.0)) AS DECIMAL(20,14)) AS lrd
         FROM bc CROSS JOIN tot
+    ),
+    sc AS (
+        SELECT doc_id, is_target,
+               sum(cnt)::BIGINT AS n_tokens,
+               round(CAST(sum(CAST(cnt AS DECIMAL(12,0)) * lrd) AS DOUBLE)
+                     / sum(cnt), 6) AS dsir_score
+        FROM hist JOIN lr USING (bucket)
+        GROUP BY doc_id, is_target
     )
     SELECT doc_id,
            is_target::INT AS is_target,
-           count(*)::BIGINT AS n_tokens,
-           round(avg(log_ratio), 6) AS dsir_score,
-           ((NOT is_target) AND round(avg(log_ratio), 6) >= 0.0)::INT AS selected
-    FROM bk JOIN lr USING (bucket)
-    GROUP BY doc_id, is_target
+           n_tokens,
+           dsir_score,
+           ((NOT is_target) AND dsir_score >= 0.0)::INT AS selected
+    FROM sc
     """,
     doc="DSIR importance weights (Xie et al. 2023): every pool document "
     "scored by the mean hashed-unigram log-likelihood ratio against a "
@@ -210,13 +222,19 @@ def v60_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'und' END AS lang_pred
         FROM s
     ),
-    wtok AS (SELECT doc_id, unnest(w) AS word FROM t),
-    freq AS (SELECT word, count(*) AS n FROM wtok GROUP BY word),
+    wc AS (
+        SELECT doc_id, word, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY doc_id, word
+    ),
+    freq AS (SELECT word, sum(cnt) AS n FROM wc GROUP BY word),
     tot AS (SELECT sum(n) AS total FROM freq),
     bpt AS (
         SELECT doc_id,
-               round(-avg(ln(freq.n / tot.total)) / ln(2), 6) AS bits_per_token
-        FROM wtok JOIN freq USING (word) CROSS JOIN tot
+               round((-CAST(sum(CAST(cnt AS DECIMAL(12,0))
+                                * CAST(ln(freq.n / tot.total) AS DECIMAL(20,14)))
+                            AS DOUBLE)
+                      / sum(cnt)) / ln(2), 6) AS bits_per_token
+        FROM wc JOIN freq USING (word) CROSS JOIN tot
         GROUP BY doc_id
     ),
     ranked AS (
@@ -228,7 +246,8 @@ def v60_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang_pred,
            CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
            count(*)::BIGINT AS n_docs,
-           round(avg(bits_per_token), 6) AS avg_bpt
+           round(CAST(sum(CAST(bits_per_token AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_bpt
     FROM ranked
     GROUP BY lang_pred, tercile
     """,
@@ -254,9 +273,13 @@ def q07_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc, word, cnt) histogram; the unigram LM and the per-doc
     # bits-per-token both aggregate from it (the former shape tokenized
     # twice and shuffled token rows into the frequency join — guide
-    # §2.3). avg over tokens becomes the cnt-weighted mean — identical
-    # addends grouped per word; the 6dp round absorbs the regrouping
-    # (same argument as dsir_weights, parity-checked at all three SFs).
+    # §2.3). The per-doc cnt-weighted sum of ln(n/total) accumulates
+    # EXACTLY over DECIMAL(20,14)-cast log-probs (order-independent —
+    # this corpus holds bits_per_token values within 4.4e-11 of the 6-dp
+    # rounding boundary, inside worst-case float regrouping error, the
+    # q16 knife-edge class); the oracle mirrors the identical decimal
+    # sums and final IEEE expression. The 14-dp ln() quantization moves
+    # a score by < 5e-15, three orders under the measured margin.
     wc = tracked_persist(
         docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
         .groupBy("doc_id", "word")
@@ -270,8 +293,11 @@ def q07_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.round(
-                -(
-                    F.sum(F.col("__cnt") * F.log(F.col("n") / F.col("total")))
+                (
+                    -F.sum(
+                        F.col("__cnt").cast("decimal(12,0)")
+                        * F.log(F.col("n") / F.col("total")).cast("decimal(20,14)")
+                    ).cast("double")
                     / F.sum("__cnt")
                 )
                 / F.log(F.lit(2.0)),
@@ -289,7 +315,16 @@ def q07_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("lang_pred", "tercile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("bits_per_token"), 6).alias("avg_bpt"),
+            # bits_per_token is a 6-dp-rounded double: the DECIMAL(18,6)
+            # cast recovers the exact decimal in both engines, the sum
+            # is exact (order-independent), one IEEE division remains
+            F.round(
+                F.sum(F.col("bits_per_token").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bpt"),
         )
         .select(
             "lang_pred",
@@ -508,7 +543,8 @@ def q08_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                count(*)::BIGINT AS n_docs,
                sum(n_toks)::BIGINT AS n_tokens,
-               round(avg(quality), 6) AS avg_quality,
+               round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_quality,
                sum(is_dup)::BIGINT AS n_exact_dup_docs
         FROM d GROUP BY source
     ),
@@ -560,7 +596,13 @@ def q09_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        # quality is a 6-dp-rounded double: DECIMAL(18,6) sum is exact
+        # and order-independent (q16 knife-edge class hardening)
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
         F.sum("is_dup").cast("long").alias("n_exact_dup_docs"),
     )
     lc = per_doc.groupBy("source", "lang_pred").agg(F.count(F.lit(1)).alias("c"))

@@ -63,6 +63,41 @@ class TestRollingZscoreLayoutInvariance:
             # exact float equality, not approx: the round-14 contract
             assert got == ref
 
+    def test_dsir_weighted_mean_layout_invariant(self, spark):
+        # q05's dsir_score is a cnt-weighted mean of per-bucket log
+        # ratios; round 14 accumulates it over DECIMAL(20,14)-cast
+        # addends so the 6-dp rounded score cannot move with the
+        # partition layout (the corpus holds scores 1.3e-11 from a
+        # boundary; float regrouping error can exceed that).
+        from fantasy_premier_league_spark.operators.selection import dsir_weights
+
+        rows = []
+        for i in range(400):
+            words = " ".join(
+                f"w{(i * 31 + j * 7) % 211}" for j in range((i % 37) + 3)
+            )
+            rows.append((i, i % 3 == 0, words))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, is_t boolean, text string"
+        )
+        layouts = [
+            docs.repartition(1),
+            docs.repartition(16),
+            docs.repartition(3, "doc_id"),
+            docs.sortWithinPartitions(F.col("doc_id").desc()),
+        ]
+        ref = _collect_map(
+            dsir_weights(layouts[0], "doc_id", "text", "is_t", n_buckets=64),
+            ("doc_id",),
+        )
+        assert len(ref) == 400
+        for lay in layouts[1:]:
+            got = _collect_map(
+                dsir_weights(lay, "doc_id", "text", "is_t", n_buckets=64),
+                ("doc_id",),
+            )
+            assert got == ref  # exact float equality across layouts
+
     def test_exact_moments_match_hand_computation(self, spark):
         # Cross-check the decimal-sum z against a from-scratch exact
         # computation (python ints -> one final float expression).

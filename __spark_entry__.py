@@ -10,7 +10,7 @@
   sketches (r20 HLL merge state) and zlib DEFLATE (r31) — every
   hash-sketch query (MinHash, SimHash, LSH, PQ, IVF) runs portable
   hashing and IS value-hash checked, including the trained quantizer
-  (v66_ivf_topk unrolls its Lloyd's rounds in the oracle) and the topic
+  (q18_ivf_topk unrolls its Lloyd's rounds in the oracle) and the topic
   pipeline's deterministic pre-LDA stages (v71_topic_features).
 
 Driver-window rotation

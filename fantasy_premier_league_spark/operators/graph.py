@@ -258,8 +258,30 @@ def co_occurrence_edges(
     # (null-unsafe equality) and must not form a clique here either —
     # groupBy would otherwise keep NULL as a real group and co-occur
     # every item that ever appeared with a missing key
+    #
+    # The groups exchange feeds the quadratic per-group pair fan-out
+    # below, and byte-based AQE coalescing cannot see an ~80x compute
+    # fan-out: at sf0.1 it collapsed the sub-MB exchange to 3 partitions
+    # and the explode+hash stage ran 0.6s on 3 of 32 cores (profiled in
+    # every consumer: q25/q41/q42/q50). An EXPLICIT keyed repartition
+    # pins the count — REPARTITION_BY_NUM shuffles are exempt from AQE
+    # coalescing — and the groupBy reuses the same exchange (hash(group)
+    # satisfies the aggregate's distribution), so the exchange COUNT is
+    # unchanged at any scale. The count is session-derived, never a
+    # literal: max(defaultParallelism, shuffle.partitions) = the
+    # cluster's configured reduce width; the only at-scale delta vs a
+    # plain groupBy is that byte-based coalescing no longer shrinks
+    # exactly the one exchange whose downstream cost is compute, not
+    # bytes.
+    spark = df.sparkSession
+    try:
+        _conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" on vendor runtimes
+        _conf_parts = 0
+    n_part = max(spark.sparkContext.defaultParallelism, _conf_parts)
     g = (
         df.filter(F.col(group_col).isNotNull())
+        .repartition(n_part, F.col(group_col))
         .groupBy(F.col(group_col).alias("__g"))
         .agg(F.collect_set(F.col(item_col)).alias("__items"))
     )

@@ -592,7 +592,7 @@ def v33_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "v88_passage_dedup",
+    "q26_passage_dedup",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     p AS (
@@ -621,7 +621,7 @@ def v33_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact dedup uses — linear, uniform keys.",
     tags=("dedup", "text", "llm-pipeline"),
 )
-def v88_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = D.words(F.col("text"))
     n_pass = F.ceil(F.size(words) / F.lit(10)).cast("int")

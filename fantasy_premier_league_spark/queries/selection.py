@@ -1208,7 +1208,7 @@ def q17_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q18_incremental_distinct",
+    "v11_incremental_distinct",
     None,  # DataSketches HLL state is engine-specific — rows-only by design,
     # like q69; the exactness law (merge(sketch(A), sketch(B)) ==
     # sketch(A ∪ B), register-for-register) is pinned by pytest instead
@@ -1222,7 +1222,7 @@ def q17_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "maintenance order never changes the estimate (pytest-pinned).",
     tags=("agg", "incremental", "sketch"),
 )
-def q18_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v11_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import incremental as INC
 
     od = load(spark, sf_dir, "orders")
@@ -1869,7 +1869,7 @@ def v65_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q26_compression_quality",
+    "v17_compression_quality",
     None,  # DEFLATE has no SQL oracle — rows-only; numerics pinned by
     # pytest against direct zlib calls on the same strings
     doc="zlib compression-ratio quality signal per document "
@@ -1882,7 +1882,7 @@ def v65_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs and partitionings.",
     tags=("text", "quality", "udf", "llm-pipeline"),
 )
-def q26_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v17_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import compression_ratio
 
     docs = load(spark, sf_dir, "documents")

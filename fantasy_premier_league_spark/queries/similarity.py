@@ -293,7 +293,7 @@ def q37_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "v66_ivf_topk",
+    "q18_ivf_topk",
     _ivf_lloyd_oracle(
         n_centroids=16, n_probe=4, iters=8, k=3, sample=32_768,
         query_pred="e.vec_id < 10",
@@ -311,7 +311,7 @@ def q37_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— divergence needs a 1-ulp coincidence; see _local_lloyds.",
     tags=("similarity", "ann", "ivf"),
 )
-def v66_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     # the predicate bounds the batch at 10 rows — pass the bound so the

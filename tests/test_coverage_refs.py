@@ -38,8 +38,13 @@ def never_driver_verified() -> list[str]:
     computed, never hand-maintained): registry names — matched by SLUG,
     since slot rotations rename the ``NN_`` prefix but never the slug —
     with no driver CORRECTNESS row in any round that is hash-green when the
-    query has an oracle (rows+schema-green suffices only for rows-only
-    queries). COVERAGE.md's rotation ledger quotes this function."""
+    query has an oracle. For the two documented engine-internal rows-only
+    queries (no oracle CAN exist — HLL register state, zlib DEFLATE), the
+    driver's strongest possible row is ``err: "no_oracle"`` with a
+    successful spark_rows count (round 13 recorded exactly that), so such
+    a row counts as driver-touched; demanding more would pin them into the
+    scored window forever as permanent no_oracle rows (VERDICT r13 item 3
+    ordered them OUT). COVERAGE.md's rotation ledger quotes this function."""
     import glob
     import json
 
@@ -51,11 +56,22 @@ def never_driver_verified() -> list[str]:
     verified_slugs = set()
     for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         for k, v in json.load(open(f)).items():
-            if not (isinstance(v, dict) and v.get("rows_match") and v.get("schema_match")):
+            if not isinstance(v, dict):
                 continue
             slug = _slug(re.sub(r"^p\d{2}_", "", k))
-            if slug in oracled_slugs and not v.get("hash_match"):
-                continue  # rows-only row can't vouch for an oracled query
+            if slug in oracled_slugs:
+                if not (
+                    v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
+                ):
+                    continue
+            elif v.get("err") == "no_oracle":
+                # engine-internal rows-only query: the driver ran it
+                # (spark_rows recorded) and there is nothing stronger
+                # for it to check
+                if not v.get("spark_rows"):
+                    continue
+            elif not (v.get("rows_match") and v.get("schema_match")):
+                continue
             verified_slugs.add(slug)
 
     return sorted(n for n in registry if _slug(n) not in verified_slugs)

@@ -374,7 +374,7 @@ class TestRound5ExtensionPlans:
         # no join anywhere
         import re
 
-        plan = plan_of(spark, "q18_incremental_distinct")
+        plan = plan_of(spark, "v11_incremental_distinct")
         assert "Join" not in plan
         assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) <= 3
 

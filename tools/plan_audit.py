@@ -43,7 +43,7 @@ KNOWN_PYTHON = {
     "q39_semantic_dedup",  # per-cell tiled-BLAS pairing: applyInPandas
     "v62_multimodal_features",  # image decode UDF stage
     "v63_frame_samples",  # frame-sampling UDF stage
-    "q26_compression_quality",  # zlib ratio: mapInPandas by necessity
+    "v17_compression_quality",  # zlib ratio: mapInPandas by necessity
     "q46_ivf_pq_topk",  # r13: fused IVF-cell + PQ-code + ADC numpy pass
 }
 

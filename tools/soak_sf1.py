@@ -63,7 +63,7 @@ DATA_FACTOR = {
     "q15_frequent_tokens": 10.0,
     "q16_rolling_outliers": 10.0,
     "q17_event_transitions": 10.0,
-    "q18_incremental_distinct": 10.0,
+    "v11_incremental_distinct": 10.0,
     "v64_ab_conversion_test": 10.0,
     "q19_growth_accounting": 10.0,
     "q20_calendar_fill": 10.0,
@@ -74,7 +74,7 @@ DATA_FACTOR = {
     "q25_also_bought": 10.0,
     "v65_cuped_ab_test": 10.0,
     "q45_lsh_recall_eval": 10.0,
-    "q26_compression_quality": 10.0,
+    "v17_compression_quality": 10.0,
     "q27_pareto_abc": 10.0,
     "q28_mad_outliers": 10.0,
     "q29_rolling_wau": 10.0,
@@ -92,7 +92,7 @@ DATA_FACTOR = {
 #: embeddings tile 4x (500 -> 2,000 -> 8,000 sub-linear driver scaling)
 for _n in (
     "v26_pq_topk", "v46_embedding_dup_clusters", "v50_cosine_topk",
-    "q51_cosine_topk_block", "q52_label_centroid_sim", "v66_ivf_topk",
+    "q51_cosine_topk_block", "q52_label_centroid_sim", "q18_ivf_topk",
     "q55_lsh_topk", "q56_ivf_topk_seeded", "v83_vector_stats",
     "q01_ann_recall_eval", "q03_hard_negatives",
 ):

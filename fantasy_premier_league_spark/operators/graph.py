@@ -32,6 +32,21 @@ from .cache import tracked_local_checkpoint, tracked_materialize, tracked_persis
 from .local import local_frame
 
 
+def _reduce_width(df: DataFrame) -> int:
+    """Session-derived exchange width for explicit keyed repartitions:
+    max(defaultParallelism, configured shuffle partitions) — the
+    cluster's reduce width, never a literal. Used where byte-based AQE
+    coalescing must not shrink an exchange whose downstream cost is
+    compute, not bytes (quadratic pair fan-outs, per-round LPA
+    aggregations)."""
+    spark = df.sparkSession
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" on vendor runtimes
+        conf_parts = 0
+    return max(spark.sparkContext.defaultParallelism, conf_parts)
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -273,12 +288,7 @@ def co_occurrence_edges(
     # plain groupBy is that byte-based coalescing no longer shrinks
     # exactly the one exchange whose downstream cost is compute, not
     # bytes.
-    spark = df.sparkSession
-    try:
-        _conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:  # e.g. "auto" on vendor runtimes
-        _conf_parts = 0
-    n_part = max(spark.sparkContext.defaultParallelism, _conf_parts)
+    n_part = _reduce_width(df)
     g = (
         df.filter(F.col(group_col).isNotNull())
         .repartition(n_part, F.col(group_col))
@@ -510,11 +520,31 @@ def label_propagation(
     closed = int(probe["n_no_in"]) == 0
     small_state = int(probe["n"]) <= 4_000_000
     labels = nodes.select("node", F.col("node").alias("label"))
+    # Per-round exchange discipline: the (dst,label) count and the
+    # per-node argmax used to be two keyed exchanges (hash(dst,label)
+    # with partial counts, then hash(node) with the count triples) —
+    # three stages per round. An explicit hash(dst) repartition
+    # satisfies BOTH aggregations (HashPartitioning(dst) ⊆ both
+    # clusterings), so count + argmax fuse into the same post-exchange
+    # stage: two stages per round, one exchange. Trade, measured: the
+    # exchange ships raw (dst,label) pairs instead of partial counts
+    # (38MB vs 24MB at sf0.1) but drops the second exchange (10MB) and
+    # a whole stage round-trip. Delta-propagation (send only changed
+    # labels) was evaluated and REJECTED with data: on this corpus's
+    # co-occurrence graph labels keep churning (20000/20000, then
+    # 15005/20000, then 14588/20000 changed per round at sf0.1) — the
+    # delta is ~75% of the full vector while incremental count-state
+    # maintenance would add a persisted (node,label,n) frame plus
+    # two-sided correction joins per round.
+    n_part = _reduce_width(e)
     for i in range(int(iterations)):
         lsrc = labels.select(F.col("node").alias("src"), "label")
         nbr = e.join(F.broadcast(lsrc) if small_state else lsrc, "src")
-        counts = nbr.groupBy(F.col("dst").alias("node"), "label").agg(
-            F.count(F.lit(1)).alias("__n")
+        counts = (
+            nbr.select("dst", "label")
+            .repartition(n_part, F.col("dst"))
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__n"))
         )
         # deterministic argmax without a sort window: min over the
         # (count desc, label asc) order key, unique per group

@@ -734,6 +734,13 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
+    # the corpus-side argmin assignment + per-candidate cosines run on
+    # the scan's partitions — a single-file local scan serialized the
+    # whole pipeline onto one core (profiled: one 0.97s single-task
+    # stage was the entire q18 runtime). Spread, no-op at real scale.
+    from ..catalog import spread_partitions
+
+    c = spread_partitions(c)
     spark = corpus.sparkSession
     centroids = _train_quantizer(c, id_field="neighbor_id", vec_field="cvec",
                                  k=n_centroids, iters=max_iter, seed=seed)

@@ -622,7 +622,15 @@ def v33_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "text", "llm-pipeline"),
 )
 def q26_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from ..catalog import spread_partitions
+
+    # the passage explode feeds TWO consumers (the frequency aggregate
+    # and the join side), so the tokenize runs twice — each pass was one
+    # 0.7s single-core task on the local single-file scan. Spread the
+    # scan (no-op at real scale); the two passes stay (materializing the
+    # corpus-sized passage stream would cost more than re-tokenizing,
+    # the q15 caching rule), they just parallelize.
+    docs = spread_partitions(load(spark, sf_dir, "documents"))
     words = D.words(F.col("text"))
     n_pass = F.ceil(F.size(words) / F.lit(10)).cast("int")
     passages = docs.select(
@@ -1014,8 +1022,22 @@ def q40_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.3, shingle_arrays=arr
     )
-    pa = D.connected_components(lsh)
-    pb = D.connected_components(exact)
+    # The two pipelines are independent until the partition join, and
+    # each one is a chain of ~10 SMALL jobs (profiled: 21 jobs total,
+    # none above 0.25s wall, job-gap driver orchestration ≈ half the
+    # runtime) ending in a bounded union-find collect. Overlap them on
+    # two driver threads (guide §2.6): one side's scheduling gaps and
+    # straggler tails back-fill with the other side's tasks. Both sides
+    # read the SAME eagerly-materialized shingle frame, so no work is
+    # duplicated; cache tracking is append-only under the GIL and
+    # release is idempotent.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(D.connected_components, lsh)
+        fb = pool.submit(D.connected_components, exact)
+        pa = fa.result()
+        pb = fb.result()
     part = (
         docs.select("doc_id")
         .join(pa.withColumnsRenamed({"id": "doc_id", "cluster_id": "__ca"}), "doc_id", "left")

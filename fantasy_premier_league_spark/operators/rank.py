@@ -78,6 +78,16 @@ def global_cumsum(
     # the exchange write (q27 profile: the lineitem scan+aggregate
     # subtree appeared twice). RDD-layer blocks keep partition order, so
     # __pid stays consistent across both consumers.
+    #
+    # NOT lazy (ADVICE r13): under AQE the materialize's toRdd conversion
+    # finalizes the physical plan and EXECUTES the upstream range-sort
+    # stages at operator-BUILD time — composing this operator into a plan
+    # that is never acted on still pays (and pins) the sort, and the
+    # returned frame inherits the checkpoint contract (re-collecting it
+    # after release_operator_caches cannot recompute). The query-per-call
+    # registry consumes every build immediately, so the eager build is
+    # the intended trade here; callers composing speculatively should
+    # compute the rank column only on the path that runs.
     sorted_df = tracked_materialize(sorted_df, eager=False)
 
     sizes = sorted_df.groupBy("__pid").agg(F.sum("__v").alias("__s"))

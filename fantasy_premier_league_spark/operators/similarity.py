@@ -1261,6 +1261,16 @@ def ivf_pq_topk(
     e = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # the fused numpy pass carries ids as int64 (and the self-pair filter
+    # compares them as such): a string or float id column would silently
+    # compare str vs int64 / truncate in the Arrow cast. The operator's
+    # contract is integral ids — enforce it here instead of failing at a
+    # distance (ADVICE r13).
+    _id_t = dict(e.dtypes)["vid"]
+    if _id_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"ivf_pq_topk requires an integral id column; got {id_col}: {_id_t}"
+        )
 
     # one bounded collect feeds BOTH quantizers: IVF seeds = the n_cells
     # lowest-id vectors, PQ codebook = the k_codes lowest-id vectors
@@ -1277,7 +1287,6 @@ def ivf_pq_topk(
             F.lit(1).alias("rank"),
         ).limit(0)
     id_type = dict(e.dtypes)["vid"]
-    seed_ids = np.asarray([int(r["vid"]) for r in seed_rows[:n_cells]], dtype=np.int64)
     s1 = np.asarray([list(r["v"]) for r in seed_rows[:n_cells]], dtype=np.float64)
     cbm = np.asarray([list(r["v"]) for r in seed_rows[:k_codes]], dtype=np.float64)
     kc = cbm.shape[0]
@@ -1289,14 +1298,18 @@ def ivf_pq_topk(
     # distance table, F.round-exact via decimal HALF_UP
     qids = np.asarray([int(r["query_id"]) for r in q_rows], dtype=np.int64)
     qmat = np.asarray([list(r["qvec"]) for r in q_rows], dtype=np.float64)
-    qd_cell = np.round(np.sqrt(((qmat[:, None, :] - s1[None]) ** 2).sum(axis=2)), 6)
+    # HALF_UP like every other query-side table (ADVICE r13: a half-even
+    # knife edge here changes which cells are probed, i.e. the candidate
+    # set, diverging from the HALF_UP oracle replay; the table is a tiny
+    # nq x n_cells matrix, so exact-decimal rounding is free)
+    qd_cell = _round6_half_up(np.sqrt(((qmat[:, None, :] - s1[None]) ** 2).sum(axis=2)))
     probe_cells = np.argsort(qd_cell, axis=1, kind="stable")[:, : int(n_probe)]
     qd_tab = np.empty((len(qids), m_, kc), dtype=np.float64)
     for j in range(m_):
         qd_tab[:, j, :] = _round6_half_up(
             ((qmat[:, None, j * dsub_ : (j + 1) * dsub_] - cbm[None, :, j * dsub_ : (j + 1) * dsub_]) ** 2).sum(axis=2)
         )
-    # cell -> probing query indexes (cells as positions into seed_ids)
+    # cell -> probing query indexes (cells as positions into the seed rows)
     by_cell: dict[int, list[int]] = {}
     for qi in range(len(qids)):
         for c in probe_cells[qi]:

@@ -758,10 +758,19 @@ def lsh_candidate_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
         )
-    buckets = tracked_persist(
+    # RDD-layer materialization, NOT tracked_persist: `ids` is an array
+    # column and the SQL columnar cache's array encoder costs a multiple
+    # of the aggregate itself (the measured q41 adjacency trap —
+    # cache.py::tracked_materialize rationale; v52 profiled ~10s of task
+    # CPU in the cache-build stage). eager=False folds materialization
+    # into the accounting job below (LocalRDDCheckpointData fills every
+    # partition at the end of the first job, the pinned lazy-checkpoint
+    # contract), so the job count is unchanged.
+    buckets = tracked_materialize(
         _banded(sig_df, bands)
         .groupBy("band_idx", "band_sig")
-        .agg(F.collect_list("id").alias("ids"))
+        .agg(F.collect_list("id").alias("ids")),
+        eager=False,
     )
     # eager accounting (no-silent-caps rule): one job that also fills the
     # bucket cache the pair plan below reads

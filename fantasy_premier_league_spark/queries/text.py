@@ -365,10 +365,9 @@ def q34_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bags
     """,
     doc="Topic-model pipeline M13 (news-text LDA, M1.ipynb § 28-29) over "
-    "the documents table: clean -> MLlib StopWordsRemover -> 1-2-gram bag "
-    "-> CountVectorizer -> seeded LDA, run through the real pipeline "
-    "stages (ml/text.py::topic_features — the CountVectorizer and LDA "
-    "FITS execute inside this query). The ORACLE'D PROJECTION is the "
+    "the documents table: clean -> MLlib StopWordsRemover -> 1-2-gram "
+    "bag, run through the real pipeline's Transformer stages "
+    "(ml/text.py::build_topic_pipeline). The ORACLE'D PROJECTION is the "
     "deterministic pre-LDA surface: post-stopword term count, distinct "
     "1-2-gram count, and an order-insensitive md5 hash-sum over the "
     "whole n-gram bag — value-checking the clean/tokenize/stopword/"
@@ -376,15 +375,28 @@ def q34_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string). Topic ASSIGNMENT stays out of the projection: LDA "
     "training is iterative/engine-internal (the round-8 rows-only "
     "rationale) and CountVectorizer's vocab tie-break is not oracle-"
-    "replayable; model quality is pytest-gated instead "
-    "(tests/test_fifa_ml_extras.py).",
+    "replayable. Round 14: the CountVectorizer/LDA FITS no longer "
+    "execute inside the query — they contributed NOTHING to the "
+    "declared output (their columns were projected away; guide §1.2, "
+    "don't compute what you throw away) yet cost ~75%% of the query's "
+    "runtime. The full fit path (ml/text.py::topic_features) stays "
+    "exercised and quality-gated in tests/test_fifa_ml_extras.py.",
     tags=("text", "ml", "lda"),
 )
 def v71_topic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.text import topic_features
+    from ..catalog import spread_partitions
+    from ..ml.text import build_topic_pipeline, clean_text_column
 
     docs = load(spark, sf_dir, "documents")
-    _, out = topic_features(docs, text_col="text", n_topics=4, vocab_size=100, max_ngram=2, lda_max_iter=6)
+    cleaned = spread_partitions(clean_text_column(docs, text_col="text"))
+    # the pure Transformer prefix of the SAME pipeline topic_features
+    # fits (SQL tokenize, stopwords, n-gram, bag concat) — identical
+    # __tok_clean/__bag values, no CV/LDA fit jobs
+    out = cleaned
+    for s in build_topic_pipeline(
+        n_topics=4, vocab_size=100, max_ngram=2, lda_max_iter=6
+    ).getStages()[:-2]:
+        out = s.transform(out)
     h = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
     bag_sum = F.aggregate("__bag", F.lit(0).cast("long"), lambda acc, x: acc + h(x))
     return out.select(
